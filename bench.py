@@ -1,0 +1,62 @@
+"""Benchmark harness: runs every registry query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per-query timing is end-to-end: plan construction + execution to a count/
+collect action (results are small aggregates or bounded row sets; we force
+full materialization without shipping megabytes to the driver by counting
+where the result is large).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from comp5339dataengineering_realtimefuelanalysis_spark.session import get_spark
+from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
+    REGISTRY,
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not first-touch JIT/IO (the driver's criterion is relative)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name, qd in REGISTRY.items():
+        t0 = time.perf_counter()
+        df = qd.fn(spark, sf_dir)
+        # force full execution; toLocalIterator/collect would add transfer
+        # cost proportional to result size, count() executes every operator
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "registry_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""Analytical operators (SURVEY.md §2.6-§2.8) — the Q1/Q2/Q3 building blocks.
+
+All column-parameterized, all built-in expressions. Scale notes inline: the
+design target is a 1000-executor cluster on ~100 TB, so every operator
+documents its shuffle behavior and broadcast strategy.
+
+Reference parity map:
+  * latest_per_key — A3 (+O2): argmax-by-time per key (DataAnalysis.py:108-109)
+  * avg_by         — A1 (+C7): mean per group, 2dp (DataAnalysis.py:70-82)
+  * enrich_left    — J1 (+C6): dim ⟕ fact left join (DataAnalysis.py:111-117)
+  * label_join_agg — P5+A4: per-group label string-agg (DataAnalysis.py:118-123)
+  * series_by      — A5+O3: per-key time series (DataAnalysis.py:142-165)
+  * orphans        — J2: FK orphan check the reference only documents
+                     (report §2; absence at DataIngesting.py:20-43)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dec_avg
+
+
+def latest_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """A3: the whole latest row per key (argmax by ``ts_col``).
+
+    The reference sorts then takes ``.last()`` per group
+    (DataAnalysis.py:108-109) — an arbitrary choice under timestamp ties, so
+    we pin ``tiebreak`` (a unique column, descending) for deterministic
+    results (SURVEY.md §4 decision 1).
+
+    Physical plan: one hash shuffle on ``keys``, then an in-partition sort —
+    no global sort. At scale prefer this over ``groupBy().agg(max_by)`` when
+    you need *all* columns; max_by(struct) is equivalent and also one
+    shuffle, but row_number + filter survives AQE skew-splitting better.
+    """
+    order = [F.col(ts_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def avg_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    val_col: str,
+    alias: str = "avg_value",
+    ndigits: int | None = None,
+) -> DataFrame:
+    """A1: average of ``val_col`` per key group.
+
+    Uses exact-decimal accumulation (functions.scalars.dec_avg) so the
+    result is independent of partition/summation order — reproducible on
+    any cluster layout and bit-comparable to an external oracle. Partial
+    aggregation (map-side combine) applies: the shuffle moves one partial
+    sum per (partition, key), not the data.
+
+    ``ndigits`` optionally rounds, matching the reference's ``round(x, 2)``
+    (DataAnalysis.py:81).
+    """
+    out = dec_avg(val_col)
+    if ndigits is not None:
+        out = F.round(out, ndigits)
+    return df.groupBy(*keys).agg(out.alias(alias))
+
+
+def enrich_left(
+    dim: DataFrame,
+    fact: DataFrame,
+    on: Column,
+    broadcast_side: str = "auto",
+) -> DataFrame:
+    """J1: dimension LEFT JOIN fact — preserves dim rows with no fact match.
+
+    The reference left-joins ~1.6k stations to latest prices on the driver
+    (DataAnalysis.py:111-117); only ~47% of facts match, so the NULL path is
+    the common case and must be preserved (SURVEY.md §1.4).
+
+    Broadcast strategy: for dim ⟕ fact, broadcasting the *right* (fact)
+    side keeps the join shuffle-free when the fact side is a small
+    aggregate (latest-per-key output ≈ |keys|); at 100 TB with a huge fact
+    side, broadcast the dim instead — but a LEFT join can only broadcast
+    the right side (stream side must be the left), so at scale this becomes
+    a shuffled hash join on the key, which AQE handles. ``broadcast_side``:
+    'right' | 'none' | 'auto' (auto = let Catalyst/AQE decide using the
+    autoBroadcastJoinThreshold).
+    """
+    right = F.broadcast(fact) if broadcast_side == "right" else fact
+    return dim.join(right, on, "left")
+
+
+def label_join_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    label_col: Column | str,
+    sep: str = "<br>",
+    alias: str = "info",
+) -> DataFrame:
+    """P5+A4: per-group concatenation of label strings.
+
+    ``collect_list`` order is nondeterministic under parallelism, so we
+    ``array_sort`` before joining (SURVEY.md §4 decision 2) — the
+    reference's order is merge-row order, itself arbitrary
+    (DataAnalysis.py:117-123). One hash shuffle on ``group_cols``; the
+    label strings are built pre-shuffle so only (group, label) pairs move.
+    """
+    label = F.col(label_col) if isinstance(label_col, str) else label_col
+    return df.groupBy(*group_cols).agg(
+        F.concat_ws(sep, F.array_sort(F.collect_list(label))).alias(alias)
+    )
+
+
+def series_by(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    val_cols: Sequence[str],
+) -> DataFrame:
+    """A5+O3: per-key time-ordered (ts, value) series.
+
+    Returned as sorted detail rows (the reference's per-fueltype list
+    grouping is presentational — DataAnalysis.py:145-158). The global sort
+    is a range-partitioned exchange; at scale, prefer
+    ``repartitionByRange(key).sortWithinPartitions`` if only per-key order
+    matters, which this does by sorting on (key, ts).
+    """
+    cols = [*key_cols, ts_col, *val_cols]
+    return df.select(*cols).orderBy(*key_cols, ts_col)
+
+
+def orphans(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> DataFrame:
+    """J2: fact rows with no matching dimension row (FK violation report).
+
+    The reference *documents* the FK but never enforces it (report §2;
+    DataIngesting.py:20-43 has no FOREIGN KEY clause; 47% of its real data
+    violates it). LEFT ANTI join: at scale the dim key set broadcasts
+    (an anti join CAN broadcast its right side), so this is shuffle-free
+    when the dimension fits the broadcast threshold.
+    """
+    return fact.join(
+        dim, fact[fact_key] == dim[dim_key], "left_anti"
+    )

@@ -1,0 +1,523 @@
+"""Driver-facing query registry: every implemented operator from SURVEY.md §2
+as a named (PySpark callable, DuckDB oracle SQL) pair over the synthetic
+tables in /root/testdata (TESTDATA.md / FIXTURES.md §2 mapping).
+
+Determinism contract (required for the driver's order-insensitive value-hash
+compare, see SURVEY.md §4 decisions 1-2):
+
+* every float aggregate goes through exact DECIMAL accumulation and is cast
+  back to DOUBLE (functions.scalars.dec_sum/dec_avg) — bit-identical across
+  engines and partition layouts;
+* every argmax/dedup pins a unique tiebreak column;
+* every string rendering of a numeric goes through DECIMAL(18,2);
+* every computed column is aliased identically in the Spark code and the SQL.
+
+The ``events`` table is shape-isomorphic to the reference's ``prices``
+stream and ``customer`` to its ``stations`` dimension (FIXTURES.md §2):
+  lastupdated->ts, stationcode->user_id, fueltype->event_type, price->value.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import dec_avg, dec_sum, info_label
+from ..operators.cleaning import (
+    Rule,
+    validate_split,
+    recent_window,
+    dedup_first,
+    incremental_after,
+)
+from ..operators.analytics import (
+    latest_per_key,
+    avg_by,
+    enrich_left,
+    label_join_agg,
+    series_by,
+    orphans,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: QueryFn
+    oracle: str | None
+    tables: tuple[str, ...] = ()
+    doc: str = ""
+
+
+# Columns written as parquet TIMESTAMP(NANOS) (pandas default); read as
+# long under spark.sql.legacy.parquet.nanosAsLong and converted losslessly
+# (integer `div 1000` — float division would lose precision at 1e18 nanos).
+_TS_NS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Runtime-set (not only in session.get_spark) because the caller — the
+    # driver harness — may hand us a vanilla SparkSession; without this flag
+    # Spark refuses TIMESTAMP(NANOS) parquet outright (PARQUET_TYPE_ILLEGAL).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Parquet/DuckDB timestamps are naive; pin the session to UTC so Spark's
+    # session-TZ rendering can't shift values on a non-UTC driver machine.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _TS_NS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Validation ruleset for the events stream (reference F2/F3 mapped onto the
+# events schema; `below_min_value` additionally exercises a firing range rule
+# on the driver data, where no nulls/zeros exist).
+# ---------------------------------------------------------------------------
+
+_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def event_rules() -> list[Rule]:
+    rules = [
+        Rule(f"missing_{c}", F.col(c).isNull())
+        for c in ("event_id", "ts", "user_id", "event_type", "value")
+    ]
+    rules.append(Rule("empty_event_type", F.col("event_type") == ""))
+    rules.append(Rule("zero_value", F.col("value") == 0))
+    rules.append(Rule("below_min_value", F.col("value") < 0.05))
+    return rules
+
+
+_EVENT_RULES_SQL_CASE = """CASE
+    WHEN event_id IS NULL THEN 'missing_event_id'
+    WHEN ts IS NULL THEN 'missing_ts'
+    WHEN user_id IS NULL THEN 'missing_user_id'
+    WHEN event_type IS NULL THEN 'missing_event_type'
+    WHEN value IS NULL THEN 'missing_value'
+    WHEN event_type = '' THEN 'empty_event_type'
+    WHEN value = 0 THEN 'zero_value'
+    WHEN value < 0.05 THEN 'below_min_value'
+    END"""
+
+_EVENT_VALID_SQL_WHERE = (
+    "event_id IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL "
+    "AND event_type IS NOT NULL AND value IS NOT NULL "
+    "AND event_type <> '' AND value <> 0 AND value >= 0.05"
+)
+
+
+# ---------------------------------------------------------------------------
+# Query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_validate_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 valid side (F2/F3): rows passing every rule, original columns."""
+    events = load_table(spark, sf_dir, "events")
+    valid, _ = validate_split(events, event_rules())
+    return valid.select(*_EVENT_COLS)
+
+
+def q_validate_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 reject side: failing rows + first-failing-rule reason."""
+    events = load_table(spark, sf_dir, "events")
+    _, rejects = validate_split(events, event_rules())
+    return rejects.select(*_EVENT_COLS, "reject_reason")
+
+
+def q_recent_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: rows strictly newer than max(ts) - 7 days (data-relative bound)."""
+    events = load_table(spark, sf_dir, "events")
+    return recent_window(events, "ts", days=7).select(*_EVENT_COLS)
+
+
+def q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: first event per user (deterministic first-arrival by ts, id)."""
+    events = load_table(spark, sf_dir, "events")
+    return dedup_first(events, ["user_id"], ["ts", "event_id"]).select(
+        *_EVENT_COLS
+    )
+
+
+def q_incremental_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: high-watermark incremental filter (fixed literal watermark)."""
+    events = load_table(spark, sf_dir, "events")
+    return incremental_after(events, "ts", "2024-01-15 00:00:00").select(
+        *_EVENT_COLS
+    )
+
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: latest event per (user_id, event_type), event_id tiebreak."""
+    events = load_table(spark, sf_dir, "events")
+    return latest_per_key(
+        events, ["user_id", "event_type"], "ts", tiebreak="event_id"
+    ).select(*_EVENT_COLS)
+
+
+def q_avg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (Q1 analog): average value per event_type, order-independent."""
+    events = load_table(spark, sf_dir, "events")
+    return avg_by(events, ["event_type"], "value", alias="avg_value")
+
+
+def q_avg_by_type_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+C7: the reference's round-to-2dp variant (DataAnalysis.py:81)."""
+    events = load_table(spark, sf_dir, "events")
+    return avg_by(
+        events, ["event_type"], "value", alias="avg_value", ndigits=2
+    )
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⟕ latest-events with the P5 info label (Q2 analog core)."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    latest = latest_per_key(
+        events, ["user_id", "event_type"], "ts", tiebreak="event_id"
+    ).select("user_id", "event_type", "value", "ts")
+    joined = enrich_left(
+        customer,
+        latest,
+        customer["c_custkey"] == latest["user_id"],
+        broadcast_side="right",
+    )
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+        "event_type",
+        "value",
+        "ts",
+        info_label("event_type", "value").alias("info"),
+    )
+
+
+_LATEST_SQL = """
+    SELECT user_id, event_type, value, ts FROM (
+        SELECT user_id, event_type, value, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) sub
+    WHERE rn = 1
+"""
+
+_ENRICHED_SQL = f"""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
+           l.event_type, l.value, l.ts,
+           CASE WHEN l.value IS NOT NULL
+                THEN l.event_type || ': ' ||
+                     CAST(CAST(l.value AS DECIMAL(18,2)) AS VARCHAR)
+                ELSE '' END AS info
+    FROM customer c
+    LEFT JOIN ({_LATEST_SQL}) l ON c.c_custkey = l.user_id
+"""
+
+
+def q_enrich_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+P5 (Q2 analog): dim ⟕ latest fact with null-guarded label."""
+    return _enriched(spark, sf_dir)
+
+
+def q_label_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (Q2 analog, full): per-customer sorted '<br>'-joined labels."""
+    enriched = _enriched(spark, sf_dir)
+    return label_join_agg(
+        enriched,
+        ["c_custkey", "c_name", "c_mktsegment"],
+        "info",
+        sep="<br>",
+        alias="info",
+    )
+
+
+def q_series_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+O3 (Q3 analog): per-type time-ordered (ts, value) series."""
+    events = load_table(spark, sf_dir, "events")
+    return series_by(events, ["event_type"], "ts", ["value"])
+
+
+def q_orphan_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: dimension rows with no fact (customers with no events)."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return orphans(customer, events, "c_custkey", "user_id")
+
+
+def q_fk_orphan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: fact rows violating the documented FK (events w/o customer)."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return orphans(events, customer, "user_id", "c_custkey")
+
+
+# --- classic OLAP coverage over the TPC-H-ish tables -----------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: 2 group keys, 8 aggregates.
+
+    All money sums via exact decimal accumulation (order-independent).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(charge, "sum_charge"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (revenue desc, orderkey tiebreak)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (fact + 4 dims), small dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(customer),
+            orders["o_custkey"] == customer["c_custkey"],
+        )
+        .join(
+            F.broadcast(nation),
+            customer["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy("r_name", "n_name")
+        .agg(dec_sum(rev, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS semi-join + count per priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    semi = filtered.join(
+        li,
+        (filtered["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > filtered["o_orderdate"]),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, QueryDef] = {
+    "validate_valid": QueryDef(
+        q_validate_valid,
+        f"SELECT event_id, ts, user_id, event_type, value, props "
+        f"FROM events WHERE {_EVENT_VALID_SQL_WHERE}",
+        ("events",),
+        "V1/F2/F3 valid side",
+    ),
+    "validate_rejects": QueryDef(
+        q_validate_rejects,
+        f"""SELECT event_id, ts, user_id, event_type, value, props,
+                   {_EVENT_RULES_SQL_CASE} AS reject_reason
+            FROM events WHERE NOT ({_EVENT_VALID_SQL_WHERE})""",
+        ("events",),
+        "V1 reject side with first-failing reason",
+    ),
+    "recent_window": QueryDef(
+        q_recent_window,
+        """SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
+           FROM events e, (SELECT MAX(ts) AS max_ts FROM events) m
+           WHERE e.ts > m.max_ts - INTERVAL 7 DAY""",
+        ("events",),
+        "F1 data-relative recency window (strict >)",
+    ),
+    "dedup_first": QueryDef(
+        q_dedup_first,
+        """SELECT event_id, ts, user_id, event_type, value, props FROM (
+               SELECT e.*, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM events e) t
+           WHERE rn = 1""",
+        ("events",),
+        "D1 first-arrival dedup by key",
+    ),
+    "incremental_after": QueryDef(
+        q_incremental_after,
+        """SELECT event_id, ts, user_id, event_type, value, props
+           FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""",
+        ("events",),
+        "F4 high-watermark incremental filter",
+    ),
+    "latest_per_key": QueryDef(
+        q_latest_per_key,
+        """SELECT event_id, ts, user_id, event_type, value, props FROM (
+               SELECT e.*, ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events e) t
+           WHERE rn = 1""",
+        ("events",),
+        "A3 argmax-by-time per key",
+    ),
+    "avg_by_type": QueryDef(
+        q_avg_by_type,
+        """SELECT event_type,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(value) AS avg_value
+           FROM events GROUP BY event_type""",
+        ("events",),
+        "A1 (Q1) average per group, order-independent",
+    ),
+    "avg_by_type_rounded": QueryDef(
+        q_avg_by_type_rounded,
+        """SELECT event_type,
+                  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(value), 2) AS avg_value
+           FROM events GROUP BY event_type""",
+        ("events",),
+        "A1+C7 (Q1) rounded to 2dp",
+    ),
+    "enrich_left": QueryDef(
+        q_enrich_left,
+        _ENRICHED_SQL,
+        ("events", "customer"),
+        "J1+P5 (Q2) dim ⟕ latest fact with info label",
+    ),
+    "label_join_agg": QueryDef(
+        q_label_join_agg,
+        f"""SELECT c_custkey, c_name, c_mktsegment,
+                   STRING_AGG(info, '<br>' ORDER BY info) AS info
+            FROM ({_ENRICHED_SQL}) enr
+            GROUP BY c_custkey, c_name, c_mktsegment""",
+        ("events", "customer"),
+        "A4 (Q2 full) per-group sorted label string-agg",
+    ),
+    "series_by_type": QueryDef(
+        q_series_by_type,
+        "SELECT event_type, ts, value FROM events ORDER BY event_type, ts",
+        ("events",),
+        "A5+O3 (Q3) per-type time series",
+    ),
+    "orphan_customers": QueryDef(
+        q_orphan_customers,
+        """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+           FROM customer c
+           WHERE NOT EXISTS (
+               SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""",
+        ("events", "customer"),
+        "left-anti: dim rows with no fact",
+    ),
+    "fk_orphan_events": QueryDef(
+        q_fk_orphan_events,
+        """SELECT event_id, ts, user_id, event_type, value, props
+           FROM events e
+           WHERE NOT EXISTS (
+               SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)""",
+        ("events", "customer"),
+        "J2 FK orphan report",
+    ),
+    "pricing_summary": QueryDef(
+        q_pricing_summary,
+        """SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+              CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+              COUNT(*) AS count_order
+           FROM lineitem
+           WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+           GROUP BY l_returnflag, l_linestatus""",
+        ("lineitem",),
+        "TPC-H Q1-style pricing summary",
+    ),
+    "top_revenue_orders": QueryDef(
+        q_top_revenue_orders,
+        """SELECT o_orderkey, o_orderdate, o_orderpriority, revenue FROM (
+               SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+                      CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                          AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+               GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority) t
+           ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        ("orders", "lineitem"),
+        "deterministic top-k revenue orders",
+    ),
+    "revenue_by_nation": QueryDef(
+        q_revenue_by_nation,
+        """SELECT r_name, n_name,
+                  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                      AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                  COUNT(*) AS n_items
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name""",
+        ("lineitem", "orders", "customer", "nation", "region"),
+        "star join, broadcast dims",
+    ),
+    "order_priority_count": QueryDef(
+        q_order_priority_count,
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+             AND EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o_orderkey
+                           AND l_shipdate > o_orderdate)
+           GROUP BY o_orderpriority""",
+        ("orders", "lineitem"),
+        "TPC-H Q4-style semi-join count",
+    ),
+}

@@ -1,0 +1,60 @@
+"""Smoke tests for the driver-facing registry: every query runs at sf0.001,
+returns a stable schema, and the entry() flagship returns rows."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entrymod
+from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
+    REGISTRY,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) == len(REGISTRY)
+
+
+def test_every_query_runs_at_smoke_sf(spark):
+    for name, qd in REGISTRY.items():
+        df = qd.fn(spark, SF_SMOKE)
+        assert df.columns, name
+        assert df.count() >= 0, name
+
+
+def test_oracle_columns_match_spark_columns(spark):
+    """The driver sorts columns by name before hashing — a name mismatch
+    between the Spark result and the oracle projection fails the gate even
+    when values agree. Catch it cheaply here."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        path = f"{SF_SMOKE}/{t}.parquet"
+        if Path(path).exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    for name, qd in REGISTRY.items():
+        if not qd.oracle:
+            continue
+        d = con.execute(qd.oracle)
+        d_cols = sorted(c[0] for c in d.description)
+        s_cols = sorted(qd.fn(spark, SF_SMOKE).columns)
+        assert s_cols == d_cols, f"{name}: {s_cols} != {d_cols}"

@@ -1,0 +1,156 @@
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Runs every registry query on Spark AND its oracle SQL on DuckDB at the given
+scale factor, then compares:
+  * row count
+  * column names (sorted)
+  * order-insensitive exact value hash (strings via repr; floats compared
+    bit-exact first, with a 1e-9-relative fallback reported separately so
+    near-misses are visible instead of silently passing)
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    return str(v)
+
+
+def frame_key(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def approx_equal(spark_rows, duck_rows, cols_s, cols_d):
+    """Fallback: sorted-row compare with relative float tolerance."""
+    if len(spark_rows) != len(duck_rows):
+        return False
+    oi_s = sorted(range(len(cols_s)), key=lambda i: cols_s[i])
+    oi_d = sorted(range(len(cols_d)), key=lambda i: cols_d[i])
+
+    def keyed(rows, order):
+        return sorted(
+            tuple(r[i] for i in order) for r in [list(map(norm_sortable, row)) for row in rows]
+        )
+
+    def norm_sortable(v):
+        return "∅" if v is None else (repr(v) if isinstance(v, float) else str(v))
+
+    a = sorted(tuple(norm_sortable(r[i]) for i in oi_s) for r in spark_rows)
+    b = sorted(tuple(norm_sortable(r[i]) for i in oi_d) for r in duck_rows)
+    n_float_close = 0
+    for ra, rb in zip(a, b):
+        for va, vb in zip(ra, rb):
+            if va == vb:
+                continue
+            try:
+                fa, fb = float(va), float(vb)
+            except ValueError:
+                return False
+            if fa == fb or abs(fa - fb) <= 1e-9 * max(abs(fa), abs(fb), 1.0):
+                n_float_close += 1
+                continue
+            return False
+    return True
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.session import get_spark
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import REGISTRY
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+
+    n_pass = n_near = n_fail = 0
+    for name, qd in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = qd.fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        if qd.oracle is None:
+            print(f"  {name:28s} rows={len(s_rows):7d}  (no oracle — rows-only)")
+            continue
+        d = con.execute(qd.oracle)
+        d_cols = [c[0] for c in d.description]
+        d_rows = d.fetchall()
+        dt = time.time() - t0
+
+        status = None
+        if len(s_rows) != len(d_rows):
+            status = f"FAIL rows {len(s_rows)} vs {len(d_rows)}"
+        elif sorted(s_cols) != sorted(d_cols):
+            status = f"FAIL cols {sorted(s_cols)} vs {sorted(d_cols)}"
+        elif frame_key(s_rows, s_cols) == frame_key(d_rows, d_cols):
+            status = "PASS"
+        elif approx_equal(s_rows, d_rows, s_cols, d_cols):
+            status = "NEAR (float-tolerance only — tighten!)"
+        else:
+            status = "FAIL value-hash"
+        mark = "✓" if status == "PASS" else "✗"
+        if status == "PASS":
+            n_pass += 1
+        elif status.startswith("NEAR"):
+            n_near += 1
+        else:
+            n_fail += 1
+        print(f"{mark} {name:28s} rows={len(s_rows):7d} {dt:6.2f}s  {status}")
+        if status.startswith("FAIL") and len(s_rows) == len(d_rows):
+            # show a sample diff to debug
+            oi_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            oi_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+            a = sorted("\x1f".join(norm_cell(r[i]) for i in oi_s) for r in s_rows)
+            b = sorted("\x1f".join(norm_cell(r[i]) for i in oi_d) for r in d_rows)
+            for x, y in zip(a, b):
+                if x != y:
+                    print(f"    spark: {x[:200]}")
+                    print(f"    duck : {y[:200]}")
+                    break
+
+    print(f"\n{n_pass} pass, {n_near} near, {n_fail} fail")
+    spark.stop()
+    return 1 if (n_fail or n_near) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
