@@ -75,9 +75,12 @@ def info_label(
 
 
 def parse_wire_ts(col: Column | str) -> Column:
-    """Day-first wire timestamp parse (C1). Malformed -> NULL (rejected by V1)."""
+    """Day-first wire timestamp parse (C1). Malformed -> NULL (rejected by
+    V1) — try_to_timestamp, because under ANSI mode (Spark 4 default) a
+    plain to_timestamp raises on the first malformed record and would kill
+    the whole job instead of quarantining the row."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(c, WIRE_TS_FORMAT)
+    return F.try_to_timestamp(c, F.lit(WIRE_TS_FORMAT))
 
 
 def format_wire_ts(col: Column | str) -> Column:

@@ -1,0 +1,55 @@
+"""Sinks (SURVEY.md §2.2): silver-table append, quarantine, table reset.
+
+The reference writes one row per SQLite transaction (DataIngesting.py:48-64)
+and one MQTT publish per record (main.py:53-56) — here every write is a
+micro-batch vectorized parquet append via ``foreachBatch`` (K2), with DDL
+reset as overwrite-mode writes (K3). At scale the fact table is partitioned
+by event date so retention (the 30-day window) and time-bounded queries
+prune partitions instead of scanning history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def append_parquet(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None
+) -> None:
+    """K2: vectorized append. Call directly in batch, or from foreachBatch."""
+    w = df.write.mode("append")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def overwrite_parquet(
+    df: DataFrame, path: str, partition_cols: list[str] | None = None
+) -> None:
+    """K3: create/reset a table (the reference's DROP+CREATE,
+    DataIngesting.py:12-45)."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def append_prices_partitioned(prices: DataFrame, path: str) -> None:
+    """Fact-table append partitioned by event date — the 100 TB layout:
+    day partitions keep the recency filter (F1) and trend queries (Q3)
+    partition-pruned, and bound small-file growth per micro-batch."""
+    append_parquet(
+        prices.withColumn(
+            "p_date", F.to_date(F.col("lastupdated"))
+        ),
+        path,
+        ["p_date"],
+    )
+
+
+def quarantine(rejects: DataFrame, path: str) -> None:
+    """V1 reject sink: same records the reference prints-and-drops
+    (DataCleaning.py:154-155,166-167), persisted with their reason so data
+    quality is observable/queryable."""
+    append_parquet(rejects, path)

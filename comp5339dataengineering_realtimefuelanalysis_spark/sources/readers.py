@@ -1,0 +1,73 @@
+"""Sources: batch + streaming readers for the fuel-price envelope and the
+synthetic test tables (SURVEY.md §2.1 S1-S7).
+
+The reference's sources are a REST poll and four MQTT subscriptions, all
+row-at-a-time JSON. Here the landing zone is a directory of JSON envelope
+documents (one file per poll — see sources/rest.py for the poll side); the
+same reader functions serve ``spark.read`` (batch/tests) and
+``spark.readStream`` (parity with the reference's always-on topology).
+
+Envelope split (P2) + nested-location flatten (P1): one parsed document
+yields the two raw tables. Reference: pd.json_normalize at main.py:40,69;
+envelope access DataGathering.py:33-34.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import API_ENVELOPE, RAW_PRICE, RAW_STATION
+
+
+def read_envelope(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    """Read landing-zone JSON envelope documents with the declared schema.
+
+    multiLine is needed for pretty-printed documents; the poller writes one
+    compact JSON object per line, which the default line-delimited reader
+    handles in parallel (a multiLine file is a single split — avoid at
+    scale by keeping the landing writer line-delimited).
+    """
+    if streaming:
+        return spark.readStream.schema(API_ENVELOPE).json(path)
+    return spark.read.schema(API_ENVELOPE).json(path)
+
+
+def split_prices(envelope: DataFrame) -> DataFrame:
+    """P2: envelope -> raw price records (one row per array element)."""
+    return envelope.select(
+        F.explode(F.col("prices")).alias("r")
+    ).select("r.*")
+
+
+def split_stations(envelope: DataFrame) -> DataFrame:
+    """P2+P1: envelope -> raw station records, nested location flattened
+    to ``location_latitude``/``location_longitude`` (DataIngesting.py:58-59
+    naming)."""
+    return (
+        envelope.select(F.explode(F.col("stations")).alias("r"))
+        .select("r.*")
+        .withColumn("location_latitude", F.col("location.latitude"))
+        .withColumn("location_longitude", F.col("location.longitude"))
+        .drop("location")
+    )
+
+
+def read_raw_prices(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    """Raw price records from a JSON lines topic/path (S3 analog)."""
+    if streaming:
+        return spark.readStream.schema(RAW_PRICE).json(path)
+    return spark.read.schema(RAW_PRICE).json(path)
+
+
+def read_raw_stations(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    """Raw station records from a JSON lines topic/path (S4 analog)."""
+    if streaming:
+        return spark.readStream.schema(RAW_STATION).json(path)
+    return spark.read.schema(RAW_STATION).json(path)
