@@ -1,0 +1,341 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Five families, each a composition of built-in DataFrame ops (no UDFs):
+
+  * exact        — content-hash groupBy; survivor = min id per hash
+  * n-gram Jaccard — shingle inverted index -> candidate pairs -> exact
+                   Jaccard (the precise-but-quadratic-in-cluster baseline)
+  * MinHash+LSH  — K permutation-min signatures -> banded bucket join ->
+                   candidates (the 100 TB path: cost ~ linear in corpus)
+  * SimHash      — bit-vote fingerprint -> banded match -> Hamming verify
+  * embedding    — cosine-threshold near-dup over vector columns
+                   (see operators/similarity.py for the cosine machinery)
+
+Portability/determinism: all hashing is derived from md5 hex prefixes
+(32-bit) pushed through integer affine permutations mod a >2^32 prime —
+every intermediate fits signed int64 and the identical computation is
+expressible in DuckDB SQL, so the oracle harness can replay it exactly.
+
+Scale notes inline per operator; the common theme is: shingle explosion is
+the expensive step (bounded by ~text_len rows per doc), signatures shrink
+each doc to K ints, and the LSH bucket join shuffles only (band, key)
+pairs — never the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import norm_text
+
+# Prime just above 2^32; with multipliers < 2^31 every a*h + b stays well
+# inside signed-64 range (max ~4.6e18 < 9.2e18).
+MINHASH_PRIME = 4294967311
+# Deterministic affine-permutation constants (fixed seeds so results are
+# reproducible run-to-run and engine-to-engine).
+_A0, _A_STEP = 1103515245, 12345
+_B0, _B_STEP = 375892,   2891
+
+
+def permutation_constants(k: int) -> list[tuple[int, int]]:
+    """K (a, b) pairs for h_i(x) = (a_i*x + b_i) mod P, a_i odd < 2^31."""
+    out = []
+    a, b = _A0, _B0
+    for _ in range(k):
+        out.append((a | 1, b))
+        a = (a * 2862933555777941757 + _A_STEP) % (1 << 31)
+        b = (b * 3202034522624059733 + _B_STEP) % (1 << 31)
+    return out
+
+
+def hash32(col: Column | str) -> Column:
+    """Portable 32-bit content hash: first 8 hex chars of md5, as int64.
+
+    Identical in DuckDB as ('0x' || substring(md5(x),1,8))::BIGINT.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by canonical-content hash.
+
+    Output: every row tagged with its content hash, the canonical
+    (minimum) id of its duplicate group, and is_canonical. One hash
+    shuffle on the content hash; survivors = filter(is_canonical).
+    """
+    hashed = df.withColumn("content_hash", F.md5(norm_text(text_col).cast("binary")))
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn(
+            "is_canonical", (F.col(id_col) == F.col("canonical_id"))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Distinct character n-gram shingles per document: (id, shingle).
+
+    Built with sequence+transform+explode — stays in codegen; output size
+    is ~len(text) rows per doc, the dominant cost of MinHash pipelines.
+    """
+    # expr form because substring's pos argument must be the lambda
+    # variable (the Python substring() builder only takes literal pos)
+    df2 = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length({_norm_sql(text_col)}) - {n - 1}, 1)),"
+                f" i -> substring({_norm_sql(text_col)}, i, {n}))"
+            )
+        ).alias("shingle"),
+    )
+    return df2.distinct()
+
+
+def _norm_sql(text_col: str) -> str:
+    """SQL-expression twin of text.norm_text (needed inside expr lambdas)."""
+    return f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Inverted-index join: pairs are generated only for docs sharing >=1
+    shingle, then |A∩B| counted per pair and |A∪B| = |A|+|B|-|A∩B|.
+    Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    Scale: candidate generation is quadratic within a shingle's posting
+    list — fine for rare shingles, catastrophic for stop-shingles. At
+    100 TB use minhash_lsh_pairs to prune first, or drop shingles with
+    document frequency above a cap (frequent shingles contribute little
+    to discrimination anyway).
+    """
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """K-wide MinHash signature per doc: columns mh_0..mh_{K-1}.
+
+    All K permutation-mins computed in ONE groupBy pass over the shingle
+    explosion — a single shuffle keyed on the doc id, map-side combined.
+    """
+    sh = shingles(df, text_col, id_col, n).withColumn(
+        "h32", hash32("shingle")
+    )
+    aggs = [
+        F.min(
+            (F.col("h32") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(permutation_constants(num_hashes))
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one signature band.
+
+    Band key = concatenated minhash values of the band's rows; the bucket
+    join shuffles only (band, key) pairs. Output: distinct (id_a, id_b),
+    id_a < id_b. Verify candidates with exact Jaccard (or accept the
+    probabilistic guarantee) downstream.
+
+    With K=16, b=4 bands of r=4 rows, the S-curve threshold is
+    (1/b)^(1/r) ≈ 0.71 Jaccard — tune K/b/r per corpus.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash: sign of the per-bit vote over token hashes.
+
+    One explode + one groupBy with `bits` conditional-sum aggregates —
+    a single shuffle on the doc id. Output: (id, simhash int64).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(norm_text(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    toks = toks.withColumn("h32", hash32("tok"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h32"), i).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"v_{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(
+            F.col(f"v_{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: banded blocking (a pair within Hamming
+    distance < bands must share at least one exact band by pigeonhole),
+    then exact Hamming verify via bit_count(xor).
+
+    Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+    """
+    fp = simhash_fingerprint(df, text_col, id_col, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col,
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

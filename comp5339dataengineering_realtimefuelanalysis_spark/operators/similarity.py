@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * cosine_topk — exact brute force: broadcast the (small) query set,
+    score every corpus vector, window top-k. The correctness baseline.
+  * ann_lsh_topk — random-hyperplane LSH: bucket corpus + queries by
+    sign-pattern, score only within matching buckets. The scale path:
+    at 100 TB the corpus never self-joins; per-query cost is bucket-sized.
+
+Determinism: vector elements are scaled to int64 at 1e9 (round(x·1e9)),
+products (≤1e18, exact in int64) accumulate into DECIMAL(38,0) — integer
+arithmetic is associative, so the dot product is independent of
+partition/summation order AND bit-identical to the DuckDB oracle's
+SUM(BIGINT)→HUGEINT over the same scaled elements (float sums are
+neither). The final cosine division runs in IEEE double on identical
+inputs, hence identical outputs. The 1e-9 quantization is far below
+float32 input precision, so ranking quality is unaffected.
+
+Hyperplanes for LSH are generated from the same portable md5-based hash
+as the dedup operators — no RNG, reproducible everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCALE = 1_000_000_000.0  # 1e9: element quantization grid
+# decimal(38,0) is addition-stable (scale 0 never loses precision) and
+# holds ~1e19 products × 1e19 rows without overflow
+_ACC = "decimal(38,0)"
+
+
+def _scaled(x: Column) -> Column:
+    """int64 element at 1e9 grid; identical to the oracle's
+    CAST(round(CAST(x AS DOUBLE) * 1e9) AS BIGINT)."""
+    return F.round(x.cast("double") * F.lit(_SCALE), 0).cast("long")
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Order-independent exact dot product of two float arrays (scaled by
+    1e18; callers divide through norms so the scale cancels)."""
+    prods = F.zip_with(a, b, lambda x, y: _scaled(x) * _scaled(y))
+    return F.aggregate(
+        prods, F.lit(0).cast(_ACC), lambda acc, x: acc + x.cast(_ACC)
+    )
+
+
+def norm_sq_exact(a: Column) -> Column:
+    return dot_exact(a, a)
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    """Cosine similarity, deterministic to the bit (see module docstring)."""
+    return dot_exact(a, b).cast("double") / (
+        F.sqrt(norm_sq_exact(a).cast("double"))
+        * F.sqrt(norm_sq_exact(b).cast("double"))
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qvec",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k nearest corpus vectors per query by cosine.
+
+    Physical shape: broadcast-nested-loop join (queries are small),
+    per-partition scoring, then a window top-k — the shuffle carries only
+    (query, corpus_id, cosine) triples, k-filtered by AQE-friendly
+    row_number. Ties broken by corpus id for determinism.
+    """
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_exact(F.col(query_vec), F.col(corpus_vec)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above ``threshold``.
+
+    LSH blocking first (same sign-bucket under ``planes`` random
+    hyperplanes), exact cosine verify second — the corpus never fully
+    self-joins. Output: (id_a, id_b, cosine), id_a < id_b.
+    """
+    bucketed = df.withColumn(
+        "bucket", _hyperplane_bucket(F.col(vec_col), planes, dim)
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_exact(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .distinct()
+    )
+
+
+def _hyperplane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    derived from md5 of "plane:dim" — no RNG state, reproducible."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return (h / float(1 << 31)) - 1.0
+
+
+def _hyperplane_bucket(vec: Column, planes: int, dim: int = 64) -> Column:
+    """Sign-pattern bucket id: bit p = sign(vec · plane_p)."""
+    bucket = F.lit(0)
+    for p in range(planes):
+        # constant plane folded into the plan as an array literal
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(
+                    *[
+                        F.lit(_hyperplane_component(p, d))
+                        for d in range(dim)
+                    ]
+                ),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    planes: int = 6,
+    dim: int = 64,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qvec",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's
+    hyperplane bucket. Recall rises as ``planes`` falls (bigger buckets).
+
+    At scale, persist the bucketed corpus partitioned by bucket — each
+    query then touches one partition (an IVF-style inverted file).
+    """
+    cb = corpus.withColumn("bucket", _hyperplane_bucket(F.col(corpus_vec), planes, dim))
+    qb = queries.withColumn("bucket", _hyperplane_bucket(F.col(query_vec), planes, dim))
+    scored = cb.join(F.broadcast(qb), "bucket").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_exact(F.col(query_vec), F.col(corpus_vec)).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

@@ -1,0 +1,161 @@
+"""Text-analysis operators for LLM training-data pipelines: language ID,
+quality scoring, token counting, fingerprinting.
+
+All pure built-in expressions (regex/string ops run inside whole-stage
+codegen; no Python). Every function is deterministic and engine-portable:
+the same logic is expressible in ANSI-ish SQL, so each has a DuckDB oracle
+in plans/registry.py.
+
+Scale design: these are embarrassingly parallel per-row maps — no shuffle,
+no state. At 100 TB they run at scan speed; the only care is keeping them
+JVM-side (done) and letting column pruning drop the text column early when
+only derived metrics flow downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def norm_text(col: Column | str) -> Column:
+    """Canonical text form for hashing/shingling: lowercase, whitespace
+    runs collapsed to single spaces, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def token_count_regex(col: Column | str) -> Column:
+    """BPE-ish lexical token count: alpha runs, digit runs, and single
+    non-alphanumeric symbols each count as one token."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    ).cast("long")
+
+
+def n_alpha(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("long")
+
+
+def n_digit(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("long")
+
+
+def n_punct(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(
+        F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    ).cast("long")
+
+
+# Stopword marker lists per language. Occurrence counting is done on the
+# padded, lowercased text (' ' || text || ' ') via length deltas — a pure
+# string-op formulation that is identical in Spark and DuckDB.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": (" the ", " and ", " of ", " is ", " a "),
+    "es": (" el ", " la ", " de ", " que ", " los "),
+    "de": (" der ", " die ", " und ", " ist ", " das "),
+    "fr": (" le ", " la ", " et ", " les ", " des "),
+}
+
+
+def _padded(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+
+
+def marker_hits(col: Column | str, markers: tuple[str, ...]) -> Column:
+    """Total occurrences of the marker substrings (length-delta trick)."""
+    t = _padded(col)
+    total = F.lit(0)
+    for m in markers:
+        total = total + (
+            (F.length(t) - F.length(F.replace(t, F.lit(m), F.lit(""))))
+            / F.lit(len(m))
+        ).cast("long")
+    return total
+
+
+def cjk_chars(col: Column | str) -> Column:
+    """Count of CJK-range characters (zh detection)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(
+        F.regexp_replace(c, r"[^一-鿿]", "")
+    ).cast("long")
+
+
+def lang_id(col: Column | str) -> Column:
+    """N-gram/stopword-heuristic language ID over {en,es,de,fr,zh}.
+
+    Deterministic argmax with fixed tie order (en > es > de > fr);
+    'unknown' when nothing fires. CJK characters short-circuit to zh.
+    """
+    scores = {k: marker_hits(col, v) for k, v in LANG_MARKERS.items()}
+    expr = F.lit("unknown")
+    # Build the WHEN chain inside-out: the LAST wrap (en) is evaluated
+    # first, so ties resolve with fixed priority en > es > de > fr.
+    for lang in ("fr", "de", "es", "en"):
+        s = scores[lang]
+        cond = s > 0
+        for k, o in scores.items():
+            if k != lang:
+                cond = cond & (s >= o)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return F.when(cjk_chars(col) > 0, F.lit("zh")).otherwise(expr)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length, alpha ratio, punctuation
+    density, mean word length sanity. All integer-derived arithmetic in a
+    fixed operation order, so the double result is bit-identical across
+    engines given the same text."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    toks = token_count_ws(c).cast("double")
+    alpha_ratio = F.when(n > 0, n_alpha(c).cast("double") / n).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n > 0, n_punct(c).cast("double") / n).otherwise(F.lit(0.0))
+    mean_wlen = F.when(toks > 0, n / toks).otherwise(F.lit(0.0))
+    len_ok = F.when((n >= 20) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        F.lit(0.25) * len_ok
+        + F.lit(0.35) * alpha_ratio
+        + F.lit(0.25) * wlen_ok
+        + F.lit(0.15) * (F.lit(1.0) - punct_ratio)
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of the canonical text form. Collision-safe
+    for dedup purposes and portable across engines."""
+    return F.md5(norm_text(col).cast("binary"))
+
+
+def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass per-document profile: token counts, char-class stats,
+    language guess, quality score, fingerprint."""
+    return df.select(
+        "*",
+        token_count_ws(text_col).alias("n_tokens_ws"),
+        token_count_regex(text_col).alias("n_tokens_lex"),
+        n_alpha(text_col).alias("n_alpha"),
+        n_digit(text_col).alias("n_digit"),
+        n_punct(text_col).alias("n_punct"),
+        lang_id(text_col).alias("lang_guess"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -19,9 +19,6 @@ stream and ``customer`` to its ``stations`` dimension (FIXTURES.md §2):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -42,40 +39,8 @@ from ..operators.analytics import (
     orphans,
 )
 
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass(frozen=True)
-class QueryDef:
-    fn: QueryFn
-    oracle: str | None
-    tables: tuple[str, ...] = ()
-    doc: str = ""
-
-
-# Columns written as parquet TIMESTAMP(NANOS) (pandas default); read as
-# long under spark.sql.legacy.parquet.nanosAsLong and converted losslessly
-# (integer `div 1000` — float division would lose precision at 1e18 nanos).
-_TS_NS_COLS: dict[str, tuple[str, ...]] = {
-    "events": ("ts",),
-    "orders": ("o_orderdate",),
-    "lineitem": ("l_shipdate",),
-}
-
-
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Runtime-set (not only in session.get_spark) because the caller — the
-    # driver harness — may hand us a vanilla SparkSession; without this flag
-    # Spark refuses TIMESTAMP(NANOS) parquet outright (PARQUET_TYPE_ILLEGAL).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Parquet/DuckDB timestamps are naive; pin the session to UTC so Spark's
-    # session-TZ rendering can't shift values on a non-UTC driver machine.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _TS_NS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-    return df
+from .base import QueryDef, load_table
+from .registry_llm import LLM_REGISTRY
 
 
 # ---------------------------------------------------------------------------
@@ -521,3 +486,5 @@ REGISTRY: dict[str, QueryDef] = {
         "TPC-H Q4-style semi-join count",
     ),
 }
+
+REGISTRY.update(LLM_REGISTRY)

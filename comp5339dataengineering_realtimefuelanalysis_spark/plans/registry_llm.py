@@ -1,0 +1,543 @@
+"""LLM-training-data-pipeline queries over the ``documents`` / ``embeddings``
+tables: text analysis, dedup family, similarity search, multimodal plumbing.
+
+Every oracle here is generated PROGRAMMATICALLY from the same constants the
+Spark operators use (marker lists, permutation constants, band layout), so
+the two sides cannot drift. Portability rules (see operators/dedup.py and
+operators/similarity.py docstrings):
+
+  * hashes: md5 hex prefixes as int64 — Spark conv(substr(md5,1,8),16,10),
+    DuckDB ('0x' || substring(md5,1,8))::BIGINT;
+  * integer affine permutations mod 4294967311 (all int64-safe);
+  * dot products: elements scaled to int64 at 1e9, products summed exactly
+    (Spark: decimal accumulate; DuckDB: SUM(BIGINT) -> HUGEINT);
+  * every division that reaches the output runs in IEEE double on
+    bit-identical inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..operators.text import LANG_MARKERS
+from .base import QueryDef, load_table
+
+# ---------------------------------------------------------------------------
+# SQL expression builders (DuckDB dialect) mirroring operators/text.py
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _sql_marker_hits(markers: tuple[str, ...]) -> str:
+    t = "(' ' || lower(text) || ' ')"
+    parts = [
+        f"CAST((length({t}) - length(replace({t}, '{m}', ''))) / {len(m)} AS BIGINT)"
+        for m in markers
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _sql_lang_id() -> str:
+    scores = {k: _sql_marker_hits(v) for k, v in LANG_MARKERS.items()}
+    # WHEN order mirrors text.lang_id: en checked first, then es, de, fr
+    whens = []
+    for lang in ("en", "es", "de", "fr"):
+        s = scores[lang]
+        conds = [f"{s} > 0"] + [
+            f"{s} >= {o}" for k, o in scores.items() if k != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    cjk = "length(regexp_replace(text, '[^一-鿿]', '', 'g'))"
+    return (
+        f"CASE WHEN {cjk} > 0 THEN 'zh' "
+        + " ".join(whens)
+        + " ELSE 'unknown' END"
+    )
+
+
+_SQL_N_TOKENS_WS = (
+    "CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+)
+_SQL_N_TOKENS_LEX = (
+    "CAST(length(regexp_extract_all(text,"
+    " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)"
+)
+_SQL_N_ALPHA = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+_SQL_N_DIGIT = "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)"
+_SQL_N_PUNCT = (
+    "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT)"
+)
+
+
+def _sql_quality() -> str:
+    n = "CAST(length(text) AS DOUBLE)"
+    toks = f"CAST({_SQL_N_TOKENS_WS} AS DOUBLE)"
+    alpha_ratio = f"CASE WHEN {n} > 0 THEN CAST({_SQL_N_ALPHA} AS DOUBLE) / {n} ELSE 0.0 END"
+    punct_ratio = f"CASE WHEN {n} > 0 THEN CAST({_SQL_N_PUNCT} AS DOUBLE) / {n} ELSE 0.0 END"
+    mean_wlen = f"CASE WHEN {toks} > 0 THEN {n} / {toks} ELSE 0.0 END"
+    len_ok = f"CASE WHEN {n} >= 20 AND {n} <= 10000 THEN 1.0 ELSE 0.0 END"
+    wlen_ok = (
+        f"CASE WHEN {mean_wlen} >= 3 AND {mean_wlen} <= 12 THEN 1.0 ELSE 0.0 END"
+    )
+    return (
+        f"0.25 * {len_ok} + 0.35 * ({alpha_ratio}) + 0.25 * {wlen_ok}"
+        f" + 0.15 * (1.0 - ({punct_ratio}))"
+    )
+
+
+# shingles: distinct 5-grams of the normalized text, with 32-bit hash
+_SHINGLE_N = 5
+_SQL_SHINGLES = f"""
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(length({_NORM}) - {_SHINGLE_N - 1}, 1) + 1),
+               i -> substring({_NORM}, CAST(i AS INT), {_SHINGLE_N}))) AS shingle
+    FROM documents
+"""
+_SQL_H32 = "('0x' || substring(md5(shingle), 1, 8))::BIGINT"
+
+_NUM_HASHES = 16
+_BANDS = 4
+
+
+def _sql_minhash_sig() -> str:
+    mins = ", ".join(
+        f"MIN(({_SQL_H32} * {a} + {b}) % {dd.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(dd.permutation_constants(_NUM_HASHES))
+    )
+    return f"SELECT doc_id, {mins} FROM ({_SQL_SHINGLES}) sh GROUP BY doc_id"
+
+
+def _sql_lsh_pairs() -> str:
+    rows = _NUM_HASHES // _BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ") AS key FROM sig"
+        for b in range(_BANDS)
+    )
+    return f"""
+        WITH sig AS ({_sql_minhash_sig()}),
+        bands AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    """
+
+
+_JACCARD_THRESHOLD = 0.5
+
+
+def _sql_jaccard_pairs() -> str:
+    return f"""
+        WITH sh AS ({_SQL_SHINGLES}),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT id_a, id_b,
+               CAST(n_inter AS DOUBLE)
+                   / (sa.sz + sb.sz - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)
+              >= {_JACCARD_THRESHOLD}
+    """
+
+
+_SIMHASH_BITS = 32
+
+
+def _sql_simhash() -> str:
+    toks = f"""
+        SELECT doc_id, tok,
+               ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h32
+        FROM (SELECT doc_id,
+                     unnest(string_split({_NORM}, ' ')) AS tok
+              FROM documents) t
+        WHERE tok <> ''
+    """
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h32 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"CASE WHEN v_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+        WITH toks AS ({toks}),
+        votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+        SELECT doc_id, ({fp}) AS simhash FROM votes
+    """
+
+
+# embeddings: int64-scaled exact cosine
+_SCALE = "1000000000"  # 1e9
+
+
+def _sql_scaled(col: str) -> str:
+    return f"CAST(round(CAST({col} AS DOUBLE) * {_SCALE}) AS BIGINT)"
+
+
+_TOPK_NQ = 8
+_TOPK_K = 10
+
+
+def _sql_cosine_topk() -> str:
+    return f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+                   FROM embeddings WHERE vec_id < {_TOPK_NQ}),
+        pairs AS (
+            SELECT q.qid, e.vec_id,
+                   SUM({_sql_scaled('q.qvec[CAST(i AS INT)]')}
+                       * {_sql_scaled('e.embedding[CAST(i AS INT)]')}) AS dot,
+                   SUM({_sql_scaled('q.qvec[CAST(i AS INT)]')}
+                       * {_sql_scaled('q.qvec[CAST(i AS INT)]')}) AS qn,
+                   SUM({_sql_scaled('e.embedding[CAST(i AS INT)]')}
+                       * {_sql_scaled('e.embedding[CAST(i AS INT)]')}) AS en
+            FROM q, embeddings e, range(1, 65) r(i)
+            GROUP BY q.qid, e.vec_id),
+        scored AS (
+            SELECT qid, vec_id,
+                   CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en AS DOUBLE)))
+                       AS cosine
+            FROM pairs),
+        ranked AS (
+            SELECT qid, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, vec_id)
+                       AS BIGINT) AS rank
+            FROM scored)
+        SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
+    """
+
+
+_NEAR_DUP_THRESHOLD = 0.30  # synthetic embeddings: same-label cosine tops out ~0.47
+
+
+def _sql_near_dup_pairs() -> str:
+    """Label-blocked exact near-dup (the blocking is part of the operator
+    semantics: same-label pairs only — the natural IVF-style partition)."""
+    return f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   SUM({_sql_scaled('a.embedding[CAST(i AS INT)]')}
+                       * {_sql_scaled('b.embedding[CAST(i AS INT)]')}) AS dot,
+                   SUM({_sql_scaled('a.embedding[CAST(i AS INT)]')}
+                       * {_sql_scaled('a.embedding[CAST(i AS INT)]')}) AS an,
+                   SUM({_sql_scaled('b.embedding[CAST(i AS INT)]')}
+                       * {_sql_scaled('b.embedding[CAST(i AS INT)]')}) AS bn
+            FROM embeddings a JOIN embeddings b
+                 ON a.label = b.label AND a.vec_id < b.vec_id,
+                 range(1, 65) r(i)
+            GROUP BY a.vec_id, b.vec_id)
+        SELECT id_a, id_b,
+               CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE)))
+                   AS cosine
+        FROM pairs
+        WHERE CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE)))
+              >= {_NEAR_DUP_THRESHOLD}
+    """
+
+
+# media: deterministic fake-decode mirror (md5-derived pseudo-metadata)
+_SQL_MEDIA = """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image'
+                           WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS kind,
+           text
+    FROM documents
+"""
+
+
+def _sql_media_decode() -> str:
+    h = "md5(text)"
+    return f"""
+        WITH media AS ({_SQL_MEDIA})
+        SELECT media_id, kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(64 + ('0x' || substring({h}, 1, 2))::BIGINT % 192 AS INT)
+                   AS width,
+               CAST(64 + ('0x' || substring({h}, 3, 2))::BIGINT % 192 AS INT)
+                   AS height,
+               1000 + ('0x' || substring({h}, 5, 4))::BIGINT AS duration_ms
+        FROM media
+    """
+
+
+def _sql_frame_sample() -> str:
+    return f"""
+        WITH decoded AS ({_sql_media_decode()})
+        SELECT media_id,
+               unnest(range(0, duration_ms // 1000 + 1)) AS frame_idx,
+               unnest(range(0, duration_ms // 1000 + 1)) * 1000 AS ts_ms
+        FROM decoded WHERE kind = 'video'
+    """
+
+
+# ---------------------------------------------------------------------------
+# Spark query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.document_profile(docs).select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_lex",
+        "n_alpha",
+        "n_digit",
+        "n_punct",
+        "lang_guess",
+        "quality",
+        "fp",
+    )
+
+
+def q_doc_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        tx.lang_id("text").alias("lang_guess")
+    ).groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.dedup_exact(docs).select(
+        "doc_id", "content_hash", "canonical_id", "is_canonical"
+    )
+
+
+def q_doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_signatures(
+        docs, n=_SHINGLE_N, num_hashes=_NUM_HASHES
+    )
+
+
+def q_doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(
+        docs, n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+
+
+def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, n=_SHINGLE_N, threshold=_JACCARD_THRESHOLD
+    )
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_fingerprint(docs, bits=_SIMHASH_BITS)
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No oracle: pair generation is banded (probabilistic blocking)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_pairs(docs, bits=_SIMHASH_BITS, max_hamming=6)
+
+
+def _queries_vecs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _TOPK_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return queries, emb
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    queries, emb = _queries_vecs(spark, sf_dir)
+    return sim.cosine_topk(queries, emb, k=_TOPK_K)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-blocked exact near-dup pairs (cosine >= threshold)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "label",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        "label",
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            sim.cosine_exact(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(_NEAR_DUP_THRESHOLD))
+    )
+
+
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No oracle: hyperplane-LSH blocking is recall<1 by design."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_dup_pairs(
+        emb, threshold=_NEAR_DUP_THRESHOLD, planes=6
+    )
+
+
+def q_emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No oracle: approximate by design (bucket-restricted scoring)."""
+    queries, emb = _queries_vecs(spark, sf_dir)
+    return sim.ann_lsh_topk(queries, emb, k=_TOPK_K, planes=4)
+
+
+def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: mapInPandas fake-decode over binary columns;
+    the oracle replays the md5-derived pseudo-metadata in SQL."""
+    media = _media_df(spark, sf_dir)
+    return mm.decode_media(media, mode="fake").select(
+        "media_id", "kind", "n_bytes", "width", "height", "duration_ms"
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = _media_df(spark, sf_dir)
+    return mm.frame_sample(media, every_ms=1000, mode="fake")
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+LLM_REGISTRY: dict[str, QueryDef] = {
+    "doc_profile": QueryDef(
+        q_doc_profile,
+        f"""SELECT doc_id,
+                   {_SQL_N_TOKENS_WS} AS n_tokens_ws,
+                   {_SQL_N_TOKENS_LEX} AS n_tokens_lex,
+                   {_SQL_N_ALPHA} AS n_alpha,
+                   {_SQL_N_DIGIT} AS n_digit,
+                   {_SQL_N_PUNCT} AS n_punct,
+                   {_sql_lang_id()} AS lang_guess,
+                   {_sql_quality()} AS quality,
+                   md5({_NORM}) AS fp
+            FROM documents""",
+        ("documents",),
+        "text analysis: tokens, char classes, lang-ID, quality, fingerprint",
+    ),
+    "doc_lang_summary": QueryDef(
+        q_doc_lang_summary,
+        f"""SELECT {_sql_lang_id()} AS lang_guess,
+                   COUNT(*) AS n_docs
+            FROM documents GROUP BY 1""",
+        ("documents",),
+        "language distribution over the heuristic lang-ID",
+    ),
+    "doc_dedup_exact": QueryDef(
+        q_doc_dedup_exact,
+        f"""SELECT doc_id, md5({_NORM}) AS content_hash,
+                   MIN(doc_id) OVER (PARTITION BY md5({_NORM}))
+                       AS canonical_id,
+                   doc_id = MIN(doc_id) OVER (PARTITION BY md5({_NORM}))
+                       AS is_canonical
+            FROM documents""",
+        ("documents",),
+        "exact dedup by canonical content hash",
+    ),
+    "doc_minhash_signatures": QueryDef(
+        q_doc_minhash_signatures,
+        _sql_minhash_sig(),
+        ("documents",),
+        "16-permutation MinHash signatures",
+    ),
+    "doc_lsh_pairs": QueryDef(
+        q_doc_lsh_pairs,
+        _sql_lsh_pairs(),
+        ("documents",),
+        "MinHash-LSH candidate pairs (4 bands x 4 rows)",
+    ),
+    "doc_jaccard_pairs": QueryDef(
+        q_doc_jaccard_pairs,
+        _sql_jaccard_pairs(),
+        ("documents",),
+        "exact n-gram Jaccard pairs >= 0.5",
+    ),
+    "doc_simhash": QueryDef(
+        q_doc_simhash,
+        _sql_simhash(),
+        ("documents",),
+        "32-bit SimHash fingerprints",
+    ),
+    "doc_simhash_pairs": QueryDef(
+        q_doc_simhash_pairs,
+        None,  # banded blocking is probabilistic; rows-only check
+        ("documents",),
+        "SimHash near-dup pairs (banded + Hamming verify)",
+    ),
+    "emb_cosine_topk": QueryDef(
+        q_emb_cosine_topk,
+        _sql_cosine_topk(),
+        ("embeddings",),
+        "exact brute-force cosine top-10 for 8 query vectors",
+    ),
+    "emb_near_dup": QueryDef(
+        q_emb_near_dup,
+        _sql_near_dup_pairs(),
+        ("embeddings",),
+        "label-blocked exact cosine near-dup pairs >= threshold",
+    ),
+    "emb_near_dup_lsh": QueryDef(
+        q_emb_near_dup_lsh,
+        None,  # LSH recall < 1 by design
+        ("embeddings",),
+        "hyperplane-LSH near-dup (scale path)",
+    ),
+    "emb_ann_lsh_topk": QueryDef(
+        q_emb_ann_lsh_topk,
+        None,  # approximate by design
+        ("embeddings",),
+        "LSH-bucketed approximate top-k",
+    ),
+    "media_decode": QueryDef(
+        q_media_decode,
+        _sql_media_decode(),
+        ("documents",),
+        "multimodal binary-column decode via mapInPandas (fake codec)",
+    ),
+    "media_frame_sample": QueryDef(
+        q_media_frame_sample,
+        _sql_frame_sample(),
+        ("documents",),
+        "video frame sampling fan-out",
+    ),
+}

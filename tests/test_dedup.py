@@ -1,0 +1,75 @@
+"""Semantic unit tests for the dedup family on controlled corpora."""
+
+from __future__ import annotations
+
+from comp5339dataengineering_realtimefuelanalysis_spark.operators import dedup as dd
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "The  quick brown fox jumps over the lazy dog"),  # ws/case variant
+    (3, "the quick brown fox jumps over the lazy cat"),  # near-dup
+    (4, "completely different content about spark engines"),
+]
+
+
+def docs(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_groups_normalized_variants(spark):
+    out = {r.doc_id: r for r in dd.dedup_exact(docs(spark)).collect()}
+    assert out[1].content_hash == out[2].content_hash
+    assert out[1].canonical_id == out[2].canonical_id == 1
+    assert out[1].is_canonical and not out[2].is_canonical
+    assert out[3].is_canonical and out[4].is_canonical
+
+
+def test_shingles_short_text(spark):
+    sh = dd.shingles(docs(spark, [(1, "ab")]), n=5).collect()
+    assert [(r.doc_id, r.shingle) for r in sh] == [(1, "ab")]
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(docs(spark), threshold=0.5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after norm
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_identical_signatures_for_identical_norm(spark):
+    sig = {r.doc_id: tuple(r)[1:] for r in dd.minhash_signatures(docs(spark)).collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[4]
+
+
+def test_minhash_lsh_pairs(spark):
+    pairs = {
+        (r.id_a, r.id_b) for r in dd.minhash_lsh_pairs(docs(spark)).collect()
+    }
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_identical_and_near(spark):
+    fp = {r.doc_id: r.simhash for r in dd.simhash_fingerprint(docs(spark)).collect()}
+    assert fp[1] == fp[2]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_pairs(docs(spark), max_hamming=16).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] > 0
+
+
+def test_hash32_is_stable(spark):
+    df = docs(spark, [(1, "abc"), (2, "abc")])
+    vals = [
+        r.h for r in df.select(dd.hash32("text").alias("h")).collect()
+    ]
+    assert vals[0] == vals[1]
+    # matches int('900150983cd24fb0'[:8], 16) for md5('abc')
+    assert vals[0] == int("90015098", 16)

@@ -1,0 +1,58 @@
+"""Tests for the multimodal binary-column plumbing (fake codec mode)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+    multimodal as mm,
+)
+
+ROWS = [
+    (1, "image", b"img-bytes-aaaa", {}),
+    (2, "audio", b"audio-bytes-bb", {}),
+    (3, "video", b"video-bytes-cc", {}),
+    (4, "video", b"video-bytes-cc", {}),  # same bytes as 3
+]
+
+
+def media(spark):
+    return spark.createDataFrame(ROWS, mm.MEDIA_SCHEMA)
+
+
+def test_decode_fake_deterministic(spark):
+    out = {r.media_id: r for r in mm.decode_media(media(spark)).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # identical bytes -> identical pseudo-metadata and features
+    assert out[3].width == out[4].width
+    assert out[3].feature == out[4].feature
+    assert out[1].n_bytes == len(b"img-bytes-aaaa")
+    assert 64 <= out[1].width < 256 and 64 <= out[1].height < 256
+    assert len(out[1].feature) == mm.FEATURE_DIM
+    assert all(-1.0 <= f <= 1.0 for f in out[1].feature)
+
+
+def test_decode_real_mode_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm.decode_media(media(spark), mode="real")
+    with pytest.raises(ValueError):
+        mm.decode_media(media(spark), mode="nope")
+
+
+def test_frame_sample_fanout(spark):
+    frames = mm.frame_sample(media(spark), every_ms=1000).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append((r.frame_idx, r.ts_ms))
+    assert set(by_media) == {3, 4}  # only video rows fan out
+    for frames_list in by_media.values():
+        idxs = sorted(i for i, _ in frames_list)
+        assert idxs == list(range(len(idxs)))  # 0..N contiguous
+        assert all(ts == i * 1000 for i, ts in frames_list)
+
+
+def test_resize_plan_metadata(spark):
+    out = mm.resize_plan(media(spark), 224, 224).select("meta").collect()
+    assert all(r.meta["resize"] == "224x224" for r in out)

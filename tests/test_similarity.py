@@ -1,0 +1,68 @@
+"""Semantic unit tests for similarity search operators."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+    similarity as sim,
+)
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [1.0, 0.0, 0.0, 0.0], 0),  # exact duplicate of 0
+    (2, [0.9, 0.1, 0.0, 0.0], 0),  # near 0
+    (3, [0.0, 1.0, 0.0, 0.0], 1),  # orthogonal to 0
+    (4, [-1.0, 0.0, 0.0, 0.0], 1),  # opposite of 0
+]
+
+SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def corpus(spark):
+    return spark.createDataFrame(VECS, SCHEMA)
+
+
+def queries(spark):
+    return (
+        corpus(spark)
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+
+
+def test_cosine_topk_exact(spark):
+    got = {
+        r.vec_id: (r.cosine, r.rank)
+        for r in sim.cosine_topk(queries(spark), corpus(spark), k=5).collect()
+    }
+    assert got[0][1] == 1 and abs(got[0][0] - 1.0) < 1e-12  # self first
+    assert got[1][1] == 2 and abs(got[1][0] - 1.0) < 1e-12  # dup, id tiebreak
+    assert abs(got[2][0] - 0.9 / math.sqrt(0.82)) < 1e-9
+    assert abs(got[3][0]) < 1e-12
+    assert abs(got[4][0] + 1.0) < 1e-12
+    assert got[4][1] == 5  # most dissimilar ranks last
+
+
+def test_embedding_near_dup_lsh_finds_duplicates(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.embedding_near_dup_pairs(
+            corpus(spark), threshold=0.95, planes=4, dim=4
+        ).collect()
+    }
+    assert (0, 1) in pairs and abs(pairs[(0, 1)] - 1.0) < 1e-12
+    assert all(c >= 0.95 for c in pairs.values())
+
+
+def test_ann_lsh_includes_self_and_excludes_opposite(spark):
+    got = {
+        r.vec_id: r.rank
+        for r in sim.ann_lsh_topk(
+            queries(spark), corpus(spark), k=5, planes=4, dim=4
+        ).collect()
+    }
+    assert got.get(0) == 1  # a vector is always in its own bucket
+    assert 4 not in got  # opposite sign pattern lands in another bucket
