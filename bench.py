@@ -38,9 +38,10 @@ def main() -> None:
     for name, qd in REGISTRY.items():
         t0 = time.perf_counter()
         df = qd.fn(spark, sf_dir)
-        # force full execution; toLocalIterator/collect would add transfer
-        # cost proportional to result size, count() executes every operator
-        df.count()
+        # noop datasource: materializes EVERY output column without sink
+        # cost — count() would let Catalyst prune computed columns and
+        # measure only the scan on map-only queries
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

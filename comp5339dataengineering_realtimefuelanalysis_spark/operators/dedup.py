@@ -100,14 +100,18 @@ def shingles(
     Built with sequence+transform+explode — stays in codegen; output size
     is ~len(text) rows per doc, the dominant cost of MinHash pipelines.
     """
-    # expr form because substring's pos argument must be the lambda
-    # variable (the Python substring() builder only takes literal pos)
-    df2 = df.select(
+    # Normalize ONCE into a projected column before shingling: Catalyst's
+    # CollapseProject keeps the projection (the alias is referenced more
+    # than once and regexp_replace is non-cheap), so the regex doesn't
+    # re-run per shingle — measured ~5x on minhash at sf0.1. expr form
+    # because substring's pos argument must be the lambda variable.
+    normed = df.select(F.col(id_col), norm_text(text_col).alias("__t"))
+    df2 = normed.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(length({_norm_sql(text_col)}) - {n - 1}, 1)),"
-                f" i -> substring({_norm_sql(text_col)}, i, {n}))"
+                f"transform(sequence(1, greatest(length(__t) - {n - 1}, 1)),"
+                f" i -> substring(__t, i, {n}))"
             )
         ).alias("shingle"),
     )
@@ -130,6 +134,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
@@ -138,12 +143,23 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard), id_a < id_b.
 
     Scale: candidate generation is quadratic within a shingle's posting
-    list — fine for rare shingles, catastrophic for stop-shingles. At
-    100 TB use minhash_lsh_pairs to prune first, or drop shingles with
-    document frequency above a cap (frequent shingles contribute little
-    to discrimination anyway).
+    list — fine for rare shingles, catastrophic for stop-shingles.
+    ``max_df`` drops shingles whose document frequency exceeds the cap
+    BEFORE the join (Jaccard is then over the rare-shingle sets, sizes
+    included — a standard discriminative variant: a stop-shingle shared
+    by half the corpus carries no dedup signal but dominates the join
+    cost). At 100 TB always set it, or prune with minhash_lsh_pairs +
+    jaccard_verify_pairs instead.
     """
     sh = shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
@@ -164,6 +180,48 @@ def ngram_jaccard_pairs(
             F.col("n_inter")
             / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
         )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_verify_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard for a given candidate-pair set (id_a, id_b).
+
+    The 100 TB composition: LSH generates candidates (linear-ish cost),
+    this verifies them exactly. Shingle SETS are collected per doc (array
+    column, bounded by text length) and the per-pair Jaccard is a pure
+    array expression — no inverted-index explosion, cost ~ |candidates|.
+    """
+    # persist: this frame feeds BOTH sides of the candidate join — without
+    # it Spark re-derives the whole shingle DAG per side (measured 5x cost
+    # at sf0.1). Materializing also gives AQE real stats to pick the join
+    # strategy. MEMORY_AND_DISK default: spills instead of OOM at scale.
+    sets = (
+        shingles(df, text_col, id_col, n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("sh_set"))
+        .persist()
+    )
+    a = sets.select(
+        F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a")
+    )
+    b = sets.select(
+        F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b")
+    )
+    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
+    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )

@@ -37,12 +37,39 @@ def _scaled(x: Column) -> Column:
     return F.round(x.cast("double") * F.lit(_SCALE), 0).cast("long")
 
 
+def scaled_vec(vec: Column) -> Column:
+    """Whole vector on the int64 grid (array<long>). Compute this ONCE per
+    side before a join: re-scaling inside the pair expression multiplies
+    the rounding work by the pair count."""
+    return F.transform(vec, _scaled)
+
+
 def dot_exact(a: Column, b: Column) -> Column:
     """Order-independent exact dot product of two float arrays (scaled by
     1e18; callers divide through norms so the scale cancels)."""
-    prods = F.zip_with(a, b, lambda x, y: _scaled(x) * _scaled(y))
+    return dot_scaled(scaled_vec(a), scaled_vec(b))
+
+
+def dot_scaled(sa: Column, sb: Column) -> Column:
+    """Exact dot of two pre-scaled int64 arrays."""
+    prods = F.zip_with(sa, sb, lambda x, y: x * y)
     return F.aggregate(
         prods, F.lit(0).cast(_ACC), lambda acc, x: acc + x.cast(_ACC)
+    )
+
+
+def attach_scaled(df: DataFrame, vec_col: str, prefix: str = "") -> DataFrame:
+    """Add ``{prefix}svec`` (int64-scaled vector) and ``{prefix}norm``
+    (double L2 norm on the scaled grid) — the per-vector precomputation
+    that turns per-pair cosine into one zip_with + one divide."""
+    out = df.withColumn(f"{prefix}svec", scaled_vec(F.col(vec_col)))
+    return out.withColumn(
+        f"{prefix}norm",
+        F.sqrt(
+            dot_scaled(F.col(f"{prefix}svec"), F.col(f"{prefix}svec")).cast(
+                "double"
+            )
+        ),
     )
 
 
@@ -74,10 +101,15 @@ def cosine_topk(
     (query, corpus_id, cosine) triples, k-filtered by AQE-friendly
     row_number. Ties broken by corpus id for determinism.
     """
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    cs = attach_scaled(corpus, corpus_vec, "c_")
+    qs = attach_scaled(queries, query_vec, "q_")
+    scored = cs.crossJoin(F.broadcast(qs)).select(
         F.col(query_id),
         F.col(corpus_id),
-        cosine_exact(F.col(query_vec), F.col(corpus_vec)).alias("cosine"),
+        (
+            dot_scaled(F.col("q_svec"), F.col("c_svec")).cast("double")
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id)
@@ -103,14 +135,20 @@ def embedding_near_dup_pairs(
     hyperplanes), exact cosine verify second — the corpus never fully
     self-joins. Output: (id_a, id_b, cosine), id_a < id_b.
     """
-    bucketed = df.withColumn(
+    bucketed = attach_scaled(df, vec_col).withColumn(
         "bucket", _hyperplane_bucket(F.col(vec_col), planes, dim)
     )
     a = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+        F.col(id_col).alias("id_a"),
+        F.col("svec").alias("sa"),
+        F.col("norm").alias("na"),
+        "bucket",
     )
     b = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"),
+        F.col("svec").alias("sb"),
+        F.col("norm").alias("nb"),
+        "bucket",
     )
     return (
         a.join(b, "bucket")
@@ -118,7 +156,10 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            cosine_exact(F.col("va"), F.col("vb")).alias("cosine"),
+            (
+                dot_scaled(F.col("sa"), F.col("sb")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
         .distinct()
@@ -174,12 +215,19 @@ def ann_lsh_topk(
     At scale, persist the bucketed corpus partitioned by bucket — each
     query then touches one partition (an IVF-style inverted file).
     """
-    cb = corpus.withColumn("bucket", _hyperplane_bucket(F.col(corpus_vec), planes, dim))
-    qb = queries.withColumn("bucket", _hyperplane_bucket(F.col(query_vec), planes, dim))
+    cb = attach_scaled(corpus, corpus_vec, "c_").withColumn(
+        "bucket", _hyperplane_bucket(F.col(corpus_vec), planes, dim)
+    )
+    qb = attach_scaled(queries, query_vec, "q_").withColumn(
+        "bucket", _hyperplane_bucket(F.col(query_vec), planes, dim)
+    )
     scored = cb.join(F.broadcast(qb), "bucket").select(
         F.col(query_id),
         F.col(corpus_id),
-        cosine_exact(F.col(query_vec), F.col(corpus_vec)).alias("cosine"),
+        (
+            dot_scaled(F.col("q_svec"), F.col("c_svec")).cast("double")
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id)

@@ -102,17 +102,24 @@ def lang_id(col: Column | str) -> Column:
     Deterministic argmax with fixed tie order (en > es > de > fr);
     'unknown' when nothing fires. CJK characters short-circuit to zh.
     """
-    scores = {k: marker_hits(col, v) for k, v in LANG_MARKERS.items()}
-    expr = F.lit("unknown")
-    # Build the WHEN chain inside-out: the LAST wrap (en) is evaluated
-    # first, so ties resolve with fixed priority en > es > de > fr.
-    for lang in ("fr", "de", "es", "en"):
-        s = scores[lang]
-        cond = s > 0
-        for k, o in scores.items():
-            if k != lang:
-                cond = cond & (s >= o)
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    # Argmax via greatest() over (score, priority, name) structs — struct
+    # comparison is lexicographic, so ties resolve by priority
+    # (en > es > de > fr), identical to a prioritized WHEN chain. Each
+    # score expression appears exactly ONCE: the naive chain re-inlines
+    # every score ~5x and blows janino's 64KB method limit, dropping the
+    # whole stage to interpreted mode (measured 5x slower at sf0.1).
+    prio = {"en": 3, "es": 2, "de": 1, "fr": 0}
+    best = F.greatest(
+        *[
+            F.struct(
+                marker_hits(col, v).alias("score"),
+                F.lit(prio[k]).alias("prio"),
+                F.lit(k).alias("lang"),
+            )
+            for k, v in LANG_MARKERS.items()
+        ]
+    )
+    expr = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
     return F.when(cjk_chars(col) > 0, F.lit("zh")).otherwise(expr)
 
 

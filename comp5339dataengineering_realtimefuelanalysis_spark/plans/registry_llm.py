@@ -133,11 +133,19 @@ def _sql_lsh_pairs() -> str:
 
 
 _JACCARD_THRESHOLD = 0.5
+# df cap for the all-pairs Jaccard query: stop-shingles shared by large
+# fractions of the corpus carry no dedup signal but make the inverted-index
+# join quadratic in corpus size (measured 220 s at sf0.1 uncapped).
+_JACCARD_MAX_DF = 50
 
 
 def _sql_jaccard_pairs() -> str:
     return f"""
-        WITH sh AS ({_SQL_SHINGLES}),
+        WITH sh_all AS ({_SQL_SHINGLES}),
+        rare AS (SELECT shingle FROM sh_all GROUP BY shingle
+                 HAVING COUNT(*) <= {_JACCARD_MAX_DF}),
+        sh AS (SELECT s.doc_id, s.shingle FROM sh_all s
+               JOIN rare r ON s.shingle = r.shingle),
         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
@@ -341,7 +349,25 @@ def q_doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(
-        docs, n=_SHINGLE_N, threshold=_JACCARD_THRESHOLD
+        docs,
+        n=_SHINGLE_N,
+        threshold=_JACCARD_THRESHOLD,
+        max_df=_JACCARD_MAX_DF,
+    )
+
+
+def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup composition: LSH candidates -> exact Jaccard verify
+    (full-shingle-set Jaccard, no df cap: per-pair array intersection,
+    cost ~ |candidates|, no inverted-index explosion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # persist the candidate set: it seeds a multi-join verify plan and
+    # would otherwise re-run the full LSH DAG per reference
+    cands = dd.minhash_lsh_pairs(
+        docs, n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS
+    ).persist()
+    return dd.jaccard_verify_pairs(
+        docs, cands, n=_SHINGLE_N, threshold=_JACCARD_THRESHOLD
     )
 
 
@@ -370,16 +396,24 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-blocked exact near-dup pairs (cosine >= threshold)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    """Label-blocked exact near-dup pairs (cosine >= threshold).
+
+    Scaled vectors + norms computed once per side BEFORE the self-join —
+    per-pair work is one zip_with dot and a divide.
+    """
+    emb = sim.attach_scaled(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
     a = emb.select(
         F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
+        F.col("svec").alias("sa"),
+        F.col("norm").alias("na"),
         "label",
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
+        F.col("svec").alias("sb"),
+        F.col("norm").alias("nb"),
         "label",
     )
     return (
@@ -388,7 +422,10 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a",
             "id_b",
-            sim.cosine_exact(F.col("va"), F.col("vb")).alias("cosine"),
+            (
+                sim.dot_scaled(F.col("sa"), F.col("sb")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(_NEAR_DUP_THRESHOLD))
     )
@@ -490,7 +527,28 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         q_doc_jaccard_pairs,
         _sql_jaccard_pairs(),
         ("documents",),
-        "exact n-gram Jaccard pairs >= 0.5",
+        "rare-shingle (df<=50) exact Jaccard pairs >= 0.5",
+    ),
+    "doc_lsh_verified_pairs": QueryDef(
+        q_doc_lsh_verified_pairs,
+        f"""WITH cands AS ({_sql_lsh_pairs()}),
+            sh AS ({_SQL_SHINGLES}),
+            sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sh_set
+                     FROM sh GROUP BY doc_id)
+            SELECT c.id_a, c.id_b,
+                   CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+                       / (len(a.sh_set) + len(b.sh_set)
+                          - len(list_intersect(a.sh_set, b.sh_set)))
+                       AS jaccard
+            FROM cands c
+            JOIN sets a ON a.doc_id = c.id_a
+            JOIN sets b ON b.doc_id = c.id_b
+            WHERE CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+                      / (len(a.sh_set) + len(b.sh_set)
+                         - len(list_intersect(a.sh_set, b.sh_set)))
+                  >= {_JACCARD_THRESHOLD}""",
+        ("documents",),
+        "LSH candidates + exact Jaccard verify (scale composition)",
     ),
     "doc_simhash": QueryDef(
         q_doc_simhash,
