@@ -141,6 +141,100 @@ def series_by(
     return df.select(*cols).orderBy(*key_cols, ts_col)
 
 
+def windowed_stats(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    val_col: str,
+    window: str = "1 day",
+) -> DataFrame:
+    """Tumbling-window aggregate (T7 beyond-parity): count / exact sum /
+    exact avg per (window start, keys).
+
+    Uses ``F.window`` so the identical expression runs under Structured
+    Streaming with a watermark. One hash shuffle on (window, keys) with
+    map-side partial aggregation; at scale the window column aligns with
+    date partitioning so scans prune to the queried range.
+    """
+    from ..functions.scalars import dec_avg, dec_sum
+
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(val_col, "sum_value"),
+            dec_avg(val_col, "avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys,
+                "n_events", "sum_value", "avg_value")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds ``gap_minutes``.
+
+    lag + conditional cumsum over a per-user window — one hash shuffle on
+    the user, in-partition sort; no self-join. Output: one row per
+    session (user, session_id ordinal, n_events, session_start,
+    session_end). The heavy-user skew case is AQE's problem only at the
+    shuffle; state is bounded per user.
+    """
+    order = [F.col(ts_col)]
+    if tiebreak:
+        order.append(F.col(tiebreak))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    gap_s = gap_minutes * 60
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (
+            F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)
+            > gap_s
+        ),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    with_sess = df.withColumn(
+        "session_id", F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    return with_sess.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+
+
+def pivot_counts(
+    df: DataFrame, key_col: str, pivot_col: str, values: Sequence[str]
+) -> DataFrame:
+    """Wide per-key counts of an enum column (fixed value list so the
+    output schema is static — required for streaming and for deterministic
+    comparison). Single shuffle; each pivot value is a conditional count
+    aggregate, all computed in one pass."""
+    return df.groupBy(key_col).pivot(pivot_col, list(values)).agg(
+        F.count(F.lit(1))
+    ).na.fill(0, list(values))
+
+
+def distinct_count_by(
+    df: DataFrame, keys: Sequence[str], val_col: str
+) -> DataFrame:
+    """Exact COUNT(DISTINCT val) per key group. Spark plans this as a
+    two-phase expand+agg (distinct on (keys, val), then count) — two
+    shuffles; prefer approx_count_distinct at 100 TB when ±2% is fine."""
+    return df.groupBy(*keys).agg(
+        F.count_distinct(F.col(val_col)).alias("n_distinct")
+    )
+
+
 def orphans(
     fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
 ) -> DataFrame:

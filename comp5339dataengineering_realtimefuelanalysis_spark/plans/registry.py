@@ -37,6 +37,10 @@ from ..operators.analytics import (
     label_join_agg,
     series_by,
     orphans,
+    windowed_stats,
+    sessionize,
+    pivot_counts,
+    distinct_count_by,
 )
 
 from .base import QueryDef, load_table
@@ -315,6 +319,35 @@ def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 beyond-parity: tumbling 1-day window stats per event type."""
+    events = load_table(spark, sf_dir, "events")
+    return windowed_stats(events, "ts", ["event_type"], "value", "1 day")
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min), deterministic tiebreak."""
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(
+        events, "user_id", "ts", gap_minutes=30, tiebreak="event_id"
+    )
+
+
+def q_user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts, one column per (fixed) event type."""
+    events = load_table(spark, sf_dir, "events")
+    return pivot_counts(events, "user_id", "event_type", _EVENT_TYPES)
+
+
+def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT user) per event type."""
+    events = load_table(spark, sf_dir, "events")
+    return distinct_count_by(events, ["event_type"], "user_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -471,6 +504,63 @@ REGISTRY: dict[str, QueryDef] = {
            GROUP BY r_name, n_name""",
         ("lineitem", "orders", "customer", "nation", "region"),
         "star join, broadcast dims",
+    ),
+    "events_daily_stats": QueryDef(
+        q_events_daily_stats,
+        """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+                  COUNT(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                      AS sum_value,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(value) AS avg_value
+           FROM events GROUP BY 1, 2""",
+        ("events",),
+        "tumbling 1-day window aggregate (streaming-compatible F.window)",
+    ),
+    "user_sessions": QueryDef(
+        q_user_sessions,
+        """WITH flagged AS (
+               SELECT user_id, ts, event_id,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT)
+                               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                               > 1800
+                           THEN 1 ELSE 0 END AS is_new
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           sess AS (
+               SELECT user_id, ts,
+                      CAST(SUM(is_new) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS session_id
+               FROM flagged)
+           SELECT user_id, session_id,
+                  COUNT(*) AS n_events,
+                  MIN(ts) AS session_start,
+                  MAX(ts) AS session_end
+           FROM sess GROUP BY user_id, session_id""",
+        ("events",),
+        "gap-based sessionization (lag + conditional cumsum)",
+    ),
+    "user_type_pivot": QueryDef(
+        q_user_type_pivot,
+        """SELECT user_id,
+                  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+                  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+                  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+                  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+           FROM events GROUP BY user_id""",
+        ("events",),
+        "pivot to fixed event-type count columns",
+    ),
+    "distinct_users_by_type": QueryDef(
+        q_distinct_users_by_type,
+        """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+           FROM events GROUP BY event_type""",
+        ("events",),
+        "exact distinct-count per group",
     ),
     "order_priority_count": QueryDef(
         q_order_priority_count,

@@ -48,6 +48,19 @@ def append_prices_partitioned(prices: DataFrame, path: str) -> None:
     )
 
 
+def publish_json(df: DataFrame, path: str) -> None:
+    """K1: the reference publishes one JSON payload per record to an MQTT
+    topic with a fresh TCP connection each (main.py:53-56) — here the
+    payload stream is ``to_json(struct(*))`` written micro-batch-
+    vectorized as JSON lines (swap `.text` for `.format("kafka")` +
+    a `value` column against a real broker; the payload column is
+    identical)."""
+    payload = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    )
+    payload.write.mode("append").text(path)
+
+
 def quarantine(rejects: DataFrame, path: str) -> None:
     """V1 reject sink: same records the reference prints-and-drops
     (DataCleaning.py:154-155,166-167), persisted with their reason so data

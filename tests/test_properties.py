@@ -1,0 +1,139 @@
+"""Property-based tests (hypothesis): stream/batch equivalence of the
+cleaning layer over random micro-batch splits of random (dirty) record
+streams — SURVEY.md §5's property-test plan.
+
+The property: processing a stream in any batch partitioning produces the
+same silver output as one batch over the concatenated input. This is the
+invariant that lets the same operator library back both the batch/oracle
+path and the streaming runner.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import functools
+
+from hypothesis import given, settings, strategies as st, HealthCheck
+
+from comp5339dataengineering_realtimefuelanalysis_spark.operators.cleaning import (
+    dedup_first,
+    validate_split,
+)
+from comp5339dataengineering_realtimefuelanalysis_spark.plans.fuel import (
+    clean_prices,
+)
+
+BASE_TS = dt.datetime(2023, 10, 1)
+
+
+def wire_ts(offset_min: int) -> str:
+    t = BASE_TS + dt.timedelta(minutes=offset_min)
+    return t.strftime("%d/%m/%Y %H:%M:%S")
+
+
+price_record = st.fixed_dictionaries(
+    {
+        "stationcode": st.one_of(
+            st.none(),
+            st.just(""),
+            st.integers(1, 5).map(str),
+        ),
+        "fueltype": st.one_of(
+            st.none(), st.just(""), st.sampled_from(["U91", "E10", "P98"])
+        ),
+        "price": st.one_of(
+            st.none(),
+            st.just(""),
+            st.just("abc"),
+            st.just("0"),
+            st.floats(80, 260, allow_nan=False).map(lambda x: f"{x:.1f}"),
+        ),
+        "lastupdated": st.one_of(
+            st.just("not-a-date"),
+            st.integers(0, 10000).map(wire_ts),
+        ),
+    }
+)
+
+
+@functools.lru_cache(maxsize=1)
+def _schema():
+    from comp5339dataengineering_realtimefuelanalysis_spark.schemas import RAW_PRICE
+
+    return RAW_PRICE
+
+
+def rows_key(df):
+    return sorted(map(str, (tuple(r) for r in df.collect())))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    records=st.lists(price_record, min_size=0, max_size=30),
+    split_at=st.integers(0, 30),
+)
+def test_clean_is_batch_split_invariant(spark, records, split_at):
+    """clean(batch1) ∪ clean(batch2) == clean(batch1 ∪ batch2)."""
+    split_at = min(split_at, len(records))
+    whole = spark.createDataFrame(records, _schema()) if records else None
+    if whole is None:
+        return
+    silver_whole, rejects_whole = clean_prices(whole)
+
+    parts = [records[:split_at], records[split_at:]]
+    silver_parts, rejects_parts = [], []
+    for p in parts:
+        if not p:
+            continue
+        s, r = clean_prices(spark.createDataFrame(p, _schema()))
+        silver_parts.append(s)
+        rejects_parts.append(r)
+    union_silver = functools.reduce(lambda a, b: a.unionAll(b), silver_parts)
+    union_rejects = functools.reduce(lambda a, b: a.unionAll(b), rejects_parts)
+
+    assert rows_key(union_silver) == rows_key(silver_whole)
+    assert rows_key(union_rejects) == rows_key(rejects_whole)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(records=st.lists(price_record, min_size=1, max_size=30))
+def test_validate_split_partitions_input(spark, records):
+    """Every input row lands in exactly one of (valid, rejects)."""
+    df = spark.createDataFrame(records, _schema())
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.fuel import (
+        price_rules,
+    )
+
+    valid, rejects = validate_split(df, price_rules())
+    assert valid.count() + rejects.count() == len(records)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(st.integers(1, 4), min_size=1, max_size=20),
+)
+def test_dedup_first_idempotent_and_complete(spark, keys):
+    """dedup_first emits each key exactly once, and re-applying is a
+    no-op (idempotence — the property the streaming sink relies on)."""
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "seq long, key long")
+    once = dedup_first(df, ["key"], ["seq"])
+    twice = dedup_first(once, ["key"], ["seq"])
+    got = {r.key: r.seq for r in once.collect()}
+    assert set(got) == set(keys)
+    # first arrival wins: seq is the minimal index for that key
+    for k, s in got.items():
+        assert s == min(i for i, kk in rows if kk == k)
+    assert rows_key(once) == rows_key(twice)

@@ -1,0 +1,105 @@
+"""Unit tests for the windowing/sessionization/pivot/distinct operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from comp5339dataengineering_realtimefuelanalysis_spark.operators.analytics import (
+    windowed_stats,
+    sessionize,
+    pivot_counts,
+    distinct_count_by,
+)
+from comp5339dataengineering_realtimefuelanalysis_spark.sinks.writers import (
+    publish_json,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+ROWS = [
+    # user 1: two sessions (gap > 30 min between id 3 and 4)
+    (1, ts("2024-01-01T10:00:00"), 1, "click", 1.0),
+    (2, ts("2024-01-01T10:10:00"), 1, "view", 2.0),
+    (3, ts("2024-01-01T10:20:00"), 1, "click", 3.0),
+    (4, ts("2024-01-01T11:30:00"), 1, "purchase", 4.0),
+    # user 2: one session, next day
+    (5, ts("2024-01-02T09:00:00"), 2, "view", 5.0),
+    (6, ts("2024-01-02T09:29:59"), 2, "view", 6.0),
+]
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def events(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_windowed_stats_day(spark):
+    out = {
+        (r.window_start.day, r.event_type): (r.n_events, r.sum_value)
+        for r in windowed_stats(
+            events(spark), "ts", ["event_type"], "value", "1 day"
+        ).collect()
+    }
+    assert out[(1, "click")] == (2, 4.0)
+    assert out[(2, "view")] == (2, 11.0)
+    assert out[(1, "purchase")] == (1, 4.0)
+
+
+def test_sessionize_gap(spark):
+    out = {
+        (r.user_id, r.session_id): r.n_events
+        for r in sessionize(
+            events(spark), "user_id", "ts", 30, tiebreak="event_id"
+        ).collect()
+    }
+    assert out == {(1, 1): 3, (1, 2): 1, (2, 1): 2}
+
+
+def test_sessionize_boundary_is_strict(spark):
+    # exactly 30:00 gap -> same session (strict >)
+    rows = [
+        (1, ts("2024-01-01T10:00:00"), 9, "a", 0.1),
+        (2, ts("2024-01-01T10:30:00"), 9, "a", 0.1),
+        (3, ts("2024-01-01T11:00:01"), 9, "a", 0.1),  # 30:01 -> new
+    ]
+    out = sessionize(
+        spark.createDataFrame(rows, SCHEMA), "user_id", "ts", 30
+    ).collect()
+    sess = {r.session_id: r.n_events for r in out}
+    assert sess == {1: 2, 2: 1}
+
+
+def test_pivot_counts_fixed_columns(spark):
+    out = {r.user_id: r for r in pivot_counts(
+        events(spark), "user_id", "event_type",
+        ("click", "error", "purchase", "signup", "view"),
+    ).collect()}
+    assert (out[1].click, out[1].view, out[1].purchase, out[1].error) == (2, 1, 1, 0)
+    assert (out[2].view, out[2].click) == (2, 0)
+
+
+def test_distinct_count_by(spark):
+    out = {
+        r.event_type: r.n_distinct
+        for r in distinct_count_by(
+            events(spark), ["event_type"], "user_id"
+        ).collect()
+    }
+    assert out == {"click": 1, "view": 2, "purchase": 1}
+
+
+def test_publish_json_payloads(spark, tmp_path):
+    import json
+
+    publish_json(events(spark).select("event_id", "event_type"), str(tmp_path / "topic"))
+    lines = [
+        json.loads(line)
+        for f in (tmp_path / "topic").glob("part-*")
+        for line in f.read_text().splitlines()
+    ]
+    assert sorted(d["event_id"] for d in lines) == [1, 2, 3, 4, 5, 6]
+    assert all(set(d) == {"event_id", "event_type"} for d in lines)
