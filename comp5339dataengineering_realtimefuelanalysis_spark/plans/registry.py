@@ -348,6 +348,62 @@ def q_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_count_by(events, ["event_type"], "user_id")
 
 
+def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: JSON payload parse (from_json with declared schema) + agg."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k long")["k"]
+    return (
+        events.withColumn("k", k)
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def q_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: tight filter + single exact sum (pushdown-friendly
+    shape: no joins, no grouping — the scan IS the query)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by revenue within each priority (window top-k)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    per_order = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority", "o_orderkey")
+        .agg(dec_sum(rev, "revenue"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("revenue").desc(), F.col("o_orderkey")
+    )
+    return (
+        per_order.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "revenue", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -504,6 +560,48 @@ REGISTRY: dict[str, QueryDef] = {
            GROUP BY r_name, n_name""",
         ("lineitem", "orders", "customer", "nation", "region"),
         "star join, broadcast dims",
+    ),
+    "events_props_stats": QueryDef(
+        q_events_props_stats,
+        """SELECT event_type,
+                  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+                  COUNT(*) AS n_events
+           FROM events
+           WHERE CAST(props->>'k' AS BIGINT) >= 50
+           GROUP BY event_type""",
+        ("events",),
+        "C10 JSON payload parse + aggregate",
+    ),
+    "filtered_revenue": QueryDef(
+        q_filtered_revenue,
+        """SELECT CAST(SUM(CAST(l_extendedprice * l_discount
+                      AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                  COUNT(*) AS n_items
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             AND l_discount >= 0.02 AND l_discount <= 0.06
+             AND l_quantity < 24""",
+        ("lineitem",),
+        "TPC-H Q6-style scan-heavy filter + exact sum",
+    ),
+    "top_orders_per_priority": QueryDef(
+        q_top_orders_per_priority,
+        """SELECT o_orderpriority, o_orderkey, revenue,
+                  CAST(rank AS INT) AS rank FROM (
+               SELECT o.o_orderpriority, o.o_orderkey,
+                      CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                          AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                      ROW_NUMBER() OVER (
+                          PARTITION BY o.o_orderpriority
+                          ORDER BY CAST(SUM(CAST(l.l_extendedprice
+                              * (1.0 - l.l_discount) AS DECIMAL(18,6)))
+                              AS DOUBLE) DESC, o.o_orderkey) AS rank
+               FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+               GROUP BY o.o_orderpriority, o.o_orderkey) t
+           WHERE rank <= 3""",
+        ("orders", "lineitem"),
+        "window top-k per group",
     ),
     "events_daily_stats": QueryDef(
         q_events_daily_stats,

@@ -303,8 +303,20 @@ def _sql_frame_sample() -> str:
 # ---------------------------------------------------------------------------
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned to the cluster parallelism: the table is a
+    single small parquet file (one row group -> ONE input partition), so
+    map-only queries would otherwise run on a single core. One cheap round
+    -robin shuffle of 5k rows buys full parallelism for the CPU-heavy
+    per-row text work; at real scale the source has many splits and this
+    is a no-op cost."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return tx.document_profile(docs).select(
         "doc_id",
         "n_tokens_ws",
@@ -319,7 +331,7 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return docs.select(
         tx.lang_id("text").alias("lang_guess")
     ).groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -382,8 +394,16 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_pairs(docs, bits=_SIMHASH_BITS, max_hamming=6)
 
 
+def _emb_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, repartitioned for CPU-heavy scoring — same single-file
+    single-partition situation as _docs_parallel."""
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _queries_vecs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_parallel(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < _TOPK_NQ).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -401,9 +421,7 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scaled vectors + norms computed once per side BEFORE the self-join —
     per-pair work is one zip_with dot and a divide.
     """
-    emb = sim.attach_scaled(
-        load_table(spark, sf_dir, "embeddings"), "embedding"
-    )
+    emb = sim.attach_scaled(_emb_parallel(spark, sf_dir), "embedding")
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("svec").alias("sa"),
@@ -433,7 +451,7 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No oracle: hyperplane-LSH blocking is recall<1 by design."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _emb_parallel(spark, sf_dir)
     return sim.embedding_near_dup_pairs(
         emb, threshold=_NEAR_DUP_THRESHOLD, planes=6
     )
@@ -446,7 +464,7 @@ def q_emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
