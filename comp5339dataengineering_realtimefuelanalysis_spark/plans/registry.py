@@ -404,6 +404,63 @@ def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_avg_part_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-table aggregate over part (full-table-coverage + A1 shape)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        dec_avg("p_retailprice", "avg_price"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+def q_supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier ⋈ nation broadcast join + exact sum per nation."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            dec_sum("s_acctbal", "total_balance"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+def q_lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (beyond-parity §2.7): subtotals + grand total in one pass.
+
+    Spark plans rollup as a single Expand + aggregate — one shuffle for
+    all grouping levels, not one job per level.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dec_sum("l_quantity", "sum_qty"),
+        )
+    )
+
+
+def q_clickers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops (§2.9 beyond-parity): EXCEPT / INTERSECT over user sets."""
+    events = load_table(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    except_df = clickers.subtract(buyers).withColumn(
+        "relation", F.lit("click_no_purchase")
+    )
+    both = clickers.intersect(buyers).withColumn(
+        "relation", F.lit("click_and_purchase")
+    )
+    return except_df.unionAll(both)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -560,6 +617,53 @@ REGISTRY: dict[str, QueryDef] = {
            GROUP BY r_name, n_name""",
         ("lineitem", "orders", "customer", "nation", "region"),
         "star join, broadcast dims",
+    ),
+    "avg_part_price_by_brand": QueryDef(
+        q_avg_part_price_by_brand,
+        """SELECT p_brand,
+                  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(p_retailprice) AS avg_price,
+                  COUNT(*) AS n_parts,
+                  MAX(p_size) AS max_size
+           FROM part GROUP BY p_brand""",
+        ("part",),
+        "dimension aggregate over part",
+    ),
+    "supplier_nation_balance": QueryDef(
+        q_supplier_nation_balance,
+        """SELECT n_name,
+                  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                      AS total_balance,
+                  COUNT(*) AS n_suppliers
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           GROUP BY n_name""",
+        ("supplier", "nation"),
+        "supplier-nation broadcast join + exact sum",
+    ),
+    "lineitem_rollup": QueryDef(
+        q_lineitem_rollup,
+        """SELECT l_returnflag, l_linestatus,
+                  COUNT(*) AS n_items,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                      AS sum_qty
+           FROM lineitem
+           GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        ("lineitem",),
+        "ROLLUP subtotals + grand total, single Expand pass",
+    ),
+    "clickers_not_buyers": QueryDef(
+        q_clickers_not_buyers,
+        """SELECT user_id, 'click_no_purchase' AS relation FROM (
+               SELECT user_id FROM events WHERE event_type = 'click'
+               EXCEPT
+               SELECT user_id FROM events WHERE event_type = 'purchase') a
+           UNION ALL
+           SELECT user_id, 'click_and_purchase' AS relation FROM (
+               SELECT user_id FROM events WHERE event_type = 'click'
+               INTERSECT
+               SELECT user_id FROM events WHERE event_type = 'purchase') b""",
+        ("events",),
+        "EXCEPT / INTERSECT set operations",
     ),
     "events_props_stats": QueryDef(
         q_events_props_stats,
