@@ -24,6 +24,75 @@ from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
 )
 
 
+def streaming_bench(spark) -> dict:
+    """End-to-end streaming throughput: land deterministic envelope files,
+    run the full pipeline (clean + quarantine + silver append + dedup +
+    live Q1) to completion, report rows/sec through the cleaned path."""
+    import shutil
+    import tempfile
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.streaming.runners import (
+        FuelStreamingPipeline,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    n_files, prices_per, stations_per = 20, 2500, 50
+    fuels = ["U91", "E10", "P98", "DL", "P95"]
+    for fi in range(n_files):
+        prices = [
+            {
+                "stationcode": str(100 + (fi * prices_per + i) % 500),
+                "fueltype": fuels[i % len(fuels)],
+                "price": f"{100 + (i * 7) % 150}.{i % 10}",
+                "lastupdated": f"{1 + (fi * 7 + i) % 28:02d}/10/2023 "
+                f"{i % 24:02d}:{i % 60:02d}:00",
+            }
+            for i in range(prices_per)
+        ]
+        stations = [
+            {
+                "brandid": "B1",
+                "stationid": f"S{fi}-{i}",
+                "brand": "Ampol",
+                "code": str(100 + (fi * stations_per + i) % 500),
+                "name": f"Station {i}",
+                "address": f"{i} Main St",
+                "location": {"latitude": -33.0 - i * 0.01,
+                             "longitude": 151.0 + i * 0.01},
+            }
+            for i in range(stations_per)
+        ]
+        with open(os.path.join(landing, f"poll_{fi:08d}.json"), "w") as f:
+            json.dump({"stations": stations, "prices": prices}, f,
+                      separators=(",", ":"))
+
+    pipe = FuelStreamingPipeline(
+        spark,
+        landing_dir=landing,
+        warehouse_dir=os.path.join(tmp, "wh"),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        q1_table="bench_q1_live",
+    )
+    t0 = time.perf_counter()
+    queries = pipe.start()
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    dt = time.perf_counter() - t0
+    n_rows = n_files * (prices_per + stations_per)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "input_rows": n_rows,
+        "sec": round(dt, 4),
+        "rows_per_sec": round(n_rows / dt, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -57,6 +126,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
+    streaming = streaming_bench(spark)
     print(
         json.dumps(
             {
@@ -64,6 +134,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "streaming": streaming,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -94,11 +94,19 @@ def shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct character n-gram shingles per document: (id, shingle).
+    """Character n-gram shingles per document: (id, shingle).
 
     Built with sequence+transform+explode — stays in codegen; output size
     is ~len(text) rows per doc, the dominant cost of MinHash pipelines.
+
+    ``distinct=True`` dedups (doc, shingle) — REQUIRED for set semantics
+    (Jaccard counting) but costs a full shuffle of the shingle explosion.
+    Operators that are idempotent over duplicates (MIN aggregation in
+    MinHash, collect_set) should pass ``distinct=False``: the explode
+    preserves the doc's partition locality, so their own doc-keyed groupBy
+    map-side-combines to ~one row per doc before shuffling anything.
     """
     # Normalize ONCE into a projected column before shingling: Catalyst's
     # CollapseProject keeps the projection (the alias is referenced more
@@ -115,7 +123,7 @@ def shingles(
             )
         ).alias("shingle"),
     )
-    return df2.distinct()
+    return df2.distinct() if distinct else df2
 
 
 def _norm_sql(text_col: str) -> str:
@@ -205,9 +213,9 @@ def jaccard_verify_pairs(
     # at sf0.1). Materializing also gives AQE real stats to pick the join
     # strategy. MEMORY_AND_DISK default: spills instead of OOM at scale.
     sets = (
-        shingles(df, text_col, id_col, n)
+        shingles(df, text_col, id_col, n, distinct=False)
         .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("sh_set"))
+        .agg(F.collect_set("shingle").alias("sh_set"))  # set-dedups itself
         .persist()
     )
     a = sets.select(
@@ -243,8 +251,11 @@ def minhash_signatures(
 
     All K permutation-mins computed in ONE groupBy pass over the shingle
     explosion — a single shuffle keyed on the doc id, map-side combined.
+    MIN is idempotent over duplicate shingles, so the explosion skips the
+    distinct shuffle entirely (shingle rows stay partition-local until the
+    per-doc combine reduces them to one signature row each).
     """
-    sh = shingles(df, text_col, id_col, n).withColumn(
+    sh = shingles(df, text_col, id_col, n, distinct=False).withColumn(
         "h32", hash32("shingle")
     )
     aggs = [
