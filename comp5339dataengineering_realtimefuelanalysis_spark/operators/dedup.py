@@ -200,6 +200,7 @@ def jaccard_verify_pairs(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for a given candidate-pair set (id_a, id_b).
 
@@ -212,9 +213,10 @@ def jaccard_verify_pairs(
     # it Spark re-derives the whole shingle DAG per side (measured 5x cost
     # at sf0.1). Materializing also gives AQE real stats to pick the join
     # strategy. MEMORY_AND_DISK default: spills instead of OOM at scale.
+    if shingles_df is None:
+        shingles_df = shingles(df, text_col, id_col, n, distinct=False)
     sets = (
-        shingles(df, text_col, id_col, n, distinct=False)
-        .groupBy(id_col)
+        shingles_df.groupBy(id_col)
         .agg(F.collect_set("shingle").alias("sh_set"))  # set-dedups itself
         .persist()
     )
@@ -246,6 +248,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 5,
     num_hashes: int = 16,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """K-wide MinHash signature per doc: columns mh_0..mh_{K-1}.
 
@@ -255,9 +258,9 @@ def minhash_signatures(
     distinct shuffle entirely (shingle rows stay partition-local until the
     per-doc combine reduces them to one signature row each).
     """
-    sh = shingles(df, text_col, id_col, n, distinct=False).withColumn(
-        "h32", hash32("shingle")
-    )
+    if shingles_df is None:
+        shingles_df = shingles(df, text_col, id_col, n, distinct=False)
+    sh = shingles_df.withColumn("h32", hash32("shingle"))
     aggs = [
         F.min(
             (F.col("h32") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)
@@ -274,6 +277,7 @@ def minhash_lsh_pairs(
     n: int = 5,
     num_hashes: int = 16,
     bands: int = 4,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one signature band.
 
@@ -286,7 +290,9 @@ def minhash_lsh_pairs(
     (1/b)^(1/r) ≈ 0.71 Jaccard — tune K/b/r per corpus.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, shingles_df=shingles_df
+    )
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

@@ -17,7 +17,7 @@ operators/similarity.py docstrings):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
@@ -373,13 +373,23 @@ def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (full-shingle-set Jaccard, no df cap: per-pair array intersection,
     cost ~ |candidates|, no inverted-index explosion)."""
     docs = load_table(spark, sf_dir, "documents")
-    # persist the candidate set: it seeds a multi-join verify plan and
-    # would otherwise re-run the full LSH DAG per reference
+    # ONE shingle explosion shared by the LSH candidates and the verify
+    # sets (persisted), and a persisted candidate set: uncached, each
+    # reference re-derives the full shingle DAG.
+    sh = dd.shingles(docs, n=_SHINGLE_N, distinct=False).persist()
     cands = dd.minhash_lsh_pairs(
-        docs, n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS
+        docs,
+        n=_SHINGLE_N,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingles_df=sh,
     ).persist()
     return dd.jaccard_verify_pairs(
-        docs, cands, n=_SHINGLE_N, threshold=_JACCARD_THRESHOLD
+        docs,
+        cands,
+        n=_SHINGLE_N,
+        threshold=_JACCARD_THRESHOLD,
+        shingles_df=sh,
     )
 
 
