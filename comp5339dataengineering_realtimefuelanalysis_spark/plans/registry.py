@@ -185,7 +185,7 @@ _LATEST_SQL = """
 
 _ENRICHED_SQL = f"""
     SELECT c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal,
-           l.event_type, l.value, l.ts,
+           l.event_type, l.value, CAST(l.ts AS TIMESTAMP) AS ts,
            CASE WHEN l.value IS NOT NULL
                 THEN l.event_type || ': ' ||
                      CAST(CAST(l.value AS DECIMAL(18,2)) AS VARCHAR)
@@ -468,14 +468,15 @@ def q_clickers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 REGISTRY: dict[str, QueryDef] = {
     "validate_valid": QueryDef(
         q_validate_valid,
-        f"SELECT event_id, ts, user_id, event_type, value, props "
-        f"FROM events WHERE {_EVENT_VALID_SQL_WHERE}",
+        f"SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
+        f"value, props FROM events WHERE {_EVENT_VALID_SQL_WHERE}",
         ("events",),
         "V1/F2/F3 valid side",
     ),
     "validate_rejects": QueryDef(
         q_validate_rejects,
-        f"""SELECT event_id, ts, user_id, event_type, value, props,
+        f"""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                   value, props,
                    {_EVENT_RULES_SQL_CASE} AS reject_reason
             FROM events WHERE NOT ({_EVENT_VALID_SQL_WHERE})""",
         ("events",),
@@ -483,7 +484,8 @@ REGISTRY: dict[str, QueryDef] = {
     ),
     "recent_window": QueryDef(
         q_recent_window,
-        """SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props
+        """SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id,
+                  e.event_type, e.value, e.props
            FROM events e, (SELECT MAX(ts) AS max_ts FROM events) m
            WHERE e.ts > m.max_ts - INTERVAL 7 DAY""",
         ("events",),
@@ -491,7 +493,8 @@ REGISTRY: dict[str, QueryDef] = {
     ),
     "dedup_first": QueryDef(
         q_dedup_first,
-        """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                  value, props FROM (
                SELECT e.*, ROW_NUMBER() OVER (
                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
                FROM events e) t
@@ -501,14 +504,16 @@ REGISTRY: dict[str, QueryDef] = {
     ),
     "incremental_after": QueryDef(
         q_incremental_after,
-        """SELECT event_id, ts, user_id, event_type, value, props
+        """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                  value, props
            FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'""",
         ("events",),
         "F4 high-watermark incremental filter",
     ),
     "latest_per_key": QueryDef(
         q_latest_per_key,
-        """SELECT event_id, ts, user_id, event_type, value, props FROM (
+        """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                  value, props FROM (
                SELECT e.*, ROW_NUMBER() OVER (
                    PARTITION BY user_id, event_type
                    ORDER BY ts DESC, event_id DESC) AS rn
@@ -552,7 +557,8 @@ REGISTRY: dict[str, QueryDef] = {
     ),
     "series_by_type": QueryDef(
         q_series_by_type,
-        "SELECT event_type, ts, value FROM events ORDER BY event_type, ts",
+        "SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events "
+        "ORDER BY event_type, ts",
         ("events",),
         "A5+O3 (Q3) per-type time series",
     ),
@@ -567,7 +573,8 @@ REGISTRY: dict[str, QueryDef] = {
     ),
     "fk_orphan_events": QueryDef(
         q_fk_orphan_events,
-        """SELECT event_id, ts, user_id, event_type, value, props
+        """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+                  value, props
            FROM events e
            WHERE NOT EXISTS (
                SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)""",
@@ -593,7 +600,8 @@ REGISTRY: dict[str, QueryDef] = {
     ),
     "top_revenue_orders": QueryDef(
         q_top_revenue_orders,
-        """SELECT o_orderkey, o_orderdate, o_orderpriority, revenue FROM (
+        """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+                  o_orderpriority, revenue FROM (
                SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
                       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -739,8 +747,8 @@ REGISTRY: dict[str, QueryDef] = {
                FROM flagged)
            SELECT user_id, session_id,
                   COUNT(*) AS n_events,
-                  MIN(ts) AS session_start,
-                  MAX(ts) AS session_end
+                  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+                  CAST(MAX(ts) AS TIMESTAMP) AS session_end
            FROM sess GROUP BY user_id, session_id""",
         ("events",),
         "gap-based sessionization (lag + conditional cumsum)",
