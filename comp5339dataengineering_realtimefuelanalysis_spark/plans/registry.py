@@ -43,6 +43,8 @@ from ..operators.analytics import (
     distinct_count_by,
 )
 
+from ..operators.temporal import asof_join, range_join_count
+
 from .base import QueryDef, load_table
 from .registry_llm import LLM_REGISTRY
 
@@ -461,6 +463,58 @@ def q_clickers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return except_df.unionAll(both)
 
 
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent
+    click at or before it (the funnel-analysis form of the reference's
+    latest-then-join pattern, as a real operator)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts", "click_id"],
+        tiebreak="click_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("right_click_ts").alias("click_ts"),
+        F.col("right_click_id").alias("click_id"),
+    )
+
+
+def q_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: clicks within the 5 minutes before each
+    purchase, counted per purchase (bucketed equi-join, exact filter)."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    return range_join_count(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        window_seconds=300,
+        count_alias="n_clicks",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -625,6 +679,33 @@ REGISTRY: dict[str, QueryDef] = {
            GROUP BY r_name, n_name""",
         ("lineitem", "orders", "customer", "nation", "region"),
         "star join, broadcast dims",
+    ),
+    "purchase_attribution": QueryDef(
+        q_purchase_attribution,
+        """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+                  CAST(c.ts AS TIMESTAMP) AS click_ts,
+                  c.event_id AS click_id
+           FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN
+                (SELECT * FROM events WHERE event_type = 'click') c
+             ON p.user_id = c.user_id AND c.ts <= p.ts""",
+        ("events",),
+        "as-of join: purchase -> most recent prior click",
+    ),
+    "clicks_before_purchase": QueryDef(
+        q_clicks_before_purchase,
+        """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+                  COUNT(c.ts) AS n_clicks
+           FROM (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase') p
+           LEFT JOIN (SELECT user_id, ts FROM events
+                      WHERE event_type = 'click') c
+             ON p.user_id = c.user_id
+            AND c.ts >= p.ts - INTERVAL 5 MINUTE
+            AND c.ts < p.ts
+           GROUP BY p.event_id, p.user_id, p.ts""",
+        ("events",),
+        "bounded range join: clicks in the 5 min before each purchase",
     ),
     "avg_part_price_by_brand": QueryDef(
         q_avg_part_price_by_brand,
