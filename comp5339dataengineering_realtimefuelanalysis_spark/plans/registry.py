@@ -515,6 +515,31 @@ def q_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (Spark percentile == DuckDB
+    quantile_cont bit-for-bit: same sort + linear interpolation)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+
+
+def q_approx_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates (HLL++ distinct, approximate percentile) —
+    the 100 TB default when ±2% beats a second shuffle. No oracle: sketch
+    implementations differ across engines by construction; accuracy vs
+    the exact operators is asserted in tests instead."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias(
+            "approx_p50"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -679,6 +704,22 @@ REGISTRY: dict[str, QueryDef] = {
            GROUP BY r_name, n_name""",
         ("lineitem", "orders", "customer", "nation", "region"),
         "star join, broadcast dims",
+    ),
+    "value_quantiles_by_type": QueryDef(
+        q_value_quantiles_by_type,
+        """SELECT event_type,
+                  quantile_cont(value, 0.5) AS p50,
+                  quantile_cont(value, 0.9) AS p90,
+                  quantile_cont(value, 0.99) AS p99
+           FROM events GROUP BY event_type""",
+        ("events",),
+        "exact interpolated quantiles per group",
+    ),
+    "approx_stats_by_type": QueryDef(
+        q_approx_stats_by_type,
+        None,  # sketches are engine-specific; accuracy asserted in tests
+        ("events",),
+        "HLL++ distinct + approx percentile (scale default)",
     ),
     "purchase_attribution": QueryDef(
         q_purchase_attribution,

@@ -103,3 +103,28 @@ def test_publish_json_payloads(spark, tmp_path):
     ]
     assert sorted(d["event_id"] for d in lines) == [1, 2, 3, 4, 5, 6]
     assert all(set(d) == {"event_id", "event_type"} for d in lines)
+
+
+def test_approx_stats_near_exact(spark):
+    """Sketch aggregates must track the exact answers (the reason they're
+    registry queries without oracles)."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
+        REGISTRY,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r.event_type: r
+        for r in REGISTRY["approx_stats_by_type"].fn(spark, sf).collect()
+    }
+    exact_users = {
+        r.event_type: r.n_distinct
+        for r in REGISTRY["distinct_users_by_type"].fn(spark, sf).collect()
+    }
+    exact_p50 = {
+        r.event_type: r.p50
+        for r in REGISTRY["value_quantiles_by_type"].fn(spark, sf).collect()
+    }
+    for t, row in approx.items():
+        assert abs(row.approx_users - exact_users[t]) <= 0.05 * exact_users[t] + 2
+        assert abs(row.approx_p50 - exact_p50[t]) <= 0.1 * max(exact_p50[t], 1)
