@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import dec_avg
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
@@ -337,6 +338,47 @@ def q_doc_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("lang_guess").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+_QUALITY_KEEP = 0.7
+
+
+def q_corpus_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep, composed from the text operators:
+    profile -> quality + language gate -> exact dedup -> per-language
+    corpus stats (doc count, token budget, mean quality).
+
+    Scale shape: the profile/gate is a map-only scan; dedup is ONE hash
+    shuffle. Because identical text implies identical derived columns,
+    dedup is a DISTINCT on the derived row — no window sort, fully
+    map-side combinable — and the final per-language rollup is a partial
+    agg over the dedup output.
+    """
+    docs = _docs_parallel(spark, sf_dir)
+    prof = docs.select(
+        tx.lang_id("text").alias("lang"),
+        tx.token_count_ws("text").alias("n_tokens"),
+        tx.quality_score("text").alias("quality"),
+        tx.fingerprint("text").alias("fp"),
+    )
+    kept = prof.filter(
+        (F.col("quality") >= _QUALITY_KEEP) & (F.col("lang") != "unknown")
+    )
+    # Dedup without a window: identical text implies identical derived
+    # columns, so MIN over the fp group reproduces any survivor's values
+    # while COUNT tracks how many raw copies collapsed.
+    groups = kept.groupBy("fp").agg(
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("quality").alias("quality"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return groups.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_copies").alias("n_raw"),
+        F.sum("n_tokens").alias("total_tokens"),
+        dec_avg("quality", "avg_quality"),
+    )
+
+
 def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.dedup_exact(docs).select(
@@ -527,6 +569,30 @@ LLM_REGISTRY: dict[str, QueryDef] = {
             FROM documents GROUP BY 1""",
         ("documents",),
         "language distribution over the heuristic lang-ID",
+    ),
+    "corpus_prep_summary": QueryDef(
+        q_corpus_prep_summary,
+        f"""WITH prof AS (
+                SELECT {_sql_lang_id()} AS lang,
+                       {_SQL_N_TOKENS_WS} AS n_tokens,
+                       ({_sql_quality()}) AS quality,
+                       md5({_NORM}) AS fp
+                FROM documents),
+            kept AS (
+                SELECT * FROM prof
+                WHERE quality >= {_QUALITY_KEEP} AND lang <> 'unknown'),
+            groups AS (
+                SELECT fp, MIN(lang) AS lang, MIN(n_tokens) AS n_tokens,
+                       MIN(quality) AS quality, COUNT(*) AS n_copies
+                FROM kept GROUP BY fp)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_copies) AS BIGINT) AS n_raw,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(quality) AS avg_quality
+            FROM groups GROUP BY lang""",
+        ("documents",),
+        "composed prep pipeline: gate -> dedup -> corpus stats",
     ),
     "doc_dedup_exact": QueryDef(
         q_doc_dedup_exact,

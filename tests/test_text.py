@@ -55,3 +55,22 @@ def test_quality_score_bounds(spark):
     good = val(spark, "the quick brown fox jumps over the lazy dog", tx.quality_score("text"))
     junk = val(spark, "!!!! #### $$$$", tx.quality_score("text"))
     assert 0.0 <= junk < good <= 1.0
+
+
+def test_corpus_prep_funnel(spark):
+    """Composed prep pipeline: dedup funnel invariants hold and the gates
+    actually gate (kept docs are a strict subset of the corpus)."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
+        REGISTRY,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    rows = REGISTRY["corpus_prep_summary"].fn(spark, sf).collect()
+    assert rows, "pipeline must keep at least one language"
+    total_raw = sum(r.n_raw for r in rows)
+    for r in rows:
+        assert r.lang != "unknown"
+        assert r.n_raw >= r.n_docs > 0
+        assert r.avg_quality >= 0.7
+    n_corpus = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert 0 < total_raw < n_corpus
