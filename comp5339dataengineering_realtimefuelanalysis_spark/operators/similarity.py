@@ -198,6 +198,135 @@ def _hyperplane_bucket(vec: Column, planes: int, dim: int = 64) -> Column:
     return bucket
 
 
+def _hyperplane_projections(vec: Column, planes: int, dim: int) -> Column:
+    """array<double> of the vector's projection onto each hyperplane."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(
+                        *[
+                            F.lit(_hyperplane_component(p, d))
+                            for d in range(dim)
+                        ]
+                    ),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for p in range(planes)
+        ]
+    )
+
+
+def ivf_write(
+    corpus: DataFrame,
+    path: str,
+    planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF (inverted-file) ANN layout: the corpus bucketed
+    by hyperplane sign-pattern and written as parquet PARTITIONED BY the
+    bucket, with the int64-scaled vector and L2 norm precomputed.
+
+    This is the at-rest form of ``ann_lsh_topk``'s corpus side: a query
+    then reads only its probed buckets (a partition-pruned scan — at 100 TB
+    the unprobed ~2^planes - probes fraction of the corpus is never
+    touched), and per-row preprocessing is already paid.
+    """
+    cb = attach_scaled(corpus, vec_col, "c_").withColumn(
+        "bucket", _hyperplane_bucket(F.col(vec_col), planes, dim)
+    )
+    (
+        cb.select(id_col, "c_svec", "c_norm", "bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 6,
+    dim: int = 64,
+    probes: int = 1,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k against a materialized ``ivf_write`` index.
+
+    Multi-probe: each query searches its own bucket plus the buckets
+    reached by flipping the ``probes - 1`` planes with the smallest
+    projection margin (the classic multi-probe LSH order) — recall rises
+    with ``probes`` while the scan stays partition-pruned to
+    ``probes / 2**planes`` of the corpus. The probe join broadcasts the
+    (small) query set, so Spark's dynamic partition pruning derives the
+    bucket filter for the index scan at runtime.
+
+    With ``probes=1`` results are identical to ``ann_lsh_topk`` on the
+    same corpus/planes (same buckets, same exact-cosine scoring).
+    """
+    index = spark.read.parquet(path)
+    qs = attach_scaled(queries, query_vec, "q_").withColumn(
+        "projs", _hyperplane_projections(F.col(query_vec), planes, dim)
+    )
+    bucket = F.lit(0)
+    for p in range(planes):
+        bucket = bucket + F.when(
+            F.element_at(F.col("projs"), p + 1) > 0, F.lit(1 << p)
+        ).otherwise(F.lit(0))
+    qs = qs.withColumn("bucket0", bucket)
+    # planes ranked by |margin| ascending: flip the least-confident first
+    flip_order = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.element_at(F.col("projs"), p + 1)).alias(
+                        "margin"
+                    ),
+                    F.lit(p).alias("plane"),
+                )
+                for p in range(planes)
+            ]
+        )
+    )
+    probe_list = [F.col("bucket0")] + [
+        F.col("bucket0").bitwiseXOR(
+            # 2^plane as int (shiftleft needs a literal shift amount)
+            F.pow(F.lit(2.0), F.element_at(flip_order, i + 1)["plane"])
+            .cast("int")
+        )
+        for i in range(max(0, min(probes - 1, planes)))
+    ]
+    probed = qs.withColumn(
+        "bucket", F.explode(F.array(*probe_list))
+    ).select(query_id, "q_svec", "q_norm", "bucket")
+    scored = index.join(F.broadcast(probed), "bucket").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        (
+            dot_scaled(F.col("q_svec"), F.col("c_svec")).cast("double")
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -66,3 +66,47 @@ def test_ann_lsh_includes_self_and_excludes_opposite(spark):
     }
     assert got.get(0) == 1  # a vector is always in its own bucket
     assert 4 not in got  # opposite sign pattern lands in another bucket
+
+
+def test_ivf_index_matches_ann_and_prunes(spark, tmp_path):
+    """The materialized IVF layout is behavior-identical to ann_lsh_topk at
+    probes=1, multi-probe only widens the search, and the index scan is
+    dynamically partition-pruned by the probe join."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.base import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    path = str(tmp_path / "ivf")
+    sim.ivf_write(emb, path, planes=6)
+
+    ivf1 = {
+        (r.qid, r.vec_id): r.rank
+        for r in sim.ivf_topk(spark, path, qs, k=10, planes=6).collect()
+    }
+    ann = {
+        (r.qid, r.vec_id): r.rank
+        for r in sim.ann_lsh_topk(qs, emb, k=10, planes=6).collect()
+    }
+    assert ivf1 == ann
+
+    got1 = set(ivf1)
+    got3 = {
+        (r.qid, r.vec_id)
+        for r in sim.ivf_topk(spark, path, qs, k=10, planes=6, probes=3).collect()
+    }
+    truth = {
+        (r.qid, r.vec_id) for r in sim.cosine_topk(qs, emb, k=10).collect()
+    }
+    assert len(got3 & truth) >= len(got1 & truth)  # probes only add recall
+
+    plan = (
+        sim.ivf_topk(spark, path, qs, k=10, planes=6, probes=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
