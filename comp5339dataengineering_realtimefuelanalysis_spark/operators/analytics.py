@@ -235,6 +235,47 @@ def distinct_count_by(
     )
 
 
+def topk_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    salt_from: str,
+    buckets: int = 32,
+) -> DataFrame:
+    """EXACT per-group top-k that survives low-cardinality groups at scale.
+
+    A plain ``row_number() OVER (PARTITION BY group)`` funnels every row of
+    a group through ONE task's sort — with a handful of groups over 100 TB
+    that is the job's bottleneck. Instead, two stages:
+
+      1. local top-k per (group, salt) where salt = pmod(hash(salt_from),
+         buckets) — ``buckets`` parallel sorts of ~1/buckets of the data;
+      2. global top-k per group over the <= buckets*k stage-1 survivors.
+
+    Exactness: every global top-k row is by definition within the local
+    top-k of whatever salt bucket it hashed into, so stage 1 never drops a
+    final answer. Salt derives from a deterministic hash of ``salt_from``
+    (a row-unique column), never from rand() — results are reproducible
+    across runs and partition layouts. ``rank`` is the dense 1..k order by
+    ``order_cols`` (pin a unique tiebreak column there for determinism).
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(F.col(salt_from)), F.lit(buckets))
+    )
+    w_local = Window.partitionBy(*group_cols, "__salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("__rn", F.row_number().over(w_local))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w_global = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_global))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def orphans(
     fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
 ) -> DataFrame:

@@ -41,6 +41,7 @@ from ..operators.analytics import (
     sessionize,
     pivot_counts,
     distinct_count_by,
+    topk_per_group,
 )
 
 from ..operators.temporal import asof_join, range_join_count
@@ -387,7 +388,12 @@ def q_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders by revenue within each priority (window top-k)."""
+    """Top-3 orders by revenue within each priority.
+
+    Only 5 priority groups exist, so a naive per-group window would sort
+    each 20% of the fact table in ONE task; ``topk_per_group`` salts the
+    first pass into 32 parallel local top-3s, then ranks the <= 96
+    survivors (exact — see the operator docstring)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
@@ -396,14 +402,13 @@ def q_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", "o_orderkey")
         .agg(dec_sum(rev, "revenue"))
     )
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("revenue").desc(), F.col("o_orderkey")
-    )
-    return (
-        per_order.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("o_orderpriority", "o_orderkey", "revenue", "rank")
-    )
+    return topk_per_group(
+        per_order,
+        ["o_orderpriority"],
+        [F.col("revenue").desc(), F.col("o_orderkey")],
+        k=3,
+        salt_from="o_orderkey",
+    ).select("o_orderpriority", "o_orderkey", "revenue", "rank")
 
 
 def q_avg_part_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -128,3 +128,27 @@ def test_approx_stats_near_exact(spark):
     for t, row in approx.items():
         assert abs(row.approx_users - exact_users[t]) <= 0.05 * exact_users[t] + 2
         assert abs(row.approx_p50 - exact_p50[t]) <= 0.1 * max(exact_p50[t], 1)
+
+
+def test_topk_per_group_matches_naive_window(spark):
+    """Salted two-stage top-k is exact: identical to the single-window
+    formulation for every group, including ties broken by id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.analytics import (
+        topk_per_group,
+    )
+
+    rows = [(i % 4, float((i * 7) % 23), i) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp int, score double, rid int")
+    order = [F.col("score").desc(), F.col("rid")]
+    naive = (
+        df.withColumn(
+            "rank", F.row_number().over(Window.partitionBy("grp").orderBy(*order))
+        )
+        .filter(F.col("rank") <= 5)
+    )
+    salted = topk_per_group(df, ["grp"], order, k=5, salt_from="rid", buckets=8)
+    a = {(r.grp, r.rid, r.rank) for r in naive.collect()}
+    b = {(r.grp, r.rid, r.rank) for r in salted.collect()}
+    assert a == b and len(a) == 20
