@@ -131,6 +131,68 @@ def _norm_sql(text_col: str) -> str:
     return f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    the rolling k-gram hash sequence, MIN-selected per sliding window of
+    ``window`` consecutive positions, distinct selections per doc.
+
+    Guarantee: two documents sharing any substring of length >=
+    ``n + window - 1`` share at least one fingerprint — the standard
+    plagiarism/containment-detection primitive (substring-level, where
+    MinHash is whole-document-level).
+
+    Physical shape: shingle explode -> ONE window pass keyed by doc
+    (in-partition sort on position, no global sort) -> doc-keyed
+    collect_set. Output: (id, fps array<long> sorted, n_fps). Selection
+    uses full windows only (plus the leading partial window when a doc has
+    fewer than ``window`` shingles, so no doc is left without prints);
+    MIN-per-frame is position-tie-free by construction, so the selected
+    SET is engine-portable even though the paper's "rightmost min"
+    position rule is not.
+    """
+    normed = df.select(F.col(id_col), norm_text(text_col).alias("__t"))
+    sh = normed.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(__t) - {n - 1}, 1)),"
+                f" i -> substring(__t, i, {n}))"
+            )
+        ).alias("pos", "shingle"),
+    )
+    # posexplode is 0-based; the selection filter (and the SQL oracle)
+    # count positions from 1
+    hashed = sh.select(
+        F.col(id_col),
+        (F.col("pos") + 1).alias("pos"),
+        hash32("shingle").alias("h"),
+    )
+    w_frame = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    w_doc = Window.partitionBy(id_col)
+    sel = (
+        hashed.withColumn("mh", F.min("h").over(w_frame))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
+        .filter(
+            F.col("pos")
+            <= F.greatest(F.col("n_sh") - F.lit(window - 1), F.lit(1))
+        )
+    )
+    return sel.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("mh")).alias("fps"),
+        F.size(F.array_sort(F.collect_set("mh"))).alias("n_fps"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard via inverted index
 # ---------------------------------------------------------------------------

@@ -435,6 +435,42 @@ def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_W = 4
+
+
+def q_doc_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.winnow_fingerprints(
+        docs, n=_SHINGLE_N, window=_WINNOW_W
+    )
+
+
+def _sql_winnow() -> str:
+    return f"""
+        WITH base AS (SELECT doc_id, {_NORM} AS t FROM documents),
+        pos AS (SELECT doc_id, t,
+                       unnest(range(1, greatest(length(t) - {_SHINGLE_N - 1},
+                                                1) + 1)) AS pos
+                FROM base),
+        hashes AS (SELECT doc_id, pos,
+                          ('0x' || substring(md5(substring(t, CAST(pos AS INT),
+                                                           {_SHINGLE_N})),
+                                             1, 8))::BIGINT AS h
+                   FROM pos),
+        win AS (SELECT doc_id, pos,
+                       MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND {_WINNOW_W - 1} FOLLOWING) AS mh,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+                FROM hashes),
+        sel AS (SELECT DISTINCT doc_id, mh FROM win
+                WHERE pos <= greatest(n_sh - {_WINNOW_W - 1}, 1))
+        SELECT doc_id, list_sort(list(mh)) AS fps,
+               CAST(len(list(mh)) AS INT) AS n_fps
+        FROM sel GROUP BY doc_id
+    """
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dd.simhash_fingerprint(docs, bits=_SIMHASH_BITS)
@@ -643,6 +679,12 @@ LLM_REGISTRY: dict[str, QueryDef] = {
                   >= {_JACCARD_THRESHOLD}""",
         ("documents",),
         "LSH candidates + exact Jaccard verify (scale composition)",
+    ),
+    "doc_winnow_fps": QueryDef(
+        q_doc_winnow_fps,
+        _sql_winnow(),
+        ("documents",),
+        "winnowing fingerprints (rolling k-gram hash, min-per-window)",
     ),
     "doc_simhash": QueryDef(
         q_doc_simhash,

@@ -73,3 +73,28 @@ def test_hash32_is_stable(spark):
     assert vals[0] == vals[1]
     # matches int('900150983cd24fb0'[:8], 16) for md5('abc')
     assert vals[0] == int("90015098", 16)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Docs sharing a substring of length >= n + window - 1 share at least
+    one fingerprint; disjoint docs share none; identical docs match."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, f"AAAA {common} BBBB"),
+        (2, f"XXXX {common} YYYY"),
+        (3, f"AAAA {common} BBBB"),
+        (4, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in winnow_fingerprints(df, n=5, window=4).collect()
+    }
+    assert fps[1] & fps[2]          # shared substring -> shared print
+    assert fps[1] == fps[3]         # identical text -> identical set
+    assert not (fps[1] & fps[4])    # disjoint content -> disjoint sets
+    assert all(len(v) > 0 for v in fps.values())
