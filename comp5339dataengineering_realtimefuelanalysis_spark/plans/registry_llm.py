@@ -387,21 +387,21 @@ def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return dd.minhash_signatures(
         docs, n=_SHINGLE_N, num_hashes=_NUM_HASHES
     )
 
 
 def q_doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return dd.minhash_lsh_pairs(
         docs, n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS
     )
 
 
 def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return dd.ngram_jaccard_pairs(
         docs,
         n=_SHINGLE_N,
@@ -414,7 +414,7 @@ def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB dedup composition: LSH candidates -> exact Jaccard verify
     (full-shingle-set Jaccard, no df cap: per-pair array intersection,
     cost ~ |candidates|, no inverted-index explosion)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     # ONE shingle explosion shared by the LSH candidates and the verify
     # sets (persisted), and a persisted candidate set: uncached, each
     # reference re-derives the full shingle DAG.
@@ -439,7 +439,7 @@ _WINNOW_W = 4
 
 
 def q_doc_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return dd.winnow_fingerprints(
         docs, n=_SHINGLE_N, window=_WINNOW_W
     )
@@ -472,13 +472,13 @@ def _sql_winnow() -> str:
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return dd.simhash_fingerprint(docs, bits=_SIMHASH_BITS)
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """No oracle: pair generation is banded (probabilistic blocking)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return dd.simhash_pairs(docs, bits=_SIMHASH_BITS, max_hamming=6)
 
 
