@@ -170,6 +170,62 @@ def windowed_stats(
     )
 
 
+def moving_avg_daily(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    val_col: str,
+    days: int = 7,
+) -> DataFrame:
+    """Ranged moving-window trend per key: daily grain, an exact
+    ``days``-day RANGE-framed moving average, and a day-over-day delta —
+    the smoothed version of the reference's Q3 price-trend series
+    (DataAnalysis.py:142-165, which plots the raw points).
+
+    Physical shape: one groupBy shuffle to daily grain (map-side partial
+    aggregation collapses the fact table before it moves), then ONE window
+    pass over the tiny per-key daily series. The moving average is
+    value-weighted (sum of decimal day-sums / sum of day-counts over the
+    frame), so it is exact and order-independent; the RANGE frame keys on
+    epoch seconds of the day, which are unique per partition, so ordering
+    is deterministic without a tiebreak. At 100 TB the daily aggregate is
+    a few-thousand-row frame per key — the window stage is negligible next
+    to the scan, and the scan prunes to the queried date range when the
+    fact table is date-partitioned.
+    """
+    from ..functions.scalars import _DEC
+
+    day = F.date_trunc("DAY", F.col(ts_col))
+    daily = df.groupBy(*keys, day.alias("day")).agg(
+        F.sum(F.col(val_col).cast(_DEC)).alias("day_sum"),
+        F.count(val_col).alias("n_values"),
+    )
+    epoch_day = F.unix_timestamp(F.col("day"))
+    w_range = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch_day)
+        .rangeBetween(-(days - 1) * 86400, 0)
+    )
+    w_lag = Window.partitionBy(*keys).orderBy("day")
+    day_avg = (F.col("day_sum").cast("double") / F.col("n_values")).alias(
+        "day_avg"
+    )
+    mavg = (
+        F.sum("day_sum").over(w_range).cast("double")
+        / F.sum("n_values").over(w_range).cast("double")
+    ).alias("mavg")
+    ranged = daily.select(*keys, "day", day_avg, mavg)
+    return ranged.select(
+        *keys,
+        "day",
+        "day_avg",
+        "mavg",
+        (F.col("day_avg") - F.lag("day_avg").over(w_lag)).alias(
+            "delta_prev"
+        ),
+    )
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

@@ -38,6 +38,7 @@ from ..operators.analytics import (
     series_by,
     orphans,
     windowed_stats,
+    moving_avg_daily,
     sessionize,
     pivot_counts,
     distinct_count_by,
@@ -329,6 +330,15 @@ def q_events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 beyond-parity: tumbling 1-day window stats per event type."""
     events = load_table(spark, sf_dir, "events")
     return windowed_stats(events, "ts", ["event_type"], "value", "1 day")
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranged moving window: 7-day value-weighted moving average and
+    day-over-day delta per event type (smoothed Q3 trend)."""
+    events = load_table(spark, sf_dir, "events")
+    return moving_avg_daily(
+        events, ["event_type"], "ts", "value", days=7
+    )
 
 
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,6 +863,31 @@ REGISTRY: dict[str, QueryDef] = {
            FROM events GROUP BY 1, 2""",
         ("events",),
         "tumbling 1-day window aggregate (streaming-compatible F.window)",
+    ),
+    "events_moving_avg": QueryDef(
+        q_events_moving_avg,
+        """WITH daily AS (
+               SELECT event_type,
+                      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      SUM(CAST(value AS DECIMAL(18,6))) AS day_sum,
+                      COUNT(value) AS n_values
+               FROM events GROUP BY 1, 2),
+           ranged AS (
+               SELECT event_type, day,
+                      CAST(day_sum AS DOUBLE) / n_values AS day_avg,
+                      CAST(SUM(day_sum) OVER w AS DOUBLE)
+                          / CAST(SUM(n_values) OVER w AS DOUBLE) AS mavg
+               FROM daily
+               WINDOW w AS (
+                   PARTITION BY event_type
+                   ORDER BY CAST(floor(epoch(day)) AS BIGINT)
+                   RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW))
+           SELECT event_type, day, day_avg, mavg,
+                  day_avg - lag(day_avg) OVER (
+                      PARTITION BY event_type ORDER BY day) AS delta_prev
+           FROM ranged""",
+        ("events",),
+        "ranged moving window: 7-day weighted moving avg + day-over-day delta",
     ),
     "user_sessions": QueryDef(
         q_user_sessions,

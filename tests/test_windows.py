@@ -152,3 +152,36 @@ def test_topk_per_group_matches_naive_window(spark):
     a = {(r.grp, r.rid, r.rank) for r in naive.collect()}
     b = {(r.grp, r.rid, r.rank) for r in salted.collect()}
     assert a == b and len(a) == 20
+
+
+def test_moving_avg_daily_frame_and_delta(spark):
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.analytics import (
+        moving_avg_daily,
+    )
+
+    rows = [
+        # one key, daily values on days 1, 2, 8, 9 of January
+        (1, ts("2024-01-01T12:00:00"), 1, "click", 10.0),
+        (2, ts("2024-01-02T12:00:00"), 1, "click", 20.0),
+        (3, ts("2024-01-02T13:00:00"), 1, "click", 40.0),
+        (4, ts("2024-01-08T12:00:00"), 1, "click", 70.0),  # day1 +7d: outside
+        (5, ts("2024-01-09T12:00:00"), 1, "click", 100.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        r["day"].day: r
+        for r in moving_avg_daily(
+            df, ["event_type"], "ts", "value", days=7
+        ).collect()
+    }
+    assert out[1]["day_avg"] == 10.0 and out[1]["mavg"] == 10.0
+    assert out[1]["delta_prev"] is None
+    # day 2: two values that day; frame = days 1-2, value-weighted
+    assert out[2]["day_avg"] == 30.0
+    assert out[2]["mavg"] == (10.0 + 20.0 + 40.0) / 3
+    assert out[2]["delta_prev"] == 20.0
+    # day 8: 7-day frame covers days 2..8 — day 1 excluded, day 2 included
+    assert out[8]["mavg"] == (20.0 + 40.0 + 70.0) / 3
+    # day 9: frame covers days 3..9 — day 2 now excluded
+    assert out[9]["mavg"] == (70.0 + 100.0) / 2
+    assert out[9]["delta_prev"] == 100.0 - 70.0
