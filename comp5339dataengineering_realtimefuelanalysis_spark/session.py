@@ -44,6 +44,11 @@ def get_spark(
         # back to TimestampType losslessly (values are µs-aligned).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # static conf: the generated-class cache defaults to 100 entries,
+        # which a 50-query workload overflows — evicted wide expressions
+        # (language-ID WHEN chains, 64-agg MinHash) pay janino recompiles
+        # of ~5 s on their next run.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
