@@ -117,6 +117,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, qd in REGISTRY.items():
+        # drop persisted frames leaked by earlier queries (several registry
+        # plans persist intermediates and cannot unpersist them while the
+        # result is lazy) — accumulated blocks evict each other mid-run and
+        # the recompute thrash shows up as multi-second spikes on the
+        # persist-heavy queries
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = qd.fn(spark, sf_dir)
         # noop datasource: materializes EVERY output column without sink
