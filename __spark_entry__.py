@@ -39,3 +39,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle
     }
+
+
+def release_caches() -> int:
+    """Unpersist frames the query plans persisted (shared shingle sets,
+    LSH candidates). Call after materializing a query's result in a
+    long-lived session; each query re-persists what it needs. Returns the
+    number of frames released."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.functions.caching import (
+        release_tracked,
+    )
+
+    return release_tracked()

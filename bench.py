@@ -19,6 +19,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from comp5339dataengineering_realtimefuelanalysis_spark.session import get_spark
+from comp5339dataengineering_realtimefuelanalysis_spark.functions.caching import (
+    release_tracked,
+)
 from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
     REGISTRY,
 )
@@ -113,16 +116,11 @@ def main() -> None:
                 ).save()
             except Exception:
                 pass
+        release_tracked()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
     for name, qd in REGISTRY.items():
-        # drop persisted frames leaked by earlier queries (several registry
-        # plans persist intermediates and cannot unpersist them while the
-        # result is lazy) — accumulated blocks evict each other mid-run and
-        # the recompute thrash shows up as multi-second spikes on the
-        # persist-heavy queries
-        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = qd.fn(spark, sf_dir)
         # noop datasource: materializes EVERY output column without sink
@@ -130,6 +128,11 @@ def main() -> None:
         # measure only the scan on map-only queries
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # release the frames THIS query persisted (plan builders register
+        # them via functions/caching.py) — explicit ownership instead of a
+        # blanket clearCache; leaked blocks would otherwise accumulate and
+        # evict each other mid-run
+        release_tracked()
 
     total = round(sum(timings.values()), 4)
     streaming = streaming_bench(spark)

@@ -271,16 +271,18 @@ def jaccard_verify_pairs(
     column, bounded by text length) and the per-pair Jaccard is a pure
     array expression — no inverted-index explosion, cost ~ |candidates|.
     """
+    from ..functions.caching import tracked_persist
+
     # persist: this frame feeds BOTH sides of the candidate join — without
     # it Spark re-derives the whole shingle DAG per side (measured 5x cost
     # at sf0.1). Materializing also gives AQE real stats to pick the join
-    # strategy. MEMORY_AND_DISK default: spills instead of OOM at scale.
+    # strategy. Ownership: registered with functions.caching so the caller
+    # that materializes the result can release_tracked() afterwards.
     if shingles_df is None:
         shingles_df = shingles(df, text_col, id_col, n, distinct=False)
-    sets = (
+    sets = tracked_persist(
         shingles_df.groupBy(id_col)
         .agg(F.collect_set("shingle").alias("sh_set"))  # set-dedups itself
-        .persist()
     )
     a = sets.select(
         F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a")
@@ -297,6 +299,41 @@ def jaccard_verify_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucket-skew guard (shared by every banded/bucketed pair generator)
+# ---------------------------------------------------------------------------
+
+
+def cap_buckets(
+    df: DataFrame, key_cols: list[str], max_bucket: int
+) -> tuple[DataFrame, DataFrame]:
+    """Drop rows belonging to buckets with more than ``max_bucket`` members.
+
+    The skew guard for LSH-style blocking: a degenerate bucket key (e.g.
+    thousands of boilerplate near-identical docs sharing one band value)
+    makes the within-bucket self-join O(b²) in that bucket — AQE skew-split
+    only parallelizes the shuffle, not the pair generation. Oversized
+    buckets carry no *near*-dup signal anyway (their members are handled by
+    exact dedup upstream), same rationale as ``max_df`` in
+    ``ngram_jaccard_pairs``.
+
+    Returns ``(kept, dropped_stats)``: ``kept`` is the capped frame;
+    ``dropped_stats`` is one row per dropped bucket (key cols + ``n_rows``)
+    — count/collect it to make the drop observable (log it, sink it to a
+    metrics table). The size count reuses the bucket-key partitioning the
+    downstream join needs, so the guard adds no extra shuffle key.
+    """
+    w = Window.partitionBy(*key_cols)
+    sized = df.withColumn("__bsz", F.count(F.lit(1)).over(w))
+    kept = sized.filter(F.col("__bsz") <= max_bucket).drop("__bsz")
+    dropped = (
+        sized.filter(F.col("__bsz") > max_bucket)
+        .groupBy(*key_cols)
+        .agg(F.max("__bsz").alias("n_rows"))
+    )
+    return kept, dropped
 
 
 # ---------------------------------------------------------------------------
@@ -340,6 +377,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingles_df: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one signature band.
 
@@ -350,6 +388,11 @@ def minhash_lsh_pairs(
 
     With K=16, b=4 bands of r=4 rows, the S-curve threshold is
     (1/b)^(1/r) ≈ 0.71 Jaccard — tune K/b/r per corpus.
+
+    ``max_bucket``: skew guard — buckets with more members are dropped
+    before the self-join (see ``cap_buckets``; use it directly to observe
+    what was dropped). ALWAYS set this at scale: one degenerate band key
+    otherwise makes pair generation quadratic in its bucket size.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(
@@ -367,6 +410,8 @@ def minhash_lsh_pairs(
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket is not None:
+        banded, _ = cap_buckets(banded, ["band", "key"], max_bucket)
 
     a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
@@ -428,12 +473,16 @@ def simhash_pairs(
     bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: banded blocking (a pair within Hamming
     distance < bands must share at least one exact band by pigeonhole),
     then exact Hamming verify via bit_count(xor).
 
     Output: (id_a, id_b, hamming), id_a < id_b, hamming <= max_hamming.
+
+    ``max_bucket``: skew guard for degenerate band values — see
+    ``cap_buckets``. Set it at scale.
     """
     fp = simhash_fingerprint(df, text_col, id_col, bits)
     width = bits // bands
@@ -460,6 +509,8 @@ def simhash_pairs(
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
     )
+    if max_bucket is not None:
+        banded, _ = cap_buckets(banded, ["band", "key"], max_bucket)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key"
     )

@@ -128,16 +128,27 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     planes: int = 8,
     dim: int = 64,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 
     LSH blocking first (same sign-bucket under ``planes`` random
     hyperplanes), exact cosine verify second — the corpus never fully
     self-joins. Output: (id_a, id_b, cosine), id_a < id_b.
+
+    ``max_bucket``: skew guard — buckets larger than this are dropped
+    before the self-join (a degenerate bucket, e.g. a mass of identical
+    embeddings, otherwise makes pair generation O(b²); exact dedup should
+    collapse those upstream). See operators.dedup.cap_buckets for the
+    observable dropped-bucket stats. Set it at scale.
     """
+    from .dedup import cap_buckets
+
     bucketed = attach_scaled(df, vec_col).withColumn(
         "bucket", _hyperplane_bucket(F.col(vec_col), planes, dim)
     )
+    if max_bucket is not None:
+        bucketed, _ = cap_buckets(bucketed, ["bucket"], max_bucket)
     a = bucketed.select(
         F.col(id_col).alias("id_a"),
         F.col("svec").alias("sa"),

@@ -42,14 +42,17 @@ def asof_join(
 
     ``tiebreak``: a right-side column ordering equal-timestamp right rows
     (the later-sorted wins), pinning determinism the way latest_per_key
-    does. Equal left/right timestamps match (<=, not <).
+    does — any orderable type (ordering uses the column's NATIVE type; a
+    cast to long would silently null out string ids and un-pin the order).
+    Equal left/right timestamps match (<=, not <).
     """
     lcols = left.columns
+    tb_type = right.schema[tiebreak].dataType if tiebreak else None
     tagged_left = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__is_right"),
-        F.lit(None).cast("long").alias("__tb"),
+        (F.lit(None).cast(tb_type) if tiebreak else F.lit(0)).alias("__tb"),
         F.struct(*[F.col(c) for c in lcols]).alias("__left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
           for c in right_cols],
@@ -58,8 +61,7 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),
-        (F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long"))
-        .alias("__tb"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
         F.lit(None).cast(
             tagged_left.schema["__left"].dataType
         ).alias("__left"),
@@ -108,11 +110,16 @@ def range_join_count(
     bucket (the window spans at most two), and the exact interval
     predicate filters after the hash join — identical results to the
     naive inequality join without the per-key cross product.
+
+    Per-row counts are restored by grouping on a synthetic per-row id
+    (attached BEFORE the probe explode), so fully duplicate left rows each
+    keep their own count instead of collapsing into one summed row.
     """
     win_us = window_seconds * 1_000_000
     lcols = left.columns
     l = (
-        left.withColumn(
+        left.withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn(
             "__b0", F.expr(f"unix_micros({left_ts}) div {win_us}")
         )
         .withColumn("__probe", F.explode(F.array(F.col("__b0") - 1, F.col("__b0"))))
@@ -131,6 +138,6 @@ def range_join_count(
         & (F.col("__rts") < F.col(left_ts)),
         "left",
     )
-    return matched.groupBy(*lcols).agg(
+    return matched.groupBy("__rid", *lcols).agg(
         F.count(F.col("__rts")).alias(count_alias)
-    )
+    ).drop("__rid")

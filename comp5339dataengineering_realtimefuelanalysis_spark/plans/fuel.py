@@ -134,6 +134,31 @@ def q1_avg_price_by_fueltype(prices: DataFrame) -> DataFrame:
     )
 
 
+def q1_avg_price_windowed(
+    prices: DataFrame, window_duration: str = "1 day"
+) -> DataFrame:
+    """Q1's bounded-state streaming variant: AVG(price) per
+    (event-time window, fueltype), 2dp.
+
+    The reference's Q1 is a full-history global average — unboundable under
+    streaming (complete mode ignores watermarks for eviction). This windowed
+    form runs in update/append mode where the watermark DOES evict closed
+    windows, so state is O(active windows × fueltypes). Documented
+    deviation for production scale (SURVEY.md §2.11 T5)."""
+    return (
+        prices.groupBy(
+            F.window("lastupdated", window_duration).alias("w"), "fueltype"
+        )
+        .agg(F.round(F.avg("price"), 2).alias("avg_price"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "fueltype",
+            "avg_price",
+        )
+    )
+
+
 def q2_station_latest_prices(
     stations: DataFrame, prices: DataFrame
 ) -> DataFrame:
@@ -145,8 +170,11 @@ def q2_station_latest_prices(
     so stations without prices survive with an empty info string; per-station
     info sorted for determinism (reference order is arbitrary merge order).
     """
+    # tiebreak pinned (repo contract: every argmax pins one): silver prices
+    # carry no unique id, and only price survives into the output, so
+    # highest-price-wins makes equal-timestamp results deterministic.
     latest = latest_per_key(
-        prices, ["stationcode", "fueltype"], "lastupdated"
+        prices, ["stationcode", "fueltype"], "lastupdated", tiebreak="price"
     ).select(
         F.col("stationcode").try_cast("long").alias("join_code"),
         "fueltype",

@@ -813,7 +813,7 @@ REGISTRY: dict[str, QueryDef] = {
     "events_props_stats": QueryDef(
         q_events_props_stats,
         """SELECT event_type,
-                  SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+                  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
                   COUNT(*) AS n_events
            FROM events
            WHERE CAST(props->>'k' AS BIGINT) >= 50

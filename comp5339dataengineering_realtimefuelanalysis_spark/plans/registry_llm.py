@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.caching import tracked_persist
 from ..functions.scalars import dec_avg
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
@@ -191,6 +192,33 @@ def _sql_simhash() -> str:
     """
 
 
+_SIMHASH_BANDS = 4
+_SIMHASH_MAX_HAMMING = 6
+
+
+def _sql_simhash_pairs() -> str:
+    """Replay of dd.simhash_pairs: the banded pigeonhole blocking is a
+    DETERMINISTIC function of the exact fingerprints (band b = bits
+    [b*width, (b+1)*width) of the simhash), so the oracle reproduces the
+    candidate set exactly — no probabilistic gap."""
+    width = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << width) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash >> {b * width}) & {mask} AS key FROM fp"
+        for b in range(_SIMHASH_BANDS)
+    )
+    return f"""
+        WITH fp AS ({_sql_simhash()}),
+        bands AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}
+    """
+
+
 # embeddings: int64-scaled exact cosine
 _SCALE = "1000000000"  # 1e9
 
@@ -260,6 +288,96 @@ def _sql_near_dup_pairs() -> str:
         WHERE CAST(dot AS DOUBLE)
                   / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE)))
               >= {_NEAR_DUP_THRESHOLD}
+    """
+
+
+# hyperplane LSH: the planes are deterministic md5-derived constants
+# (similarity._hyperplane_component), so the sign-bucketing is exactly
+# replayable in SQL. Projections are left-fold double sums in element
+# order on BOTH engines (Spark F.aggregate == SQL left-assoc `+` chain),
+# hence bit-identical signs.
+_EMB_DIM = 64
+_NEAR_DUP_PLANES = 6
+_ANN_PLANES = 4
+
+
+def _sql_hyperplane_proj(p: int, vec: str) -> str:
+    terms = " + ".join(
+        f"CAST({vec}[{d + 1}] AS DOUBLE) * ({sim._hyperplane_component(p, d)!r})"
+        for d in range(_EMB_DIM)
+    )
+    return f"({terms})"
+
+
+def _sql_bucket(planes: int, vec: str) -> str:
+    cases = " + ".join(
+        f"CASE WHEN {_sql_hyperplane_proj(p, vec)} > 0"
+        f" THEN {1 << p} ELSE 0 END"
+        for p in range(planes)
+    )
+    return f"({cases})"
+
+
+def _sql_near_dup_lsh_pairs() -> str:
+    return f"""
+        WITH bk AS (SELECT vec_id, embedding,
+                           {_sql_bucket(_NEAR_DUP_PLANES, "embedding")} AS bucket
+                    FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   SUM({_sql_scaled('a.embedding[CAST(i AS INT)]')}
+                       * {_sql_scaled('b.embedding[CAST(i AS INT)]')}) AS dot,
+                   SUM({_sql_scaled('a.embedding[CAST(i AS INT)]')}
+                       * {_sql_scaled('a.embedding[CAST(i AS INT)]')}) AS an,
+                   SUM({_sql_scaled('b.embedding[CAST(i AS INT)]')}
+                       * {_sql_scaled('b.embedding[CAST(i AS INT)]')}) AS bn
+            FROM bk a JOIN bk b
+                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id,
+                 range(1, {_EMB_DIM + 1}) r(i)
+            GROUP BY a.vec_id, b.vec_id)
+        SELECT id_a, id_b,
+               CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE)))
+                   AS cosine
+        FROM pairs
+        WHERE CAST(dot AS DOUBLE)
+                  / (sqrt(CAST(an AS DOUBLE)) * sqrt(CAST(bn AS DOUBLE)))
+              >= {_NEAR_DUP_THRESHOLD}
+    """
+
+
+def _sql_ann_lsh_topk() -> str:
+    return f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qvec,
+                          {_sql_bucket(_ANN_PLANES, "embedding")} AS bucket
+                   FROM embeddings WHERE vec_id < {_TOPK_NQ}),
+        c AS (SELECT vec_id, embedding,
+                     {_sql_bucket(_ANN_PLANES, "embedding")} AS bucket
+              FROM embeddings),
+        pairs AS (
+            SELECT q.qid, c.vec_id,
+                   SUM({_sql_scaled('q.qvec[CAST(i AS INT)]')}
+                       * {_sql_scaled('c.embedding[CAST(i AS INT)]')}) AS dot,
+                   SUM({_sql_scaled('q.qvec[CAST(i AS INT)]')}
+                       * {_sql_scaled('q.qvec[CAST(i AS INT)]')}) AS qn,
+                   SUM({_sql_scaled('c.embedding[CAST(i AS INT)]')}
+                       * {_sql_scaled('c.embedding[CAST(i AS INT)]')}) AS en
+            FROM q JOIN c ON q.bucket = c.bucket,
+                 range(1, {_EMB_DIM + 1}) r(i)
+            GROUP BY q.qid, c.vec_id),
+        scored AS (
+            SELECT qid, vec_id,
+                   CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en AS DOUBLE)))
+                       AS cosine
+            FROM pairs),
+        ranked AS (
+            SELECT qid, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, vec_id)
+                       AS BIGINT) AS rank
+            FROM scored)
+        SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
     """
 
 
@@ -364,12 +482,14 @@ def q_corpus_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production source the pushdown is the right plan and the persist is
     # the standard profile-stage materialization a prep pipeline does
     # anyway before fanning out to gate/dedup/stats consumers.
-    prof = docs.select(
-        tx.lang_id("text").alias("lang"),
-        tx.token_count_ws("text").alias("n_tokens"),
-        tx.quality_score("text").alias("quality"),
-        tx.fingerprint("text").alias("fp"),
-    ).persist()
+    prof = tracked_persist(
+        docs.select(
+            tx.lang_id("text").alias("lang"),
+            tx.token_count_ws("text").alias("n_tokens"),
+            tx.quality_score("text").alias("quality"),
+            tx.fingerprint("text").alias("fp"),
+        )
+    )
     kept = prof.filter(
         (F.col("quality") >= _QUALITY_KEEP) & (F.col("lang") != "unknown")
     )
@@ -428,15 +548,18 @@ def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_parallel(spark, sf_dir)
     # ONE shingle explosion shared by the LSH candidates and the verify
     # sets (persisted), and a persisted candidate set: uncached, each
-    # reference re-derives the full shingle DAG.
-    sh = dd.shingles(docs, n=_SHINGLE_N, distinct=False).persist()
-    cands = dd.minhash_lsh_pairs(
-        docs,
-        n=_SHINGLE_N,
-        num_hashes=_NUM_HASHES,
-        bands=_BANDS,
-        shingles_df=sh,
-    ).persist()
+    # reference re-derives the full shingle DAG. Tracked so the
+    # materializing caller can release them (functions/caching.py).
+    sh = tracked_persist(dd.shingles(docs, n=_SHINGLE_N, distinct=False))
+    cands = tracked_persist(
+        dd.minhash_lsh_pairs(
+            docs,
+            n=_SHINGLE_N,
+            num_hashes=_NUM_HASHES,
+            bands=_BANDS,
+            shingles_df=sh,
+        )
+    )
     return dd.jaccard_verify_pairs(
         docs,
         cands,
@@ -450,9 +573,17 @@ _WINNOW_W = 4
 
 
 def q_doc_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint set serialized to a CSV string: the harness canonicalizer
+    hashes scalar cells only (array columns are unsortable in pandas), so
+    the sorted array is joined into one deterministic string per doc."""
     docs = _docs_parallel(spark, sf_dir)
-    return dd.winnow_fingerprints(
-        docs, n=_SHINGLE_N, window=_WINNOW_W
+    fps = dd.winnow_fingerprints(docs, n=_SHINGLE_N, window=_WINNOW_W)
+    return fps.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("fps"), lambda x: x.cast("string")), ","
+        ).alias("fps"),
+        "n_fps",
     )
 
 
@@ -476,7 +607,7 @@ def _sql_winnow() -> str:
                 FROM hashes),
         sel AS (SELECT DISTINCT doc_id, mh FROM win
                 WHERE pos <= greatest(n_sh - {_WINNOW_W - 1}, 1))
-        SELECT doc_id, list_sort(list(mh)) AS fps,
+        SELECT doc_id, array_to_string(list_sort(list(mh)), ',') AS fps,
                CAST(len(list(mh)) AS INT) AS n_fps
         FROM sel GROUP BY doc_id
     """
@@ -488,9 +619,16 @@ def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No oracle: pair generation is banded (probabilistic blocking)."""
+    """Banded blocking is deterministic over exact fingerprints, so the
+    oracle (_sql_simhash_pairs) replays the full candidate set + Hamming
+    verify exactly."""
     docs = _docs_parallel(spark, sf_dir)
-    return dd.simhash_pairs(docs, bits=_SIMHASH_BITS, max_hamming=6)
+    return dd.simhash_pairs(
+        docs,
+        bits=_SIMHASH_BITS,
+        bands=_SIMHASH_BANDS,
+        max_hamming=_SIMHASH_MAX_HAMMING,
+    )
 
 
 def _emb_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,17 +687,50 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No oracle: hyperplane-LSH blocking is recall<1 by design."""
+    """Approximate recall vs exact near-dup, but fully deterministic: the
+    md5-derived hyperplanes are replayed by the oracle, which therefore
+    verifies the bucketing AND the exact-cosine scoring."""
     emb = _emb_parallel(spark, sf_dir)
     return sim.embedding_near_dup_pairs(
-        emb, threshold=_NEAR_DUP_THRESHOLD, planes=6
+        emb, threshold=_NEAR_DUP_THRESHOLD, planes=_NEAR_DUP_PLANES
     )
 
 
 def q_emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """No oracle: approximate by design (bucket-restricted scoring)."""
+    """Bucket-restricted approximate top-k; deterministic bucketing makes
+    it oracle-checkable (see _sql_ann_lsh_topk)."""
     queries, emb = _queries_vecs(spark, sf_dir)
-    return sim.ann_lsh_topk(queries, emb, k=_TOPK_K, planes=4)
+    return sim.ann_lsh_topk(queries, emb, k=_TOPK_K, planes=_ANN_PLANES)
+
+
+# One materialized IVF index per (sf_dir, planes): ivf_write is an eager
+# parquet write, so cache the path instead of rebuilding per invocation.
+_IVF_INDEX_PATHS: dict[str, str] = {}
+
+
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-rest ANN: the corpus bucketed + partitioned on disk (ivf_write),
+    queried with partition-pruned probes (ivf_topk). With probes=1 and the
+    same planes this is defined to equal ann_lsh_topk (same buckets, same
+    exact-cosine scoring — operators/similarity.py:274), so it shares the
+    _sql_ann_lsh_topk oracle."""
+    import os
+    import tempfile
+
+    key = f"{sf_dir}:{_ANN_PLANES}"
+    path = _IVF_INDEX_PATHS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="spark_graft_ivf_"), "index"
+        )
+        sim.ivf_write(
+            load_table(spark, sf_dir, "embeddings"), path, planes=_ANN_PLANES
+        )
+        _IVF_INDEX_PATHS[key] = path
+    queries, _ = _queries_vecs(spark, sf_dir)
+    return sim.ivf_topk(
+        spark, path, queries, k=_TOPK_K, planes=_ANN_PLANES, probes=1
+    )
 
 
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,7 +876,7 @@ LLM_REGISTRY: dict[str, QueryDef] = {
     ),
     "doc_simhash_pairs": QueryDef(
         q_doc_simhash_pairs,
-        None,  # banded blocking is probabilistic; rows-only check
+        _sql_simhash_pairs(),
         ("documents",),
         "SimHash near-dup pairs (banded + Hamming verify)",
     ),
@@ -723,15 +894,21 @@ LLM_REGISTRY: dict[str, QueryDef] = {
     ),
     "emb_near_dup_lsh": QueryDef(
         q_emb_near_dup_lsh,
-        None,  # LSH recall < 1 by design
+        _sql_near_dup_lsh_pairs(),
         ("embeddings",),
         "hyperplane-LSH near-dup (scale path)",
     ),
     "emb_ann_lsh_topk": QueryDef(
         q_emb_ann_lsh_topk,
-        None,  # approximate by design
+        _sql_ann_lsh_topk(),
         ("embeddings",),
         "LSH-bucketed approximate top-k",
+    ),
+    "emb_ivf_topk": QueryDef(
+        q_emb_ivf_topk,
+        _sql_ann_lsh_topk(),  # probes=1 == ann_lsh_topk by construction
+        ("embeddings",),
+        "IVF at-rest ANN: partitioned index + partition-pruned probe",
     ),
     "media_decode": QueryDef(
         q_media_decode,

@@ -42,14 +42,29 @@ def split_prices(envelope: DataFrame) -> DataFrame:
     ).select("r.*")
 
 
-def split_stations(envelope: DataFrame) -> DataFrame:
+def split_stations(envelope: DataFrame, with_pos: bool = False) -> DataFrame:
     """P2+P1: envelope -> raw station records, nested location flattened
     to ``location_latitude``/``location_longitude`` (DataIngesting.py:58-59
-    naming)."""
+    naming).
+
+    ``with_pos=True`` adds ``__arrival_pos``: the record's index inside its
+    envelope's ``stations`` array — a deterministic arrival sequence that
+    survives input-file splitting (unlike ``monotonically_increasing_id``,
+    which encodes partition id, not in-document order). Combined with the
+    landing file name this pins first-arrival dedup; the one remaining
+    assumption is one envelope document per landing file (the poller's
+    write contract, sources/rest.py).
+    """
+    if with_pos:
+        rows = envelope.select(
+            F.posexplode(F.col("stations")).alias("__arrival_pos", "r")
+        ).select("__arrival_pos", "r.*")
+    else:
+        rows = envelope.select(
+            F.explode(F.col("stations")).alias("r")
+        ).select("r.*")
     return (
-        envelope.select(F.explode(F.col("stations")).alias("r"))
-        .select("r.*")
-        .withColumn("location_latitude", F.col("location.latitude"))
+        rows.withColumn("location_latitude", F.col("location.latitude"))
         .withColumn("location_longitude", F.col("location.longitude"))
         .drop("location")
     )

@@ -34,6 +34,7 @@ from ..plans.fuel import (
     clean_prices,
     clean_stations,
     q1_avg_price_by_fueltype,
+    q1_avg_price_windowed,
     q2_station_latest_prices,
     q3_price_trend,
 )
@@ -50,6 +51,7 @@ class FuelStreamingPipeline:
     q1_table: str = "q1_live"
     bounded_state: bool = False
     watermark: str = "1 hour"
+    state_window: str = "1 day"
 
     @property
     def prices_path(self) -> str:
@@ -87,12 +89,22 @@ class FuelStreamingPipeline:
         # --- prices: Q1 live aggregation (EP3 consumer b) -----------------
         silver_stream, _ = clean_prices(raw_prices)
         if self.bounded_state:
-            silver_stream = silver_stream.withWatermark(
-                "lastupdated", self.watermark
+            # Bounded state REQUIRES update/append output: in complete mode
+            # Spark ignores watermarks for state eviction (the full-history
+            # global average cannot be bounded). The bounded variant is a
+            # documented deviation: avg per (event-time window, fueltype)
+            # in update mode — the watermark evicts windows older than
+            # `watermark`, so state is O(active windows), not O(history).
+            q1_df = q1_avg_price_windowed(
+                silver_stream.withWatermark("lastupdated", self.watermark),
+                window_duration=self.state_window,
             )
+            q1_mode = "update"
+        else:
+            q1_df = q1_avg_price_by_fueltype(silver_stream)
+            q1_mode = "complete"
         q1 = (
-            q1_avg_price_by_fueltype(silver_stream)
-            .writeStream.outputMode("complete")
+            q1_df.writeStream.outputMode(q1_mode)
             .format("memory")
             .queryName(self.q1_table)
             .option("checkpointLocation", f"{self.checkpoint_dir}/q1")
@@ -103,27 +115,24 @@ class FuelStreamingPipeline:
         # The reference's Python set keeps the FIRST arrival ever seen
         # (main.py:72-76). Streaming dropDuplicates keeps an *arbitrary* row
         # when the same code lands twice inside one micro-batch, so instead:
-        # (a) within-batch: deterministic dedup ordered by arrival (landing
-        #     file sequence, then in-file order);
+        # (a) within-batch: deterministic dedup ordered by arrival — the
+        #     landing file name, then the record's position INSIDE its
+        #     envelope array (posexplode; stable however the file is split
+        #     into input partitions — see split_stations);
         # (b) across batches: anti-join against the silver table itself —
         #     idempotent state that survives even checkpoint loss, and a
         #     broadcast-size build side (dimension tables are small).
-        raw_stations = split_stations(envelope).withColumn(
+        raw_stations = split_stations(envelope, with_pos=True).withColumn(
             "__arrival_file", F.input_file_name()
         )
 
         def sink_stations(batch: DataFrame, epoch_id: int) -> None:
-            # in-file arrival order; monotonically_increasing_id is legal
-            # here (the foreachBatch frame is a plain batch DataFrame)
-            batch = batch.withColumn(
-                "__arrival_seq", F.monotonically_increasing_id()
-            )
             silver, _ = clean_stations(
-                batch, passthrough_cols=("__arrival_file", "__arrival_seq")
+                batch, passthrough_cols=("__arrival_file", "__arrival_pos")
             )
             first = dedup_first(
-                silver, ["code"], ["__arrival_file", "__arrival_seq"]
-            ).drop("__arrival_file", "__arrival_seq")
+                silver, ["code"], ["__arrival_file", "__arrival_pos"]
+            ).drop("__arrival_file", "__arrival_pos")
             try:
                 seen = batch.sparkSession.read.parquet(
                     self.stations_path
