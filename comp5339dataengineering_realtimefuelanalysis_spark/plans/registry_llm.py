@@ -760,6 +760,19 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(media, every_ms=1000, mode="fake")
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize directive attached as plan metadata (consumed by the decode
+    stage in one pass at scale); surfaced as a scalar column for the
+    harness (map columns are unhashable in the canonicalizer)."""
+    media = _media_df(spark, sf_dir)
+    planned = mm.resize_plan(media, 224, 224)
+    return planned.select(
+        "media_id",
+        "kind",
+        F.element_at(F.col("meta"), "resize").alias("resize"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -921,5 +934,12 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_frame_sample(),
         ("documents",),
         "video frame sampling fan-out",
+    ),
+    "media_resize": QueryDef(
+        q_media_resize,
+        f"""WITH media AS ({_SQL_MEDIA})
+            SELECT media_id, kind, '224x224' AS resize FROM media""",
+        ("documents",),
+        "resize directive attached as decode-stage plan metadata",
     ),
 }

@@ -48,17 +48,39 @@ def append_prices_partitioned(prices: DataFrame, path: str) -> None:
     )
 
 
+def kafka_payload(
+    df: DataFrame, key_cols: list[str] | None = None
+) -> DataFrame:
+    """Build the exact frame ``format("kafka")`` requires: a ``value``
+    column (the record as a JSON document, to_json(struct(*))) plus an
+    optional ``key`` column (key_cols joined by ':', the topic partition
+    key — records for one station hash to one partition, preserving
+    per-key ordering the way the reference's single MQTT topic did).
+
+    The payload is lossless for the declared schemas: parsing ``value``
+    back with from_json(schema) reproduces the input row (see
+    tests/test_sinks.py round-trip).
+    """
+    value = F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias(
+        "value"
+    )
+    if key_cols:
+        key = F.concat_ws(
+            ":", *[F.col(c).cast("string") for c in key_cols]
+        ).alias("key")
+        return df.select(key, value)
+    return df.select(value)
+
+
 def publish_json(df: DataFrame, path: str) -> None:
     """K1: the reference publishes one JSON payload per record to an MQTT
     topic with a fresh TCP connection each (main.py:53-56) — here the
-    payload stream is ``to_json(struct(*))`` written micro-batch-
-    vectorized as JSON lines (swap `.text` for `.format("kafka")` +
-    a `value` column against a real broker; the payload column is
-    identical)."""
-    payload = df.select(
-        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
-    )
-    payload.write.mode("append").text(path)
+    payload stream is ``kafka_payload``'s ``value`` column written
+    micro-batch-vectorized as JSON lines. Against a real broker the SAME
+    frame goes to ``.write.format("kafka").option("kafka.bootstrap.
+    servers", ...)`` — only the sink format changes, the payload is
+    identical (exercised broker-less in tests/test_sinks.py)."""
+    kafka_payload(df).write.mode("append").text(path)
 
 
 def quarantine(rejects: DataFrame, path: str) -> None:

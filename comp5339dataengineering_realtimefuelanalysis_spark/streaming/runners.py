@@ -38,7 +38,12 @@ from ..plans.fuel import (
     q2_station_latest_prices,
     q3_price_trend,
 )
-from ..sinks.writers import append_prices_partitioned, append_parquet, quarantine
+from ..sinks.writers import (
+    append_prices_partitioned,
+    append_parquet,
+    publish_json,
+    quarantine,
+)
 from ..sources.readers import read_envelope, split_prices, split_stations
 
 
@@ -52,6 +57,11 @@ class FuelStreamingPipeline:
     bounded_state: bool = False
     watermark: str = "1 hour"
     state_window: str = "1 day"
+    # F4's per-key analog: publish only rows whose lastupdated strictly
+    # exceeds everything previously seen for their stationcode (the
+    # reference's high-watermark publisher, main.py:44-51, keyed per
+    # station instead of global). Opt-in: adds a 4th streaming query.
+    publish_new_highs: bool = False
 
     @property
     def prices_path(self) -> str:
@@ -64,6 +74,10 @@ class FuelStreamingPipeline:
     @property
     def rejects_path(self) -> str:
         return f"{self.warehouse_dir}/rejects"
+
+    @property
+    def published_path(self) -> str:
+        return f"{self.warehouse_dir}/published/prices"
 
     def start(self) -> list[StreamingQuery]:
         envelope = read_envelope(self.spark, self.landing_dir, streaming=True)
@@ -150,7 +164,32 @@ class FuelStreamingPipeline:
             .start()
         )
 
-        return [q_prices, q1, q_stations]
+        queries = [q_prices, q1, q_stations]
+
+        # --- prices: per-key high-watermark publish (F4 analog) -----------
+        if self.publish_new_highs:
+            from ..schemas import CLEAN_PRICE
+            from .stateful import emit_new_highs
+
+            highs_stream, _ = clean_prices(raw_prices)
+            highs = emit_new_highs(
+                highs_stream, "stationcode", "lastupdated", CLEAN_PRICE
+            )
+
+            def sink_highs(batch: DataFrame, epoch_id: int) -> None:
+                if not batch.isEmpty():
+                    publish_json(batch, self.published_path)
+
+            queries.append(
+                highs.writeStream.outputMode("append")
+                .foreachBatch(sink_highs)
+                .option(
+                    "checkpointLocation", f"{self.checkpoint_dir}/highs"
+                )
+                .start()
+            )
+
+        return queries
 
     # --- on-demand gold queries over silver (EP3) -------------------------
 

@@ -133,6 +133,73 @@ def test_dedup_first_arrival_within_single_microbatch(spark, dirs):
             q.stop()
 
 
+def test_publish_new_highs_survives_restart(spark, dirs):
+    """The per-key high-watermark publisher (F4 analog, emit_new_highs
+    wired as the pipeline's 4th query) keeps its keyed state across a
+    full pipeline stop/restart: rows at-or-below a station's pre-restart
+    watermark are suppressed, new highs are published."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.schemas import (
+        CLEAN_PRICE,
+    )
+
+    def published(pipe):
+        df = spark.read.schema(CLEAN_PRICE).json(pipe.published_path)
+        return {
+            (r.stationcode, r.fueltype, r.price)
+            for r in df.collect()
+        }
+
+    def make_pipe():
+        return FuelStreamingPipeline(
+            spark,
+            landing_dir=dirs["landing"],
+            warehouse_dir=dirs["warehouse"],
+            checkpoint_dir=dirs["checkpoint"],
+            q1_table="q1_live_highs",
+            publish_new_highs=True,
+        )
+
+    land(dirs, 0, BATCH_1)
+    pipe = make_pipe()
+    queries = pipe.start()
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    # both station-100 rows are strictly increasing in event time ->
+    # published; the zero-price row never reaches the cleaned stream
+    assert published(pipe) == {
+        ("100", "U91", 180.0),
+        ("100", "E10", 171.5),
+    }
+
+    # ---- restart: same checkpoints, new pipeline object ----
+    land(dirs, 1, {
+        "stations": [],
+        "prices": [
+            # below station 100's pre-restart watermark (02/10 09:00)
+            price(100, "U91", 150.0, "01/10/2023 12:00:00"),
+            # strictly newer -> published
+            price(100, "P98", 200.0, "03/10/2023 08:00:00"),
+        ],
+    })
+    pipe2 = make_pipe()
+    queries = pipe2.start()
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    assert published(pipe2) == {
+        ("100", "U91", 180.0),
+        ("100", "E10", 171.5),
+        ("100", "P98", 200.0),
+    }
+
+
 def test_stream_batch_equivalence(spark, dirs):
     """Cleaned streaming output == batch clean of the concatenated input."""
     land(dirs, 0, BATCH_1)
