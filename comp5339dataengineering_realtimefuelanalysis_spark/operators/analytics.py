@@ -170,6 +170,41 @@ def windowed_stats(
     )
 
 
+def sliding_stats(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    val_col: str,
+    window: str = "7 days",
+    slide: str = "1 day",
+) -> DataFrame:
+    """Sliding-window aggregate: each row contributes to window/slide
+    overlapping windows (e.g. every 7-day window advancing daily).
+
+    ``F.window(ts, window, slide)`` expands each row to its covering
+    windows BEFORE the aggregation — a deliberate window/slide-factor raw
+    fan-out that the partial (map-side) aggregation collapses to one row
+    per (window, keys) per partition, so the shuffle carries aggregates,
+    not the fan-out. Streaming-compatible: the same expression runs under
+    a watermark, where it is the standard sliding-dashboard query. For
+    very large window/slide ratios prefer aggregating to slide-grain
+    first (see ``moving_avg_daily``'s daily pre-grain) — fan-out there is
+    1, at the cost of a second shuffle.
+    """
+    from ..functions.scalars import dec_avg, dec_sum
+
+    return (
+        df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(val_col, "sum_value"),
+            dec_avg(val_col, "avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *keys,
+                "n_events", "sum_value", "avg_value")
+    )
+
+
 def moving_avg_daily(
     df: DataFrame,
     keys: Sequence[str],

@@ -533,3 +533,177 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over near-dup pair edges
+# ---------------------------------------------------------------------------
+
+
+def _canonical_edges(e: DataFrame) -> DataFrame:
+    return (
+        e.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return _canonical_edges(
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every smaller neighbor of h (and h itself) to its min."""
+    nbrs = e.select(F.col("v").alias("h"), F.col("u").alias("l"))
+    mins = nbrs.groupBy("h").agg(F.min("l").alias("m"))
+    return _canonical_edges(
+        nbrs.join(mins, "h")
+        .select(F.col("l").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("h").alias("u"), F.col("m").alias("v")))
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected pair graph — the clustering
+    step that turns near-dup PAIRS into dedup GROUPS (transitive closure:
+    A~B, B~C puts A,C in one cluster even if never directly compared).
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    is two groupBy+join passes over the current edge set, and the edge
+    set contracts toward one star per component in O(log n) rounds —
+    this is the 100 TB shape (label propagation converges in O(diameter)
+    rounds, unbounded on chain-like clusters; star contraction does not
+    depend on topology). TWO rounds run per materialization/convergence
+    check (count + order-independent xxhash64 sum): near-dup graphs
+    converge in 2-3 rounds, so this halves the driver round-trips for
+    one possibly-wasted round of extra work after the fixpoint. When the
+    checksum shows the contracted edge set is small, the next super-round
+    reads it as one task instead of the parent's partitioning — the
+    iteration cost tracks the shrinking data, not the input layout.
+
+    Returns ``(node, component)`` with one row per node that appears in
+    ``edges``; ``component`` is the smallest node id of its component
+    (the canonical survivor under min-id dedup). Nodes with no edges are
+    absent — union singletons at the call site.
+    """
+    # localCheckpoint (NOT persist): each round's plan references the
+    # previous round's several times (unions + both join sides), so the
+    # nested logical plan grows ~6x per round — persist caches the DATA
+    # but Catalyst still re-analyzes the whole exponential tree (measured:
+    # driver heap OOM on an 8-node chain). Checkpointing truncates the
+    # lineage to the materialized blocks; the superseded round's blocks
+    # are dropped by the ContextCleaner when their frame goes out of
+    # scope. (Cluster note: localCheckpoint trades fault-tolerance for
+    # speed — on executor loss the job recomputes from scratch, the
+    # standard choice for short iterative refinements.)
+    cur = _canonical_edges(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    ).localCheckpoint(eager=True)
+
+    def checksum(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulate: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = checksum(cur)
+    for _ in range(max_iter):
+        base = cur.coalesce(1) if prev[0] <= 1_000_000 else cur
+        step = _small_star(_large_star(base))
+        nxt = _small_star(_large_star(step)).localCheckpoint(eager=True)
+        cur_check = checksum(nxt)
+        cur = nxt
+        if cur_check == prev:
+            break
+        prev = cur_check
+
+    # At convergence every component is a star rooted at its min id:
+    # edge (m, v) assigns v -> m, and the root maps to itself.
+    members = cur.select(
+        F.col("v").alias("node"), F.col("u").alias("component")
+    )
+    roots = cur.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return members.union(roots).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Test-set contamination: n-gram overlap between a probe set and a corpus
+# ---------------------------------------------------------------------------
+
+
+def ngram_overlap_pairs(
+    probe: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_frac: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Decontamination check: for each probe (eval/benchmark) document,
+    which corpus (training) documents share n-grams with it, and how much
+    of the probe is covered.
+
+    Inverted-index join on distinct shingles — the same shape as
+    ``ngram_jaccard_pairs`` but asymmetric (probe x corpus, no self
+    pairs), which is the realistic case: |probe| << |corpus|, so posting
+    lists pair each corpus hit with only the few probe docs sharing the
+    shingle. ``max_df`` (document frequency measured on the CORPUS side)
+    drops boilerplate shingles before the join; probe coverage fractions
+    are then over each probe doc's rare-shingle set, mirrored exactly in
+    the oracle.
+
+    Output: (probe_id, corpus_id, n_shared, frac) with
+    frac = n_shared / |probe doc's (rare) shingle set| >= min_frac.
+    """
+    sp = shingles(probe, text_col, id_col, n)
+    sc = shingles(corpus, text_col, id_col, n)
+    if max_df is not None:
+        rare = (
+            sc.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sp = sp.join(rare, "shingle")
+        sc = sc.join(rare, "shingle")
+    sizes = sp.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sp.select(F.col(id_col).alias("probe_id"), "shingle")
+    b = sc.select(F.col(id_col).alias("corpus_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .groupBy("probe_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col(id_col).alias("probe_id"), F.col("sz")
+            ),
+            "probe_id",
+        )
+        .withColumn("frac", F.col("n_shared") / F.col("sz"))
+        .filter(F.col("frac") >= F.lit(min_frac))
+        .select("probe_id", "corpus_id", "n_shared", "frac")
+    )

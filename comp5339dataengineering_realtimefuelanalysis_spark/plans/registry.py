@@ -38,6 +38,7 @@ from ..operators.analytics import (
     series_by,
     orphans,
     windowed_stats,
+    sliding_stats,
     moving_avg_daily,
     sessionize,
     pivot_counts,
@@ -330,6 +331,14 @@ def q_events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 beyond-parity: tumbling 1-day window stats per event type."""
     events = load_table(spark, sf_dir, "events")
     return windowed_stats(events, "ts", ["event_type"], "value", "1 day")
+
+
+def q_events_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 beyond-parity: 7-day window sliding daily, per event type."""
+    events = load_table(spark, sf_dir, "events")
+    return sliding_stats(
+        events, "ts", ["event_type"], "value", "7 days", "1 day"
+    )
 
 
 def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,6 +872,24 @@ REGISTRY: dict[str, QueryDef] = {
            FROM events GROUP BY 1, 2""",
         ("events",),
         "tumbling 1-day window aggregate (streaming-compatible F.window)",
+    ),
+    "events_sliding_stats": QueryDef(
+        q_events_sliding_stats,
+        """WITH expanded AS (
+               SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                          - INTERVAL 1 DAY * CAST(k.range AS INT)
+                          AS window_start,
+                      event_type, value
+               FROM events, range(7) k)
+           SELECT window_start, event_type,
+                  COUNT(*) AS n_events,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                      AS sum_value,
+                  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(value) AS avg_value
+           FROM expanded GROUP BY 1, 2""",
+        ("events",),
+        "sliding 7-day/1-day window aggregate (streaming-compatible)",
     ),
     "events_moving_avg": QueryDef(
         q_events_moving_avg,

@@ -24,6 +24,7 @@ from ..functions.caching import tracked_persist
 from ..functions.scalars import dec_avg
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
+from ..operators import packing as pk
 from ..operators import similarity as sim
 from ..operators import text as tx
 from ..operators.text import LANG_MARKERS
@@ -569,6 +570,156 @@ def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_lsh_verified() -> str:
+    return f"""WITH cands AS ({_sql_lsh_pairs()}),
+        sh AS ({_SQL_SHINGLES}),
+        sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sh_set
+                 FROM sh GROUP BY doc_id)
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+                   / (len(a.sh_set) + len(b.sh_set)
+                      - len(list_intersect(a.sh_set, b.sh_set)))
+                   AS jaccard
+        FROM cands c
+        JOIN sets a ON a.doc_id = c.id_a
+        JOIN sets b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+                  / (len(a.sh_set) + len(b.sh_set)
+                     - len(list_intersect(a.sh_set, b.sh_set)))
+              >= {_JACCARD_THRESHOLD}"""
+
+
+def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: the transitive closure the pair queries stop
+    short of — A~B, B~C puts A and C in one dedup group even though the
+    pair (A, C) was never generated. Spark side: alternating large-star/
+    small-star contraction (O(log n) rounds, each a groupBy+join over the
+    shrinking edge set — see operators/dedup.py:connected_components).
+    Oracle side: the same closure as a DuckDB recursive CTE. Output is
+    one row per document: its cluster representative (smallest doc_id in
+    the component, itself for singletons) and the min-id dedup decision."""
+    docs = _docs_parallel(spark, sf_dir)
+    sh = tracked_persist(dd.shingles(docs, n=_SHINGLE_N, distinct=False))
+    cands = tracked_persist(
+        dd.minhash_lsh_pairs(
+            docs,
+            n=_SHINGLE_N,
+            num_hashes=_NUM_HASHES,
+            bands=_BANDS,
+            shingles_df=sh,
+        )
+    )
+    pairs = dd.jaccard_verify_pairs(
+        docs,
+        cands,
+        n=_SHINGLE_N,
+        threshold=_JACCARD_THRESHOLD,
+        shingles_df=sh,
+    )
+    cc = dd.connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("doc_id"))
+    )
+
+
+_PACK_CTX = 2048
+
+
+def q_doc_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-chunk sequence packing: every doc's absolute token
+    offset in the id-ordered corpus stream and the ctx-sized training
+    sequences it spans. The prefix sum is bucketed (see
+    operators/packing.py) — no single-task global window."""
+    docs = _docs_parallel(spark, sf_dir)
+    return pk.pack_sequences(docs, ctx_len=_PACK_CTX)
+
+
+def _sql_seq_pack() -> str:
+    return f"""WITH toks AS (
+            SELECT doc_id, {_SQL_N_TOKENS_WS} AS n_tokens FROM documents),
+        cum AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_tok
+            FROM toks)
+        SELECT doc_id, n_tokens, start_tok,
+               start_tok // {_PACK_CTX} AS first_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (start_tok + n_tokens - 1) // {_PACK_CTX}
+                    ELSE start_tok // {_PACK_CTX} END AS last_seq
+        FROM cum"""
+
+
+_CONTAM_MIN_FRAC = 0.2
+
+
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: a 5% held-out probe set (doc_id % 20 == 0
+    stands in for an eval benchmark) checked for n-gram overlap against
+    the remaining corpus — the standard train/test leakage audit. Same
+    inverted-index shape as the Jaccard path, asymmetric probe x corpus."""
+    docs = _docs_parallel(spark, sf_dir)
+    probe = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return dd.ngram_overlap_pairs(
+        probe,
+        corpus,
+        n=_SHINGLE_N,
+        min_frac=_CONTAM_MIN_FRAC,
+        max_df=_JACCARD_MAX_DF,
+    )
+
+
+def _sql_contamination() -> str:
+    return f"""WITH sh AS ({_SQL_SHINGLES}),
+        probe AS (SELECT * FROM sh WHERE doc_id % 20 = 0),
+        corp AS (SELECT * FROM sh WHERE doc_id % 20 <> 0),
+        rare AS (SELECT shingle FROM corp GROUP BY shingle
+                 HAVING COUNT(*) <= {_JACCARD_MAX_DF}),
+        p AS (SELECT probe.doc_id, probe.shingle FROM probe
+              JOIN rare USING (shingle)),
+        c AS (SELECT corp.doc_id, corp.shingle FROM corp
+              JOIN rare USING (shingle)),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+        inter AS (SELECT p.doc_id AS probe_id, c.doc_id AS corpus_id,
+                         COUNT(*) AS n_shared
+                  FROM p JOIN c USING (shingle) GROUP BY 1, 2)
+        SELECT probe_id, corpus_id, n_shared,
+               CAST(n_shared AS DOUBLE) / sz AS frac
+        FROM inter JOIN sizes ON sizes.doc_id = probe_id
+        WHERE CAST(n_shared AS DOUBLE) / sz >= {_CONTAM_MIN_FRAC}"""
+
+
+def _sql_dedup_clusters() -> str:
+    """Transitive closure of the verified-pair graph: breadth-first walk
+    (recursive CTE, UNION-deduplicated) from every node; component id =
+    min reachable node over the symmetric edge set."""
+    return f"""WITH RECURSIVE pairs AS ({_sql_lsh_verified()}),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        walk(node, root) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.node
+        ),
+        comp AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+                 FROM walk GROUP BY node)
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
+
+
 _WINNOW_W = 4
 
 
@@ -856,24 +1007,27 @@ LLM_REGISTRY: dict[str, QueryDef] = {
     ),
     "doc_lsh_verified_pairs": QueryDef(
         q_doc_lsh_verified_pairs,
-        f"""WITH cands AS ({_sql_lsh_pairs()}),
-            sh AS ({_SQL_SHINGLES}),
-            sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sh_set
-                     FROM sh GROUP BY doc_id)
-            SELECT c.id_a, c.id_b,
-                   CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
-                       / (len(a.sh_set) + len(b.sh_set)
-                          - len(list_intersect(a.sh_set, b.sh_set)))
-                       AS jaccard
-            FROM cands c
-            JOIN sets a ON a.doc_id = c.id_a
-            JOIN sets b ON b.doc_id = c.id_b
-            WHERE CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
-                      / (len(a.sh_set) + len(b.sh_set)
-                         - len(list_intersect(a.sh_set, b.sh_set)))
-                  >= {_JACCARD_THRESHOLD}""",
+        _sql_lsh_verified(),
         ("documents",),
         "LSH candidates + exact Jaccard verify (scale composition)",
+    ),
+    "doc_dedup_clusters": QueryDef(
+        q_doc_dedup_clusters,
+        _sql_dedup_clusters(),
+        ("documents",),
+        "near-dup clustering: connected components over verified pairs",
+    ),
+    "doc_seq_pack": QueryDef(
+        q_doc_seq_pack,
+        _sql_seq_pack(),
+        ("documents",),
+        "concatenate-and-chunk sequence packing (bucketed prefix sum)",
+    ),
+    "doc_contamination": QueryDef(
+        q_doc_contamination,
+        _sql_contamination(),
+        ("documents",),
+        "train/eval n-gram contamination audit (probe x corpus overlap)",
     ),
     "doc_winnow_fps": QueryDef(
         q_doc_winnow_fps,

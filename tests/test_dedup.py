@@ -164,3 +164,92 @@ def test_winnow_shared_substring_guarantee(spark):
     assert fps[1] == fps[3]         # identical text -> identical set
     assert not (fps[1] & fps[4])    # disjoint content -> disjoint sets
     assert all(len(v) > 0 for v in fps.values())
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_connected_components_chain(spark):
+    """An 8-node chain needs multiple contraction rounds (label
+    propagation would need 7); every node lands in component 1."""
+    chain = [(i, i + 1) for i in range(1, 8)]
+    got = {
+        (r.node, r.component)
+        for r in dd.connected_components(edges_df(spark, chain)).collect()
+    }
+    assert got == {(i, 1) for i in range(1, 9)}
+
+
+def test_connected_components_multiple_and_reversed_edges(spark):
+    pairs = [(5, 2), (2, 7), (10, 11), (11, 10), (3, 3)]
+    got = {
+        (r.node, r.component)
+        for r in dd.connected_components(edges_df(spark, pairs)).collect()
+    }
+    # self-loop (3,3) contributes nothing; two components
+    assert got == {(2, 2), (5, 2), (7, 2), (10, 10), (11, 10)}
+
+
+def test_connected_components_matches_union_find_on_random_graph(spark):
+    import random
+
+    rng = random.Random(42)
+    nodes = list(range(100))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(120)
+    ]
+
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize to component min
+    expected = {}
+    for n in nodes:
+        expected.setdefault(find(n), []).append(n)
+    want = {
+        (n, min(members))
+        for members in expected.values()
+        for n in members
+        if len(members) > 1 or any(a == b == n for a, b in pairs) is False
+    }
+    # engine omits isolated nodes (no edges at all, incl. pure self-loops)
+    touched = {a for a, b in pairs if a != b} | {
+        b for a, b in pairs if a != b
+    }
+    want = {(n, c) for n, c in want if n in touched}
+
+    got = {
+        (r.node, r.component)
+        for r in dd.connected_components(edges_df(spark, pairs)).collect()
+    }
+    assert got == want
+
+
+def test_ngram_overlap_contamination(spark):
+    probe = docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+    corpus = docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "unrelated text about completely other topics"),
+        ],
+    )
+    out = {
+        (r.probe_id, r.corpus_id): (r.n_shared, r.frac)
+        for r in dd.ngram_overlap_pairs(
+            probe, corpus, min_frac=0.2
+        ).collect()
+    }
+    assert set(out) == {(100, 1)}
+    n_shared, frac = out[(100, 1)]
+    assert n_shared > 0 and 0.9 <= frac <= 1.0

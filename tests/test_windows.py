@@ -185,3 +185,23 @@ def test_moving_avg_daily_frame_and_delta(spark):
     # day 9: frame covers days 3..9 — day 2 now excluded
     assert out[9]["mavg"] == (70.0 + 100.0) / 2
     assert out[9]["delta_prev"] == 100.0 - 70.0
+
+
+def test_sliding_stats_fanout_and_sums(spark):
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.analytics import (
+        sliding_stats,
+    )
+
+    out = sliding_stats(
+        events(spark), "ts", ["event_type"], "value", "2 days", "1 day"
+    ).collect()
+    # every event appears in exactly window/slide = 2 windows
+    assert sum(r.n_events for r in out) == 2 * len(ROWS)
+    by = {(r.window_start.day, r.event_type): r for r in out}
+    # window starting Jan 1 and window starting Dec 31 both hold Jan 1 rows
+    assert by[(1, "click")].n_events == 2
+    assert by[(31, "click")].n_events == 2
+    # window starting Jan 1 spans both days of views
+    assert by[(1, "view")].n_events == 3
+    assert by[(1, "view")].sum_value == 13.0
+    assert by[(2, "view")].n_events == 2
