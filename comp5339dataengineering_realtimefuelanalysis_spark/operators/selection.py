@@ -1,0 +1,48 @@
+"""Data-selection operators: deterministic sampling for corpus curation.
+
+Training-data mixes are built by sampling source corpora at per-stratum
+rates (by language, source, quality band, ...). The sampler here is
+HASH-based, not RNG-based: membership is a pure function of the row id,
+so (a) the same row is selected in every run, on any cluster layout,
+with no seed plumbing; (b) resampling at a higher rate is a superset of
+the lower rate (bucket < 10 ⊂ bucket < 20) — the property that lets a
+curriculum grow a mix without churning previously selected data; (c) the
+identical selection is expressible in SQL for the oracle.
+
+All map-only: no shuffle, runs at scan speed, filters push to parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash32
+
+
+def hash_bucket(id_col: Column | str, buckets: int = 100) -> Column:
+    """Stable per-row bucket in [0, buckets): md5-derived 32-bit hash of
+    the id's string form, mod buckets. Engine-portable (DuckDB:
+    ('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT % N)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (hash32(c.cast("string")) % F.lit(buckets)).cast("int")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, int],
+    id_col: str = "doc_id",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls below its stratum's
+    percentage. ``rates`` maps stratum value -> percent kept (0-100);
+    unlisted strata get ``default_pct``. Output = input columns plus the
+    ``bucket`` the decision was made on (auditability: a reviewer can
+    re-derive every keep/drop)."""
+    pct: Column = F.lit(default_pct)
+    for value, p in sorted(rates.items()):
+        pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
+    return df.withColumn("bucket", hash_bucket(id_col)).filter(
+        F.col("bucket") < pct
+    )

@@ -14,7 +14,7 @@ only derived metrics flow downstream.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -165,4 +165,89 @@ def document_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(text_col).alias("lang_guess"),
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level term statistics (these DO shuffle, unlike the row maps above)
+# ---------------------------------------------------------------------------
+
+
+def tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, tok) explosion of whitespace tokens of the normalized text —
+    the shared entry point of the term-statistics operators."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(norm_text(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed tf-idf.
+
+    idf is the exact rational (N+1)/(df+1) instead of its logarithm: ln
+    is monotone, so per-document rankings are IDENTICAL to ln-idf, and
+    the score stays a ratio of exact int64 counts evaluated once in IEEE
+    double — bit-reproducible across engines (transcendentals are not,
+    and the oracle hash compares exact doubles).
+
+    Shape: token explode -> (doc, tok) count [one shuffle, map-side
+    combined] -> token df [second shuffle on tok] -> broadcast scalar N
+    -> per-doc top-k window (partitioned by doc: parallel, no global
+    sort). Ties broken by term ascending, so output is deterministic.
+    """
+    tf = tokens(df, text_col, id_col).groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("n_tf")
+    )
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n_df"))
+    total = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (F.col("n_docs") + F.lit(1)).cast("double") / (
+        F.col("n_df") + F.lit(1)
+    ).cast("double")
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(dfc, "tok")
+        .crossJoin(F.broadcast(total))
+        .withColumn("score", F.col("n_tf").cast("double") * idf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("tok").alias("term"),
+            "n_tf",
+            "n_df",
+            "score",
+            "rank",
+        )
+    )
+
+
+def vocab_top(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 200,
+) -> DataFrame:
+    """Corpus vocabulary head: the k most frequent tokens with total and
+    document frequencies, rank-stamped. The global top-k runs as
+    orderBy+limit (TakeOrdered: per-partition heaps, no global sort);
+    the rank window then orders only the k survivors. Ties broken by
+    token ascending."""
+    counts = tokens(df, text_col, id_col).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    top = counts.orderBy(F.col("n_total").desc(), F.col("tok").asc()).limit(k)
+    w = Window.orderBy(F.col("n_total").desc(), F.col("tok").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("tok").alias("term"), "n_total", "n_docs", "rank"
     )

@@ -25,6 +25,7 @@ from ..functions.scalars import dec_avg
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import packing as pk
+from ..operators import selection as sel
 from ..operators import similarity as sim
 from ..operators import text as tx
 from ..operators.text import LANG_MARKERS
@@ -630,6 +631,92 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# whitespace tokens of the normalized text, shared by the term-stat oracles
+_SQL_TOKENS = f"""
+    SELECT doc_id, tok
+    FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok
+          FROM documents) t
+    WHERE tok <> ''
+"""
+
+_TFIDF_K = 3
+
+
+def q_doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by smoothed tf-idf (exact
+    rational idf — same ranking as ln-idf, bit-reproducible)."""
+    docs = _docs_parallel(spark, sf_dir)
+    return tx.tfidf_top_terms(docs, k=_TFIDF_K)
+
+
+def _sql_tfidf() -> str:
+    return f"""WITH t AS ({_SQL_TOKENS}),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS n_tf FROM t GROUP BY 1, 2),
+        dfc AS (SELECT tok, COUNT(*) AS n_df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.tok, tf.n_tf, dfc.n_df,
+                   CAST(tf.n_tf AS DOUBLE)
+                       * (CAST(n.n_docs + 1 AS DOUBLE)
+                          / CAST(dfc.n_df + 1 AS DOUBLE)) AS score
+            FROM tf JOIN dfc USING (tok) CROSS JOIN n),
+        ranked AS (
+            SELECT doc_id, tok AS term, n_tf, n_df, score,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, tok
+                   ) AS INT) AS rank
+            FROM scored)
+        SELECT * FROM ranked WHERE rank <= {_TFIDF_K}"""
+
+
+_VOCAB_K = 200
+
+
+def q_doc_vocab_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-200 tokens by total count (TakeOrdered,
+    no global sort), with document frequencies and ranks."""
+    docs = _docs_parallel(spark, sf_dir)
+    return tx.vocab_top(docs, k=_VOCAB_K)
+
+
+def _sql_vocab() -> str:
+    return f"""WITH t AS ({_SQL_TOKENS}),
+        c AS (SELECT tok AS term, COUNT(*) AS n_total,
+                     COUNT(DISTINCT doc_id) AS n_docs
+              FROM t GROUP BY 1)
+        SELECT term, n_total, n_docs,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_total DESC, term)
+                    AS INT) AS rank
+        FROM c ORDER BY n_total DESC, term LIMIT {_VOCAB_K}"""
+
+
+# per-language sampling percentages for the curation mix query
+_SAMPLE_RATES = {"en": 25, "fr": 50, "de": 50, "es": 50, "zh": 100}
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified corpus sampling (per-language rates):
+    membership is a pure function of doc_id, so reruns and rate increases
+    are reproducible/supersets — no RNG, no seed plumbing."""
+    docs = _docs_parallel(spark, sf_dir)
+    return sel.stratified_sample(
+        docs.select("doc_id", "lang"), "lang", _SAMPLE_RATES
+    )
+
+
+def _sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items())
+    )
+    bucket = (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 100 AS INT)"
+    )
+    return f"""SELECT doc_id, lang, {bucket} AS bucket
+        FROM documents
+        WHERE {bucket} < CASE lang {cases} ELSE 0 END"""
+
+
 _PACK_CTX = 2048
 
 
@@ -1022,6 +1109,24 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_seq_pack(),
         ("documents",),
         "concatenate-and-chunk sequence packing (bucketed prefix sum)",
+    ),
+    "doc_tfidf_top_terms": QueryDef(
+        q_doc_tfidf_top_terms,
+        _sql_tfidf(),
+        ("documents",),
+        "top-3 tf-idf terms per doc (rational idf, ln-identical ranking)",
+    ),
+    "doc_vocab_top": QueryDef(
+        q_doc_vocab_top,
+        _sql_vocab(),
+        ("documents",),
+        "corpus vocabulary head: top-200 tokens with doc frequencies",
+    ),
+    "doc_stratified_sample": QueryDef(
+        q_doc_stratified_sample,
+        _sql_stratified_sample(),
+        ("documents",),
+        "deterministic hash-stratified sampling at per-language rates",
     ),
     "doc_contamination": QueryDef(
         q_doc_contamination,

@@ -74,3 +74,58 @@ def test_corpus_prep_funnel(spark):
         assert r.avg_quality >= 0.7
     n_corpus = spark.read.parquet(f"{sf}/documents.parquet").count()
     assert 0 < total_raw < n_corpus
+
+
+TERM_DOCS = [
+    (1, "apple banana apple cherry"),
+    (2, "banana banana date"),
+    (3, "apple elderberry elderberry elderberry"),
+]
+
+
+def term_docs(spark):
+    return spark.createDataFrame(TERM_DOCS, "doc_id long, text string")
+
+
+def test_tfidf_top_terms_ranking_and_ties(spark):
+    out = tx.tfidf_top_terms(term_docs(spark), k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term, r.score))
+    # doc 2: banana tf=2 (df=2, idf=4/3), date tf=1 (df=1, idf=2)
+    # banana 2*4/3=2.67 > date 2.0
+    assert [t for _, t, _ in sorted(by_doc[2])] == ["banana", "date"]
+    # doc 3: elderberry tf=3 df=1 -> 6.0 dominates apple 1*4/3
+    assert sorted(by_doc[3])[0][1] == "elderberry"
+    assert sorted(by_doc[3])[0][2] == 6.0
+    # every doc emits exactly k=2 ranks 1..2
+    assert all(sorted(r for r, _, _ in v) == [1, 2] for v in by_doc.values())
+
+
+def test_vocab_top_counts_and_rank_tiebreak(spark):
+    out = {r.term: (r.n_total, r.n_docs, r.rank) for r in
+           tx.vocab_top(term_docs(spark), k=10).collect()}
+    assert out["apple"] == (3, 2, 1)       # tie with banana -> alpha order
+    assert out["banana"] == (3, 2, 2)
+    assert out["elderberry"] == (3, 1, 3)  # tie -> after apple/banana
+    assert out["cherry"][0] == 1 and out["date"][0] == 1
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    lo = stratified_sample(df, "lang", {"en": 20, "fr": 40})
+    hi = stratified_sample(df, "lang", {"en": 60, "fr": 80})
+    lo_ids = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    # determinism: same call -> same set
+    assert lo_ids == {r.doc_id for r in lo.collect()}
+    # nesting: higher rates strictly contain lower rates
+    assert lo_ids <= hi_ids
+    # unlisted strata drop to default_pct=0
+    none = stratified_sample(df, "lang", {"de": 50})
+    assert none.count() == 0
