@@ -9,7 +9,10 @@ the lower rate (bucket < 10 ⊂ bucket < 20) — the property that lets a
 curriculum grow a mix without churning previously selected data; (c) the
 identical selection is expressible in SQL for the oracle.
 
-All map-only: no shuffle, runs at scan speed, filters push to parquet.
+All map-only: no shuffle, runs at scan speed. (The bucket predicate is a
+computed expression, so it filters in the scan STAGE, not inside the
+parquet reader — only the stratum-column predicate, when constant, can
+push down further.)
 """
 
 from __future__ import annotations

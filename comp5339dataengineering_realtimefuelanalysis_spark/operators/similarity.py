@@ -377,3 +377,83 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF training: one exact Lloyd (k-means) iteration
+# ---------------------------------------------------------------------------
+
+
+def kmeans_step(
+    corpus: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration over the corpus: assign every vector to its
+    nearest seed centroid (exact squared-L2 on the int64 grid), then
+    recompute per-cluster per-dimension means — the training step that
+    turns the IVF layout's buckets into data-adaptive cells (run it
+    Kmax times driver-side for full k-means; each step is one job).
+
+    Determinism end-to-end: seeds are the k lowest-id vectors (no RNG);
+    distances are integer (decimal-accumulated), so argmin has no float
+    ambiguity, with cluster id as the documented tiebreak; means divide
+    an exact integer sum once in IEEE double.
+
+    Scale shape: the seed side is k rows — broadcast, never shuffled;
+    the corpus×k distance fan-out collapses map-side via min_by partial
+    aggregation (one shuffle keyed on the vector id carrying one row per
+    vector); the centroid update explodes assigned vectors to (cluster,
+    dim) — dim-fold map-side fan-out into a 2nd shuffle of k×dim groups.
+
+    Output: (cluster_id, dim, n_members, mean) — k×dim rows.
+    """
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("cid"),
+            scaled_vec(F.col(vec_col)).alias("c_svec"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
+    )
+    # difference and square in decimal(38,0): unit-norm embeddings would
+    # fit int64, but nothing enforces unit norm — (x-y)^2 overflows long
+    # already at |x| > ~1.5 on the 1e9 grid
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("svec"),
+            F.col("c_svec"),
+            lambda x, y: (x.cast(_ACC) - y.cast(_ACC))
+            * (x.cast(_ACC) - y.cast(_ACC)),
+        ),
+        F.lit(0).cast(_ACC),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(seeds))
+        .withColumn("dist", dist)
+        .groupBy(id_col)
+        .agg(
+            F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
+            F.first("svec").alias("svec"),  # identical across the k rows
+        )
+    )
+    ex = assigned.select(
+        "cid", F.posexplode("svec").alias("dim", "sv")
+    )
+    return ex.groupBy("cid", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (
+            (
+                F.sum(F.col("sv").cast(_ACC)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            )
+            / F.lit(1e9)
+        ).alias("mean"),
+    ).select(
+        F.col("cid").alias("cluster_id"), "dim", "n_members", "mean"
+    )

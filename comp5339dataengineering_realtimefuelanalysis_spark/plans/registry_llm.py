@@ -943,6 +943,48 @@ def q_emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # One materialized IVF index per (sf_dir, planes): ivf_write is an eager
 # parquet write, so cache the path instead of rebuilding per invocation.
+_KMEANS_K = 8
+
+
+def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF training: one exact Lloyd iteration (assign to nearest of the
+    k lowest-id seed vectors by integer squared-L2, recompute means)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.kmeans_step(emb, k=_KMEANS_K)
+
+
+def _sql_kmeans_step() -> str:
+    sv = (
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {_SCALE}) AS BIGINT))"
+    )
+    return f"""WITH seeds AS (
+            SELECT vec_id AS cid, {sv} AS c_svec
+            FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K}),
+        c AS (SELECT vec_id, {sv} AS svec FROM embeddings),
+        pairs AS (
+            SELECT c.vec_id, s.cid, c.svec,
+                   list_sum(list_transform(list_zip(c.svec, s.c_svec),
+                       p -> (CAST(p[1] AS HUGEINT) - CAST(p[2] AS HUGEINT))
+                            * (CAST(p[1] AS HUGEINT)
+                               - CAST(p[2] AS HUGEINT)))) AS dist
+            FROM c CROSS JOIN seeds s),
+        assigned AS (
+            SELECT vec_id, svec, cid
+            FROM pairs
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) = 1),
+        ex AS (
+            SELECT cid, CAST(r.range AS INT) AS dim,
+                   svec[CAST(r.range AS INT) + 1] AS sv
+            FROM assigned CROSS JOIN range(64) r)
+        SELECT cid AS cluster_id, dim,
+               COUNT(*) AS n_members,
+               (CAST(SUM(CAST(sv AS HUGEINT)) AS DOUBLE)
+                / CAST(COUNT(*) AS DOUBLE)) / 1000000000.0 AS mean
+        FROM ex GROUP BY 1, 2"""
+
+
 _IVF_INDEX_PATHS: dict[str, str] = {}
 
 
@@ -1181,6 +1223,12 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_ann_lsh_topk(),  # probes=1 == ann_lsh_topk by construction
         ("embeddings",),
         "IVF at-rest ANN: partitioned index + partition-pruned probe",
+    ),
+    "emb_kmeans_step": QueryDef(
+        q_emb_kmeans_step,
+        _sql_kmeans_step(),
+        ("embeddings",),
+        "IVF training: one exact Lloyd iteration (integer L2 argmin)",
     ),
     "media_decode": QueryDef(
         q_media_decode,

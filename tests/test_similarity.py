@@ -110,3 +110,41 @@ def test_ivf_index_matches_ann_and_prunes(spark, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_kmeans_step_assignment_and_means(spark):
+    """Seeds are the k lowest ids (0 and 1 — identical vectors). Ties in
+    the integer distance go to the smaller cluster id, so everything
+    within equal distance of both seeds lands in cluster 0; means are
+    exact per-dimension averages of the members."""
+    out = sim.kmeans_step(corpus(spark), k=2).collect()
+    members = {r.cluster_id: r.n_members for r in out}
+    # seeds 0 and 1 are identical -> every vector ties -> all go to 0
+    assert members == {0: 5}
+    means = {r.dim: r.mean for r in out if r.cluster_id == 0}
+    # dim 0: (1 + 1 + 0.9 + 0 - 1) / 5; inputs are float32, quantized at
+    # 1e9 -> tolerance well above the grid, well below the data
+    assert abs(means[0] - 0.38) < 1e-6
+    assert abs(means[1] - 0.22) < 1e-6
+
+
+def test_kmeans_step_separates_clusters(spark):
+    rows = [
+        (0, [0.0, 0.0], 0),
+        (1, [10.0, 10.0], 0),
+        (2, [0.1, -0.1], 0),   # near seed 0
+        (3, [9.9, 10.1], 0),   # near seed 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = sim.kmeans_step(df, k=2).collect()
+    got = {(r.cluster_id, r.dim): (r.n_members, r.mean) for r in out}
+    want = {
+        (0, 0): (2, 0.05),
+        (0, 1): (2, -0.05),
+        (1, 0): (2, 9.95),
+        (1, 1): (2, 10.05),
+    }
+    assert set(got) == set(want)
+    for k, (n, m) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - m) < 1e-6  # float32 input quantization
