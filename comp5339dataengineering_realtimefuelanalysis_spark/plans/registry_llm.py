@@ -690,6 +690,53 @@ def _sql_vocab() -> str:
         FROM c ORDER BY n_total DESC, term LIMIT {_VOCAB_K}"""
 
 
+def q_doc_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mix dashboard: per (lang, source) document and token counts
+    with their fractions of the whole — the report a data-mix curriculum
+    is tuned against. One partial-agg shuffle on the (tiny) stratum key;
+    totals re-aggregate the per-stratum rows and broadcast back, so the
+    corpus is scanned exactly once. Fractions are single IEEE divisions
+    of exact int64 counts (bit-reproducible)."""
+    docs = _docs_parallel(spark, sf_dir)
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.token_count_ws("text").cast("long")).alias("total_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("td"), F.sum("total_tokens").alias("tt")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            (
+                F.col("n_docs").cast("double") / F.col("td").cast("double")
+            ).alias("frac_docs"),
+            (
+                F.col("total_tokens").cast("double")
+                / F.col("tt").cast("double")
+            ).alias("frac_tokens"),
+        )
+    )
+
+
+def _sql_mix_report() -> str:
+    return f"""WITH per AS (
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   CAST(SUM({_SQL_N_TOKENS_WS}) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+                       CAST(SUM(total_tokens) AS BIGINT) AS tt FROM per)
+        SELECT lang, source, n_docs, total_tokens,
+               CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE) AS frac_docs,
+               CAST(total_tokens AS DOUBLE) / CAST(tt AS DOUBLE)
+                   AS frac_tokens
+        FROM per CROSS JOIN tot"""
+
+
 # per-language sampling percentages for the curation mix query
 _SAMPLE_RATES = {"en": 25, "fr": 50, "de": 50, "es": 50, "zh": 100}
 
@@ -1169,6 +1216,12 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_stratified_sample(),
         ("documents",),
         "deterministic hash-stratified sampling at per-language rates",
+    ),
+    "doc_mix_report": QueryDef(
+        q_doc_mix_report,
+        _sql_mix_report(),
+        ("documents",),
+        "corpus mix dashboard: per-stratum doc/token counts + fractions",
     ),
     "doc_contamination": QueryDef(
         q_doc_contamination,

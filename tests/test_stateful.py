@@ -138,6 +138,45 @@ def test_windowed_stats_streaming_with_watermark(spark, stream_dirs):
         q.stop()
 
 
+def test_sliding_stats_streaming_with_watermark(spark, stream_dirs):
+    """The same sliding_stats expression runs under streaming: each event
+    lands in window/slide overlapping windows, and append mode emits each
+    window once the watermark passes its end."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.analytics import (
+        sliding_stats,
+    )
+
+    src, ckpt = stream_dirs
+    land(src, 0, [
+        ("a", "2024-01-01T00:10:00", 1.0),
+        ("a", "2024-01-01T00:50:00", 3.0),
+    ])
+    stream = read_stream(spark, src).withWatermark("ts", "10 minutes")
+    agg = sliding_stats(stream, "ts", ["key"], "v", "1 hour", "30 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("slide_stream")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        land(src, 1, [("a", "2024-01-01T05:00:00", 7.0)])
+        q.processAllAvailable()
+        got = {
+            (r.key, r.window_start.isoformat()): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM slide_stream").collect()
+        }
+        # 00:10 event -> windows starting 23:30 and 00:00;
+        # 00:50 event -> windows starting 00:00 and 00:30
+        assert got[("a", "2023-12-31T23:30:00")] == (1, 1.0)
+        assert got[("a", "2024-01-01T00:00:00")] == (2, 4.0)
+        assert got[("a", "2024-01-01T00:30:00")] == (1, 3.0)
+    finally:
+        q.stop()
+
+
 def test_bounded_state_pipeline_equivalent_when_data_in_order(spark, tmp_path):
     """bounded_state=True (watermarked Q1) produces the same complete-mode
     answer when no data is late beyond the watermark."""
