@@ -86,3 +86,40 @@ def read_raw_stations(
     if streaming:
         return spark.readStream.schema(RAW_STATION).json(path)
     return spark.read.schema(RAW_STATION).json(path)
+
+
+# ---------------------------------------------------------------------------
+# CSV interchange (the reference's SQLite-table-export analog)
+# ---------------------------------------------------------------------------
+
+
+def read_prices_csv(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    """Cleaned price records from headered CSV. Timestamps travel in the
+    reference's wire format (dd/MM/yyyy HH:mm:ss — DataCleaning.py:73-79)
+    so the files are byte-compatible with its SQLite export; parsing is
+    the same C1 expression the JSON path uses, and malformed timestamps
+    surface as NULL for the validation layer rather than failing the
+    scan. Explicit schema: a header-inferred read would silently type
+    price as string and is a full extra pass at scale.
+    """
+    from ..functions.scalars import parse_wire_ts
+
+    schema = "stationcode STRING, fueltype STRING, price DOUBLE, lastupdated STRING"
+    reader = spark.readStream if streaming else spark.read
+    raw = reader.schema(schema).option("header", True).csv(path)
+    return raw.withColumn("lastupdated", parse_wire_ts("lastupdated"))
+
+
+def write_prices_csv(df: DataFrame, path: str) -> None:
+    """Cleaned prices -> headered CSV with wire-format timestamps (the
+    C2 inverse of read_prices_csv; lossless at second granularity)."""
+    from ..functions.scalars import format_wire_ts
+
+    (
+        df.withColumn("lastupdated", format_wire_ts("lastupdated"))
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )

@@ -54,3 +54,39 @@ def test_publish_json_lines_share_kafka_payload(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_prices_csv_round_trip(spark, tmp_path):
+    """CSV interchange: cleaned prices -> wire-format CSV -> parsed back
+    losslessly (second-granularity timestamps survive both directions)."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.sources.readers import (
+        read_prices_csv,
+        write_prices_csv,
+    )
+
+    df = clean_prices_df(spark)
+    out = str(tmp_path / "prices_csv")
+    write_prices_csv(df, out)
+    back = read_prices_csv(spark, out)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_prices_csv_malformed_ts_becomes_null(spark, tmp_path):
+    from comp5339dataengineering_realtimefuelanalysis_spark.sources.readers import (
+        read_prices_csv,
+    )
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "stationcode,fueltype,price,lastupdated\n"
+        "100,U91,180.0,2023-10-02 09:00:00\n"   # ISO, not wire format
+        "200,E10,171.5,02/10/2023 09:00:00\n"
+    )
+    rows = {r.stationcode: r.lastupdated
+            for r in read_prices_csv(spark, str(p)).collect()}
+    assert rows["100"] is None          # -> rejected by validate layer
+    assert rows["200"] is not None
