@@ -690,6 +690,37 @@ def _sql_vocab() -> str:
         FROM c ORDER BY n_total DESC, term LIMIT {_VOCAB_K}"""
 
 
+def q_doc_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-score distribution per detected language: docs binned into
+    tenths of the score range. Fixed-width bins, NOT ntile deciles — a
+    global ntile is a single-task sort over the corpus, while binning is
+    map-only into one partial-agg shuffle of ~10×languages groups, and
+    bin edges are stable across corpus growth (decile edges drift)."""
+    docs = _docs_parallel(spark, sf_dir)
+    q = tx.quality_score("text")
+    binned = docs.select(
+        tx.lang_id("text").alias("lang"),
+        q.alias("quality"),
+        F.least(F.floor(q * 10).cast("int"), F.lit(9)).alias("q_bin"),
+    )
+    return binned.groupBy("lang", "q_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        dec_avg("quality", "avg_quality"),
+    )
+
+
+def _sql_quality_histogram() -> str:
+    q = f"({_sql_quality()})"
+    return f"""WITH binned AS (
+            SELECT {_sql_lang_id()} AS lang, {q} AS quality,
+                   LEAST(CAST(FLOOR({q} * 10) AS INT), 9) AS q_bin
+            FROM documents)
+        SELECT lang, q_bin, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(quality) AS avg_quality
+        FROM binned GROUP BY 1, 2"""
+
+
 def q_doc_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus mix dashboard: per (lang, source) document and token counts
     with their fractions of the whole — the report a data-mix curriculum
@@ -1222,6 +1253,12 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_mix_report(),
         ("documents",),
         "corpus mix dashboard: per-stratum doc/token counts + fractions",
+    ),
+    "doc_quality_histogram": QueryDef(
+        q_doc_quality_histogram,
+        _sql_quality_histogram(),
+        ("documents",),
+        "quality-score distribution per language (fixed-width bins)",
     ),
     "doc_contamination": QueryDef(
         q_doc_contamination,
