@@ -106,3 +106,46 @@ def pack_sequences(
         .otherwise(first)
         .alias("last_seq"),
     )
+
+
+def pack_manifest(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_len: int = 2048,
+    token_col: str | None = None,
+) -> DataFrame:
+    """The sequence-side view of ``pack_sequences``: one row per training
+    sequence with how many documents contribute to it, how many tokens it
+    holds, and whether it is full — the manifest a shard writer needs to
+    materialize fixed-length batches (and the loader needs to mask
+    cross-document attention).
+
+    Each doc explodes to the sequences it spans (fan-out = its token
+    count / ctx_len, so total explosion = corpus tokens / ctx_len rows),
+    its per-sequence token contribution is pure interval arithmetic, and
+    one partial-agg shuffle on seq_id folds contributions together.
+    Every sequence except the last must come out exactly full — that
+    invariant is the packing correctness check a pipeline should assert
+    on a sample of shards.
+    """
+    p = pack_sequences(df, id_col, text_col, ctx_len, token_col)
+    spans = p.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "start_tok",
+        "n_tokens",
+        F.explode(F.sequence("first_seq", "last_seq")).alias("seq_id"),
+    )
+    contrib = F.least(
+        F.col("start_tok") + F.col("n_tokens"),
+        (F.col("seq_id") + 1) * F.lit(ctx_len),
+    ) - F.greatest(F.col("start_tok"), F.col("seq_id") * F.lit(ctx_len))
+    return (
+        spans.withColumn("tok_in_seq", contrib)
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_in_seq").alias("n_tokens"),
+        )
+        .withColumn("full", F.col("n_tokens") == F.lit(ctx_len))
+    )

@@ -825,6 +825,31 @@ def _sql_seq_pack() -> str:
         FROM cum"""
 
 
+def q_doc_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-side packing view: per training sequence, contributing
+    doc count, token fill, and the everything-full-but-the-tail
+    invariant a shard writer asserts."""
+    docs = _docs_parallel(spark, sf_dir)
+    return pk.pack_manifest(docs, ctx_len=_PACK_CTX)
+
+
+def _sql_pack_manifest() -> str:
+    c = _PACK_CTX
+    return f"""WITH packed AS ({_sql_seq_pack()}),
+        spans AS (
+            SELECT doc_id, start_tok, n_tokens,
+                   unnest(range(first_seq, last_seq + 1)) AS seq_id
+            FROM packed WHERE n_tokens > 0)
+        SELECT seq_id, COUNT(*) AS n_docs,
+               CAST(SUM(LEAST(start_tok + n_tokens, (seq_id + 1) * {c})
+                        - GREATEST(start_tok, seq_id * {c}))
+                    AS BIGINT) AS n_tokens,
+               CAST(SUM(LEAST(start_tok + n_tokens, (seq_id + 1) * {c})
+                        - GREATEST(start_tok, seq_id * {c}))
+                    AS BIGINT) = {c} AS full
+        FROM spans GROUP BY seq_id"""
+
+
 _CONTAM_MIN_FRAC = 0.2
 
 
@@ -1229,6 +1254,12 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_seq_pack(),
         ("documents",),
         "concatenate-and-chunk sequence packing (bucketed prefix sum)",
+    ),
+    "doc_pack_manifest": QueryDef(
+        q_doc_pack_manifest,
+        _sql_pack_manifest(),
+        ("documents",),
+        "per-sequence packing manifest (doc counts, fill, tail check)",
     ),
     "doc_tfidf_top_terms": QueryDef(
         q_doc_tfidf_top_terms,

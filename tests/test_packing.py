@@ -55,3 +55,33 @@ def test_pack_sequences_partitioning_invariant(spark):
     a = pack_sequences(docs(spark), ctx_len=8).collect()
     b = pack_sequences(docs(spark).repartition(7), ctx_len=8).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pack_manifest_full_sequences_and_boundaries(spark):
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.packing import (
+        pack_manifest,
+    )
+
+    got = {
+        r.seq_id: (r.n_docs, r.n_tokens, r.full)
+        for r in pack_manifest(docs(spark), ctx_len=8).collect()
+    }
+    # stream: doc0[0,3) doc1[3,5) doc3[5,11) doc4[11,12) -> seq0 full
+    # (docs 0,1,3), seq1 partial (tail of doc3 + doc4)
+    assert got == {0: (3, 8, True), 1: (2, 4, False)}
+
+
+def test_pack_manifest_totals_match_doc_view(spark):
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.packing import (
+        pack_manifest,
+        pack_sequences,
+    )
+
+    d = docs(spark)
+    per_doc = sum(
+        r.n_tokens for r in pack_sequences(d, ctx_len=8).collect()
+    )
+    per_seq = sum(
+        r.n_tokens for r in pack_manifest(d, ctx_len=8).collect()
+    )
+    assert per_doc == per_seq  # every token lands in exactly one sequence
