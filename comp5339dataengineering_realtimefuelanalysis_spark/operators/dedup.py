@@ -625,9 +625,13 @@ def connected_components(
         ).first()
         return (row["n"], row["h"])
 
-    prev = checksum(cur)
+    # no checksum of the INITIAL edge set: the first super-round always
+    # runs, so seeding the convergence compare would only spend an extra
+    # driver round-trip on the largest (un-contracted) frame
+    prev: tuple | None = None
     for _ in range(max_iter):
-        base = cur.coalesce(1) if prev[0] <= 1_000_000 else cur
+        small = prev is not None and prev[0] <= 1_000_000
+        base = cur.coalesce(1) if small else cur
         step = _small_star(_large_star(base))
         nxt = _small_star(_large_star(step)).localCheckpoint(eager=True)
         cur_check = checksum(nxt)
