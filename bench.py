@@ -126,46 +126,56 @@ def main() -> None:
     # spaced a full registry apart bounds that distortion; it measures the
     # plan, not the neighbor.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _pass in range(2):
         for name, qd in REGISTRY.items():
-            t0 = time.perf_counter()
-            df = qd.fn(spark, sf_dir)
-            # noop datasource: materializes EVERY output column without
-            # sink cost — count() would let Catalyst prune computed
-            # columns and measure only the scan on map-only queries
-            df.write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 4)
-            timings[name] = min(timings.get(name, dt), dt)
-            # release the frames THIS query persisted (plan builders
-            # register them via functions/caching.py) — explicit ownership
-            # instead of a blanket clearCache; leaked blocks would
-            # otherwise accumulate and evict each other mid-run
-            release_tracked()
+            # Fault-isolated: one failing query records its error and the
+            # run keeps timing the rest — a single regression must never
+            # zero the whole round's benchmark signal.
+            try:
+                t0 = time.perf_counter()
+                df = qd.fn(spark, sf_dir)
+                # noop datasource: materializes EVERY output column without
+                # sink cost — count() would let Catalyst prune computed
+                # columns and measure only the scan on map-only queries
+                df.write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 4)
+                timings[name] = min(timings.get(name, dt), dt)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            finally:
+                # release the frames THIS query persisted (plan builders
+                # register them via functions/caching.py) — explicit
+                # ownership instead of a blanket clearCache; leaked blocks
+                # would otherwise accumulate and evict each other mid-run
+                release_tracked()
 
     total = round(sum(timings.values()), 4)
     # same steal-burst rationale as above: the pipeline completes in ~3-5 s
     # in clean windows, so a run well above that ate a burst — retry (at
     # most twice) and keep the best, stopping early once a clean reading
     # is in hand
-    streaming = streaming_bench(spark)
-    for _ in range(2):
-        if streaming["sec"] < 8.0:
-            break
-        again = streaming_bench(spark)
-        if again["sec"] < streaming["sec"]:
-            streaming = again
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "streaming": streaming,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    try:
+        streaming = streaming_bench(spark)
+        for _ in range(2):
+            if streaming["sec"] < 8.0:
+                break
+            again = streaming_bench(spark)
+            if again["sec"] < streaming["sec"]:
+                streaming = again
+    except Exception as exc:  # noqa: BLE001
+        streaming = {"err": f"{type(exc).__name__}: {exc}"[:500]}
+    out = {
+        "metric": "registry_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "streaming": streaming,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -120,7 +120,8 @@ def range_join_count(
     l = (
         left.withColumn("__rid", F.monotonically_increasing_id())
         .withColumn(
-            "__b0", F.expr(f"unix_micros({left_ts}) div {win_us}")
+            "__b0",
+            F.expr(f"unix_micros(cast({left_ts} as timestamp)) div {win_us}"),
         )
         .withColumn("__probe", F.explode(F.array(F.col("__b0") - 1, F.col("__b0"))))
         .drop("__b0")
@@ -128,7 +129,9 @@ def range_join_count(
     r = right.select(
         F.col(key).alias("__rk"),
         F.col(right_ts).alias("__rts"),
-        F.expr(f"unix_micros({right_ts}) div {win_us}").alias("__rb"),
+        F.expr(
+            f"unix_micros(cast({right_ts} as timestamp)) div {win_us}"
+        ).alias("__rb"),
     )
     matched = l.join(
         r,

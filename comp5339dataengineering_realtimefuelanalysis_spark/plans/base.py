@@ -40,6 +40,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_NS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dtype == "timestamp_ntz":
+            # Fixtures regenerated as TIMESTAMP_MICROS(isAdjustedToUTC=0)
+            # read as TIMESTAMP_NTZ; normalize to TIMESTAMP so type-strict
+            # functions (unix_micros) resolve. Lossless: the session TZ is
+            # pinned to UTC above, so the wall-clock values are unchanged.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

@@ -19,6 +19,8 @@ stream and ``customer`` to its ``stations`` dimension (FIXTURES.md §2):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -981,43 +983,84 @@ REGISTRY.update(LLM_REGISTRY)
 # ---------------------------------------------------------------------------
 # Driver attestation window
 # ---------------------------------------------------------------------------
-# The round driver's CORRECTNESS_r{N}.json attests only the FIRST 50
-# registry entries in iteration order; entries past the window get no
-# driver-recorded row that round. Queries that still lack a driver-attested
-# green row (absent from every prior CORRECTNESS_r*.json) are rotated to the
-# head so the current round's window covers them. Rotated-out queries keep
-# their green rows from earlier rounds and remain verified locally by
-# ``tools/check_correctness.py`` over the full registry.
-_ATTESTATION_HEAD: tuple[str, ...] = (
-    # absent from CORRECTNESS_r02.json (registry grew past the window)
-    "doc_contamination",
-    "doc_winnow_fps",
-    "doc_simhash",
-    "doc_simhash_pairs",
-    "emb_cosine_topk",
-    "emb_near_dup",
-    "emb_near_dup_lsh",
-    "emb_ann_lsh_topk",
-    "emb_ivf_topk",
-    "emb_kmeans_step",
-    "media_decode",
-    "media_frame_sample",
-    "media_resize",
-)
+# The round driver's CORRECTNESS_r{N}.json attests only the FIRST
+# ``ATTESTATION_WINDOW`` registry entries in iteration order; entries past
+# the window get no driver-recorded row that round. The rotation below is
+# GENERATED, not hand-maintained: at import time the registry is reordered
+# by staleness — queries never attested in any CORRECTNESS_r*.json first,
+# then by oldest last-green round — so each round's window automatically
+# covers whatever has gone longest without a driver-recorded green row.
+# Rotated-out queries keep their green rows from earlier rounds and remain
+# verified locally by ``tools/check_correctness.py`` over the full registry.
+ATTESTATION_WINDOW = 50
+
+
+def _load_attestation_rounds(root: str) -> dict[int, dict]:
+    """Round number -> parsed CORRECTNESS_r{N}.json, for every readable
+    correctness artifact under ``root``."""
+    import glob
+    import json
+    import re
+
+    rounds: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            rounds[int(m.group(1))] = data
+    return rounds
+
+
+def _row_attested(row: object) -> bool:
+    """A driver row counts as attested when the full oracle comparison was
+    green, or — for queries declared oracle-free (sketch outputs) — when the
+    weaker rows-only run completed."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("hash_match") is True:
+        return True
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
+def last_attested_round(
+    registry: dict[str, QueryDef], root: str | None = None
+) -> dict[str, int]:
+    """Per registry query: the newest round whose correctness artifact has
+    an attested row for it, or -1 if never attested."""
+    if root is None:
+        root = os.environ.get(
+            "SPARK_GRAFT_REPO_ROOT",
+            os.path.dirname(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            ),
+        )
+    last = {name: -1 for name in registry}
+    for rnd, rows in _load_attestation_rounds(root).items():
+        for name, row in rows.items():
+            if name in last and _row_attested(row):
+                last[name] = max(last[name], rnd)
+    return last
 
 
 def _rotate_for_attestation(
-    registry: dict[str, QueryDef], head: tuple[str, ...]
+    registry: dict[str, QueryDef],
 ) -> dict[str, QueryDef]:
-    """Reorder ``registry`` so ``head`` names iterate first (original
-    relative order preserved for the rest). Pure reordering — same keys,
-    same values."""
-    missing = [name for name in head if name not in registry]
-    if missing:  # head list out of sync with the registry — fail loudly
-        raise KeyError(f"attestation head names not in registry: {missing}")
-    front = {name: registry[name] for name in head}
-    rest = {n: qd for n, qd in registry.items() if n not in front}
-    return {**front, **rest}
+    """Reorder ``registry`` by attestation staleness (never-attested first,
+    then oldest last-green round; original order as the tiebreak). Pure
+    reordering — same keys, same values. No artifacts present (fresh
+    clone) -> original order."""
+    last = last_attested_round(registry)
+    if all(v == -1 for v in last.values()):
+        return registry
+    idx = {name: i for i, name in enumerate(registry)}
+    order = sorted(registry, key=lambda n: (last[n], idx[n]))
+    return {n: registry[n] for n in order}
 
 
-REGISTRY = _rotate_for_attestation(REGISTRY, _ATTESTATION_HEAD)
+REGISTRY = _rotate_for_attestation(REGISTRY)

@@ -10,7 +10,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import __spark_entry__ as entrymod
 from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
+    ATTESTATION_WINDOW,
     REGISTRY,
+    last_attested_round,
 )
 
 from tests.conftest import SF_SMOKE
@@ -26,6 +28,29 @@ def test_queries_and_oracles_consistent():
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) == len(REGISTRY)
+
+
+def test_attestation_rotation_keeps_window_fresh():
+    """The driver attests only the first ATTESTATION_WINDOW registry
+    entries per round. The generated rotation must guarantee no query goes
+    unattested two rounds running: every entry rotated beyond the window
+    must carry an attestation from the latest or next-to-latest recorded
+    round."""
+    last = last_attested_round(REGISTRY)
+    latest = max(last.values())
+    if latest < 0:  # fresh clone, no correctness artifacts yet
+        return
+    names = list(REGISTRY)
+    # never-attested and stalest entries must iterate first
+    rounds_in_order = [last[n] for n in names]
+    assert rounds_in_order == sorted(rounds_in_order)
+    stale = [
+        n for n in names[ATTESTATION_WINDOW:] if last[n] < latest - 1
+    ]
+    assert not stale, (
+        f"queries beyond the {ATTESTATION_WINDOW}-row driver window with "
+        f"no attestation in rounds {latest - 1}-{latest}: {stale}"
+    )
 
 
 def test_every_query_runs_at_smoke_sf(spark):
