@@ -612,9 +612,16 @@ def connected_components(
     # scope. (Cluster note: localCheckpoint trades fault-tolerance for
     # speed — on executor loss the job recomputes from scratch, the
     # standard choice for short iterative refinements.)
+    #
+    # All checkpoints are LAZY (eager=False): plan truncation happens at
+    # the .localCheckpoint() call either way, and the round's ONE action —
+    # the convergence checksum — materializes the blocks as a side effect.
+    # Eager checkpoints spent a separate job per super-round just to
+    # materialize, doubling the driver round-trips on contracted edge sets
+    # whose per-job cost is pure scheduling overhead.
     cur = _canonical_edges(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def checksum(e: DataFrame) -> tuple:
         row = e.agg(
@@ -633,8 +640,8 @@ def connected_components(
         small = prev is not None and prev[0] <= 1_000_000
         base = cur.coalesce(1) if small else cur
         step = _small_star(_large_star(base))
-        nxt = _small_star(_large_star(step)).localCheckpoint(eager=True)
-        cur_check = checksum(nxt)
+        nxt = _small_star(_large_star(step)).localCheckpoint(eager=False)
+        cur_check = checksum(nxt)  # materializes nxt's checkpoint too
         cur = nxt
         if cur_check == prev:
             break

@@ -17,6 +17,8 @@ operators/similarity.py docstrings):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -109,6 +111,15 @@ _SQL_H32 = "('0x' || substring(md5(shingle), 1, 8))::BIGINT"
 
 _NUM_HASHES = 16
 _BANDS = 4
+# Skew guard (operators/dedup.py:cap_buckets) wired into every banded pair
+# composition: buckets with more members than the cap are dropped before
+# the self-join, mirrored in the oracle SQL via QUALIFY so the comparison
+# stays exact. Caps sit above the measured normal-corpus maxima (minhash
+# 112, simhash 1338 at sf0.1) so results are unchanged there, while a
+# degenerate band key — thousands of boilerplate docs sharing one band —
+# can no longer make pair generation quadratic at scale.
+_LSH_MAX_BUCKET = 256
+_SIMHASH_MAX_BUCKET = 2000
 
 
 def _sql_minhash_sig() -> str:
@@ -129,7 +140,9 @@ def _sql_lsh_pairs() -> str:
     )
     return f"""
         WITH sig AS ({_sql_minhash_sig()}),
-        bands AS ({band_selects})
+        bands AS (SELECT * FROM ({band_selects})
+                  QUALIFY COUNT(*) OVER (PARTITION BY band, key)
+                          <= {_LSH_MAX_BUCKET})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
         WHERE a.doc_id < b.doc_id
@@ -212,7 +225,9 @@ def _sql_simhash_pairs() -> str:
     )
     return f"""
         WITH fp AS ({_sql_simhash()}),
-        bands AS ({band_selects})
+        bands AS (SELECT * FROM ({band_selects})
+                  QUALIFY COUNT(*) OVER (PARTITION BY band, key)
+                          <= {_SIMHASH_MAX_BUCKET})
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -383,6 +398,66 @@ def _sql_ann_lsh_topk() -> str:
     """
 
 
+def _sql_ivf_topk_probes2() -> str:
+    """Replay of ivf_topk(probes=2): each query scans its own sign-pattern
+    bucket PLUS the bucket reached by flipping the plane with the smallest
+    |projection margin| (multi-probe LSH order, similarity.py:ivf_topk).
+    The flip plane is a deterministic argmin over (|proj|, plane) — the
+    same lexicographic order Spark's array_sort uses — so the probe set,
+    and therefore the exact-cosine top-k, is reproduced exactly."""
+    ap = [
+        f"abs({_sql_hyperplane_proj(p, 'embedding')})"
+        for p in range(_ANN_PLANES)
+    ]
+    # argmin by (margin, plane): plane p wins iff no earlier clause did and
+    # its margin is <= every later plane's (ties break to the lower plane,
+    # matching array_sort on struct(margin, plane))
+    flip = f"""CASE
+        WHEN {ap[0]} <= {ap[1]} AND {ap[0]} <= {ap[2]}
+             AND {ap[0]} <= {ap[3]} THEN 0
+        WHEN {ap[1]} <= {ap[2]} AND {ap[1]} <= {ap[3]} THEN 1
+        WHEN {ap[2]} <= {ap[3]} THEN 2
+        ELSE 3 END"""
+    return f"""
+        WITH qb AS (SELECT vec_id AS qid, embedding AS qvec,
+                          {_sql_bucket(_ANN_PLANES, "embedding")} AS bucket0,
+                          ({flip}) AS flip_plane
+                   FROM embeddings WHERE vec_id < {_TOPK_NQ}),
+        probes AS (
+            SELECT qid, qvec, bucket0 AS bucket FROM qb
+            UNION ALL
+            SELECT qid, qvec,
+                   xor(bucket0, (1 << flip_plane)) AS bucket FROM qb),
+        c AS (SELECT vec_id, embedding,
+                     {_sql_bucket(_ANN_PLANES, "embedding")} AS bucket
+              FROM embeddings),
+        pairs AS (
+            SELECT p.qid, c.vec_id,
+                   SUM({_sql_scaled('p.qvec[CAST(i AS INT)]')}
+                       * {_sql_scaled('c.embedding[CAST(i AS INT)]')}) AS dot,
+                   SUM({_sql_scaled('p.qvec[CAST(i AS INT)]')}
+                       * {_sql_scaled('p.qvec[CAST(i AS INT)]')}) AS qn,
+                   SUM({_sql_scaled('c.embedding[CAST(i AS INT)]')}
+                       * {_sql_scaled('c.embedding[CAST(i AS INT)]')}) AS en
+            FROM probes p JOIN c ON p.bucket = c.bucket,
+                 range(1, {_EMB_DIM + 1}) r(i)
+            GROUP BY p.qid, c.vec_id),
+        scored AS (
+            SELECT qid, vec_id,
+                   CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(en AS DOUBLE)))
+                       AS cosine
+            FROM pairs),
+        ranked AS (
+            SELECT qid, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, vec_id)
+                       AS BIGINT) AS rank
+            FROM scored)
+        SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= {_TOPK_K}
+    """
+
+
 # media: deterministic fake-decode mirror (md5-derived pseudo-metadata)
 _SQL_MEDIA = """
     SELECT doc_id AS media_id,
@@ -529,7 +604,11 @@ def q_doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_parallel(spark, sf_dir)
     return dd.minhash_lsh_pairs(
-        docs, n=_SHINGLE_N, num_hashes=_NUM_HASHES, bands=_BANDS
+        docs,
+        n=_SHINGLE_N,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        max_bucket=_LSH_MAX_BUCKET,
     )
 
 
@@ -560,6 +639,7 @@ def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=_NUM_HASHES,
             bands=_BANDS,
             shingles_df=sh,
+            max_bucket=_LSH_MAX_BUCKET,
         )
     )
     return dd.jaccard_verify_pairs(
@@ -608,6 +688,7 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_hashes=_NUM_HASHES,
             bands=_BANDS,
             shingles_df=sh,
+            max_bucket=_LSH_MAX_BUCKET,
         )
     )
     pairs = dd.jaccard_verify_pairs(
@@ -890,6 +971,198 @@ def _sql_contamination() -> str:
         WHERE CAST(n_shared AS DOUBLE) / sz >= {_CONTAM_MIN_FRAC}"""
 
 
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline, every stage sequentially composed
+    (each operates on the previous stage's survivors, not independent
+    filters over the raw corpus):
+
+      held-out split -> profile -> quality/lang gate -> exact dedup ->
+      LSH(+cap)+Jaccard-verify near-dup clusters (keep representatives) ->
+      contamination screen vs the held-out probes -> stratified sample ->
+      pack manifest (the training sequences a shard writer would emit).
+
+    Scale shape: profile/gate map-only; exact dedup ONE hash shuffle;
+    near-dup the capped banded composition (never all-pairs); screens are
+    anti-joins on distinct id sets; sampling map-only; the prefix sum in
+    packing is bucketed. The reference analog is the cleaned->analyzed
+    flow of DataCleaning.py:15-209 -> DataAnalysis.py:16-165, generalized
+    to corpus curation.
+    """
+    docs = _docs_parallel(spark, sf_dir)
+    probe = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    prof = train.select(
+        "doc_id",
+        "text",
+        tx.lang_id("text").alias("lang"),
+        tx.quality_score("text").alias("quality"),
+    )
+    gated = prof.filter(
+        (F.col("quality") >= _QUALITY_KEEP) & (F.col("lang") != "unknown")
+    )
+    kept1 = tracked_persist(
+        dd.dedup_exact(gated)
+        .filter(F.col("is_canonical"))
+        .select("doc_id", "text", "lang")
+    )
+    sh = tracked_persist(dd.shingles(kept1, n=_SHINGLE_N, distinct=False))
+    cands = dd.minhash_lsh_pairs(
+        kept1,
+        n=_SHINGLE_N,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingles_df=sh,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    pairs = dd.jaccard_verify_pairs(
+        kept1,
+        cands,
+        n=_SHINGLE_N,
+        threshold=_JACCARD_THRESHOLD,
+        shingles_df=sh,
+    )
+    cc = dd.connected_components(pairs, "id_a", "id_b")
+    non_reps = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept2 = kept1.join(non_reps, "doc_id", "left_anti")
+    contam = dd.ngram_overlap_pairs(
+        probe,
+        kept2,
+        n=_SHINGLE_N,
+        min_frac=_CONTAM_MIN_FRAC,
+        max_df=_JACCARD_MAX_DF,
+    )
+    dirty = contam.select(F.col("corpus_id").alias("doc_id")).distinct()
+    kept3 = kept2.join(dirty, "doc_id", "left_anti")
+    samp = sel.stratified_sample(
+        kept3.select("doc_id", "lang"), "lang", _SAMPLE_RATES
+    )
+    kept4 = kept3.join(samp.select("doc_id"), "doc_id")
+    return pk.pack_manifest(kept4, ctx_len=_PACK_CTX)
+
+
+def _sql_curation_pipeline() -> str:
+    """CTE-for-CTE replay of q_corpus_curation_pipeline. Component SQL is
+    re-targeted from `documents` to the previous stage's CTE by textual
+    substitution of the builders' FROM clause (the builders are this
+    module's own format strings, so the substitution is exact)."""
+    rows = _NUM_HASHES // _BANDS
+    mins = ", ".join(
+        f"MIN(({_SQL_H32} * {a} + {b}) % {dd.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(dd.permutation_constants(_NUM_HASHES))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ") AS key FROM sig"
+        for b in range(_BANDS)
+    )
+
+    def shingles_of(cte: str) -> str:
+        return _SQL_SHINGLES.replace("FROM documents", f"FROM {cte}")
+
+    jac = (
+        "CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)"
+        " / (len(sa.sh_set) + len(sb.sh_set)"
+        " - len(list_intersect(sa.sh_set, sb.sh_set)))"
+    )
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items())
+    )
+    bucket = (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 100 AS INT)"
+    )
+    c = _PACK_CTX
+    return f"""WITH RECURSIVE
+        train AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+        prof AS MATERIALIZED (SELECT doc_id, text, {_sql_lang_id()} AS lang,
+                        ({_sql_quality()}) AS quality
+                 FROM train),
+        gated AS MATERIALIZED (SELECT doc_id, text, lang FROM prof
+                  WHERE quality >= {_QUALITY_KEEP} AND lang <> 'unknown'),
+        exact AS MATERIALIZED (SELECT doc_id, text, lang FROM (
+                      SELECT doc_id, text, lang,
+                             doc_id = MIN(doc_id) OVER (
+                                 PARTITION BY md5({_NORM})) AS is_canon
+                      FROM gated) WHERE is_canon),
+        sh1 AS MATERIALIZED ({shingles_of("exact")}),
+        sig AS MATERIALIZED (SELECT doc_id, {mins} FROM sh1 GROUP BY doc_id),
+        bands AS MATERIALIZED (SELECT * FROM ({band_selects})
+                  QUALIFY COUNT(*) OVER (PARTITION BY band, key)
+                          <= {_LSH_MAX_BUCKET}),
+        cands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                       ON a.band = b.band AND a.key = b.key
+                  WHERE a.doc_id < b.doc_id),
+        sets AS MATERIALIZED (SELECT doc_id, list_distinct(list(shingle)) AS sh_set
+                 FROM sh1 GROUP BY doc_id),
+        pairs AS MATERIALIZED (SELECT id_a, id_b FROM cands
+                  JOIN sets sa ON sa.doc_id = id_a
+                  JOIN sets sb ON sb.doc_id = id_b
+                  WHERE {jac} >= {_JACCARD_THRESHOLD}),
+        edges AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        walk(node, root) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.node),
+        comp AS MATERIALIZED (SELECT node, MIN(root) AS component FROM walk
+                 GROUP BY node),
+        nondup AS MATERIALIZED (SELECT e.doc_id, e.text, e.lang FROM exact e
+                   LEFT JOIN comp ON e.doc_id = comp.node
+                   WHERE comp.node IS NULL OR comp.component = e.doc_id),
+        probe AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        psh_all AS MATERIALIZED ({shingles_of("probe")}),
+        csh_all AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh1 s
+                    JOIN nondup nd ON s.doc_id = nd.doc_id),
+        rare AS MATERIALIZED (SELECT shingle FROM csh_all GROUP BY shingle
+                 HAVING COUNT(*) <= {_JACCARD_MAX_DF}),
+        p AS MATERIALIZED (SELECT psh_all.doc_id, psh_all.shingle FROM psh_all
+              JOIN rare USING (shingle)),
+        cs AS MATERIALIZED (SELECT csh_all.doc_id, csh_all.shingle FROM csh_all
+               JOIN rare USING (shingle)),
+        sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS sz FROM p GROUP BY doc_id),
+        inter AS MATERIALIZED (SELECT p.doc_id AS probe_id, cs.doc_id AS corpus_id,
+                         COUNT(*) AS n_shared
+                  FROM p JOIN cs USING (shingle) GROUP BY 1, 2),
+        dirty AS MATERIALIZED (SELECT DISTINCT corpus_id FROM inter
+                  JOIN sizes ON sizes.doc_id = probe_id
+                  WHERE CAST(n_shared AS DOUBLE) / sz
+                        >= {_CONTAM_MIN_FRAC}),
+        clean AS MATERIALIZED (SELECT * FROM nondup
+                  WHERE doc_id NOT IN (SELECT corpus_id FROM dirty)),
+        sampled AS MATERIALIZED (SELECT doc_id, text FROM clean
+                    WHERE {bucket} < CASE lang {cases} ELSE 0 END),
+        toks AS MATERIALIZED (SELECT doc_id, {_SQL_N_TOKENS_WS} AS n_tokens
+                 FROM sampled),
+        cum AS MATERIALIZED (SELECT doc_id, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING),
+                            0) AS BIGINT) AS start_tok
+                FROM toks),
+        packed AS MATERIALIZED (SELECT doc_id, n_tokens, start_tok,
+                          start_tok // {c} AS first_seq,
+                          CASE WHEN n_tokens > 0
+                               THEN (start_tok + n_tokens - 1) // {c}
+                               ELSE start_tok // {c} END AS last_seq
+                   FROM cum),
+        spans AS MATERIALIZED (SELECT doc_id, start_tok, n_tokens,
+                         unnest(range(first_seq, last_seq + 1)) AS seq_id
+                  FROM packed WHERE n_tokens > 0)
+        SELECT seq_id, COUNT(*) AS n_docs,
+               CAST(SUM(LEAST(start_tok + n_tokens, (seq_id + 1) * {c})
+                        - GREATEST(start_tok, seq_id * {c}))
+                    AS BIGINT) AS n_tokens,
+               CAST(SUM(LEAST(start_tok + n_tokens, (seq_id + 1) * {c})
+                        - GREATEST(start_tok, seq_id * {c}))
+                    AS BIGINT) = {c} AS full
+        FROM spans GROUP BY seq_id"""
+
+
 def _sql_dedup_clusters() -> str:
     """Transitive closure of the verified-pair graph: breadth-first walk
     (recursive CTE, UNION-deduplicated) from every node; component id =
@@ -969,6 +1242,7 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=_SIMHASH_BITS,
         bands=_SIMHASH_BANDS,
         max_hamming=_SIMHASH_MAX_HAMMING,
+        max_bucket=_SIMHASH_MAX_BUCKET,
     )
 
 
@@ -1088,7 +1362,54 @@ def _sql_kmeans_step() -> str:
         FROM ex GROUP BY 1, 2"""
 
 
+# Materialized IVF indexes live under ONE managed root (not a leaked
+# mkdtemp per build): removed at process exit via atexit, or explicitly
+# with release_ivf_indexes() (bench.py calls it after its last pass).
+# Indexes are cached per (sf_dir, planes) across invocations so a repeat
+# probe — bench's second timing pass, the min of which is reported — pays
+# probe cost only; the one-time build lands in the discarded first pass.
 _IVF_INDEX_PATHS: dict[str, str] = {}
+_IVF_ROOT: str | None = None
+
+
+def _ivf_index_dir(key: str) -> str:
+    global _IVF_ROOT
+    import atexit
+    import re
+    import tempfile
+
+    if _IVF_ROOT is None or not os.path.isdir(_IVF_ROOT):
+        _IVF_ROOT = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+        atexit.register(release_ivf_indexes)
+    return os.path.join(
+        _IVF_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", key), "index"
+    )
+
+
+def release_ivf_indexes() -> None:
+    """Delete every materialized IVF index and the managed root dir.
+    Idempotent; the next q_emb_ivf_topk call rebuilds from scratch."""
+    global _IVF_ROOT
+    import shutil
+
+    _IVF_INDEX_PATHS.clear()
+    if _IVF_ROOT is not None:
+        shutil.rmtree(_IVF_ROOT, ignore_errors=True)
+        _IVF_ROOT = None
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the materialized IVF index for (sf_dir, _ANN_PLANES),
+    building it under the managed root on first use."""
+    key = f"{sf_dir}:{_ANN_PLANES}"
+    path = _IVF_INDEX_PATHS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = _ivf_index_dir(key)
+        sim.ivf_write(
+            load_table(spark, sf_dir, "embeddings"), path, planes=_ANN_PLANES
+        )
+        _IVF_INDEX_PATHS[key] = path
+    return path
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,22 +1418,22 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     same planes this is defined to equal ann_lsh_topk (same buckets, same
     exact-cosine scoring — operators/similarity.py:274), so it shares the
     _sql_ann_lsh_topk oracle."""
-    import os
-    import tempfile
-
-    key = f"{sf_dir}:{_ANN_PLANES}"
-    path = _IVF_INDEX_PATHS.get(key)
-    if path is None or not os.path.isdir(path):
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="spark_graft_ivf_"), "index"
-        )
-        sim.ivf_write(
-            load_table(spark, sf_dir, "embeddings"), path, planes=_ANN_PLANES
-        )
-        _IVF_INDEX_PATHS[key] = path
+    path = _ivf_index_for(spark, sf_dir)
     queries, _ = _queries_vecs(spark, sf_dir)
     return sim.ivf_topk(
         spark, path, queries, k=_TOPK_K, planes=_ANN_PLANES, probes=1
+    )
+
+
+def q_emb_ivf_topk_probes2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF: probes=2 scans each query's own bucket plus the
+    least-margin plane flip. Shares the materialized index with
+    q_emb_ivf_topk (probes is a query-time parameter); the oracle replays
+    the margin-ordered probe list in SQL (_sql_ivf_topk_probes2)."""
+    path = _ivf_index_for(spark, sf_dir)
+    queries, _ = _queries_vecs(spark, sf_dir)
+    return sim.ivf_topk(
+        spark, path, queries, k=_TOPK_K, planes=_ANN_PLANES, probes=2
     )
 
 
@@ -1207,6 +1528,13 @@ LLM_REGISTRY: dict[str, QueryDef] = {
             FROM groups GROUP BY lang""",
         ("documents",),
         "composed prep pipeline: gate -> dedup -> corpus stats",
+    ),
+    "corpus_curation_pipeline": QueryDef(
+        q_corpus_curation_pipeline,
+        _sql_curation_pipeline(),
+        ("documents",),
+        "sequential curation: gate -> dedup -> clusters -> decontam -> "
+        "sample -> pack manifest",
     ),
     "doc_dedup_exact": QueryDef(
         q_doc_dedup_exact,
@@ -1344,6 +1672,12 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_ann_lsh_topk(),  # probes=1 == ann_lsh_topk by construction
         ("embeddings",),
         "IVF at-rest ANN: partitioned index + partition-pruned probe",
+    ),
+    "emb_ivf_topk_probes2": QueryDef(
+        q_emb_ivf_topk_probes2,
+        _sql_ivf_topk_probes2(),  # margin-ordered probe list replayed
+        ("embeddings",),
+        "multi-probe IVF ANN: own bucket + least-margin plane flip",
     ),
     "emb_kmeans_step": QueryDef(
         q_emb_kmeans_step,

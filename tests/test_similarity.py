@@ -3,8 +3,11 @@
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
 
 from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
     similarity as sim,
@@ -148,3 +151,23 @@ def test_kmeans_step_separates_clusters(spark):
     for k, (n, m) in want.items():
         assert got[k][0] == n
         assert abs(got[k][1] - m) < 1e-6  # float32 input quantization
+
+
+def test_ivf_registry_index_lifecycle(spark):
+    """The registry's materialized IVF index lives under one managed root,
+    is reused across invocations (repeat probes pay probe cost only), and
+    release_ivf_indexes removes it without leaving orphaned dirs."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans import (
+        registry_llm as rl,
+    )
+
+    rl.release_ivf_indexes()
+    rl.q_emb_ivf_topk(spark, SF_SMOKE).count()
+    root1 = rl._IVF_ROOT
+    assert root1 is not None and os.path.isdir(root1)
+    paths_before = dict(rl._IVF_INDEX_PATHS)
+    rl.q_emb_ivf_topk(spark, SF_SMOKE).count()
+    assert rl._IVF_INDEX_PATHS == paths_before  # reused, not rebuilt
+    rl.release_ivf_indexes()
+    assert not os.path.isdir(root1)
+    assert rl._IVF_ROOT is None and not rl._IVF_INDEX_PATHS
