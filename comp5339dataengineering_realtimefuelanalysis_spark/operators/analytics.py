@@ -303,6 +303,40 @@ def sessionize(
     )
 
 
+def sessionize_window(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Session-window sessionization: ``F.session_window`` merges an event
+    into the open session while its gap to the previous event is at most
+    ``gap_minutes`` (windows merge when they touch: a new session starts
+    only at gap > threshold — the same strict-> boundary as ``sessionize``,
+    verified in tests/test_windows.py).
+
+    The streaming-native variant of ``sessionize``: the identical
+    expression runs under Structured Streaming with a watermark (append
+    mode emits a session once the watermark passes its end), where the
+    lag+cumsum form cannot — session-window state is merged incrementally
+    by the state store instead of re-sorting a partition.
+    Output: (user, session_start, session_end = last event + gap,
+    n_events). One hash shuffle on the user with in-partition session
+    merge; no ordinal session id (window start is the stable session key).
+    """
+    sw = F.session_window(F.col(ts_col), f"{gap_minutes} minutes")
+    return (
+        df.groupBy(F.col(user_col), sw.alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def pivot_counts(
     df: DataFrame, key_col: str, pivot_col: str, values: Sequence[str]
 ) -> DataFrame:

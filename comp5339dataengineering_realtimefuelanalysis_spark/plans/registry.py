@@ -43,6 +43,7 @@ from ..operators.analytics import (
     sliding_stats,
     moving_avg_daily,
     sessionize,
+    sessionize_window,
     pivot_counts,
     distinct_count_by,
     topk_per_group,
@@ -358,6 +359,14 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(
         events, "user_id", "ts", gap_minutes=30, tiebreak="event_id"
     )
+
+
+def q_user_sessions_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window sessionization — the streaming-native variant
+    (same expression runs watermarked in append mode; see
+    tests/test_stateful.py for the streaming + RocksDB exercise)."""
+    events = load_table(spark, sf_dir, "events")
+    return sessionize_window(events, "user_id", "ts", gap_minutes=30)
 
 
 def q_user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,6 +952,32 @@ REGISTRY: dict[str, QueryDef] = {
            FROM sess GROUP BY user_id, session_id""",
         ("events",),
         "gap-based sessionization (lag + conditional cumsum)",
+    ),
+    "user_sessions_window": QueryDef(
+        q_user_sessions_window,
+        """WITH flagged AS (
+               SELECT user_id, ts,
+                      CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800 * 1000000
+                           THEN 1 ELSE 0 END AS is_new
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           sess AS (
+               SELECT user_id, ts,
+                      SUM(is_new) OVER (
+                          PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS sid
+               FROM flagged)
+           SELECT user_id,
+                  CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+                  CAST(MAX(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE
+                      AS session_end,
+                  COUNT(*) AS n_events
+           FROM sess GROUP BY user_id, sid""",
+        ("events",),
+        "session-window sessionization (F.session_window, streaming-native)",
     ),
     "user_type_pivot": QueryDef(
         q_user_type_pivot,

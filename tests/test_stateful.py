@@ -213,3 +213,72 @@ def test_bounded_state_pipeline_equivalent_when_data_in_order(spark, tmp_path):
     finally:
         for q in queries:
             q.stop()
+
+
+def test_session_window_streaming_watermark_rocksdb(spark, stream_dirs):
+    """sessionize_window runs under Structured Streaming with a watermark
+    (append mode emits a session once the watermark passes its end), with
+    the RocksDB state-store provider engaged — the bounded-state config
+    SCALE.md promises for large keyspaces."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.analytics import (
+        sessionize_window,
+    )
+
+    src, ckpt = stream_dirs
+    land(src, 0, [
+        ("a", "2024-01-01T00:00:00", 1.0),
+        ("a", "2024-01-01T00:03:00", 1.0),  # gap 3 min < 5 -> same session
+        ("a", "2024-01-01T00:20:00", 1.0),  # gap 17 min -> new session
+        ("b", "2024-01-01T00:00:00", 1.0),
+    ])
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_stream(spark, src).withWatermark("ts", "10 minutes")
+        agg = sessionize_window(stream, "key", "ts", gap_minutes=5)
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sess_stream")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # advance the watermark far enough to close every session
+            land(src, 1, [("a", "2024-01-01T02:00:00", 1.0)])
+            q.processAllAvailable()
+            got = {
+                (r.key, r.session_start.isoformat(),
+                 r.session_end.isoformat()): r.n_events
+                for r in spark.sql("SELECT * FROM sess_stream").collect()
+            }
+            assert got[
+                ("a", "2024-01-01T00:00:00", "2024-01-01T00:08:00")
+            ] == 2
+            assert got[
+                ("a", "2024-01-01T00:20:00", "2024-01-01T00:25:00")
+            ] == 1
+            assert got[
+                ("b", "2024-01-01T00:00:00", "2024-01-01T00:05:00")
+            ] == 1
+            # RocksDB actually engaged: its custom metrics appear in the
+            # state operator progress
+            progress = q.lastProgress
+            metrics = progress["stateOperators"][0]["customMetrics"]
+            assert any(k.startswith("rocksdb") for k in metrics), metrics
+        finally:
+            q.stop()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )

@@ -7,6 +7,7 @@ import datetime as dt
 from comp5339dataengineering_realtimefuelanalysis_spark.operators.analytics import (
     windowed_stats,
     sessionize,
+    sessionize_window,
     pivot_counts,
     distinct_count_by,
 )
@@ -205,3 +206,26 @@ def test_sliding_stats_fanout_and_sums(spark):
     assert by[(1, "view")].n_events == 3
     assert by[(1, "view")].sum_value == 13.0
     assert by[(2, "view")].n_events == 2
+
+
+def test_sessionize_window_boundary_and_parity(spark):
+    """sessionize_window matches the lag-based sessionize's strict->
+    boundary: an event at gap == threshold MERGES (session windows merge
+    when they touch), and the merged session's end extends to
+    last_event + gap."""
+    rows = [
+        (1, ts("2024-01-01T10:00:00"), 7),
+        (2, ts("2024-01-01T10:30:00"), 7),  # exactly 30 min -> merges
+        (3, ts("2024-01-01T12:00:00"), 7),  # clear new session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    lag_based = sessionize(df, "user_id", "ts", gap_minutes=30)
+    assert sorted(r.n_events for r in lag_based.collect()) == [1, 2]
+    sw = {
+        (r.session_start.isoformat(), r.session_end.isoformat()): r.n_events
+        for r in sessionize_window(df, "user_id", "ts", 30).collect()
+    }
+    assert sw == {
+        ("2024-01-01T10:00:00", "2024-01-01T11:00:00"): 2,
+        ("2024-01-01T12:00:00", "2024-01-01T12:30:00"): 1,
+    }
