@@ -613,15 +613,17 @@ def connected_components(
     # speed — on executor loss the job recomputes from scratch, the
     # standard choice for short iterative refinements.)
     #
-    # All checkpoints are LAZY (eager=False): plan truncation happens at
-    # the .localCheckpoint() call either way, and the round's ONE action —
-    # the convergence checksum — materializes the blocks as a side effect.
-    # Eager checkpoints spent a separate job per super-round just to
-    # materialize, doubling the driver round-trips on contracted edge sets
-    # whose per-job cost is pure scheduling overhead.
+    # The INITIAL checkpoint is EAGER: round 1's star plans reference the
+    # edge set ~6 times, and an unmaterialized lazy checkpoint re-derives
+    # the (expensive) upstream pair-generation DAG per consuming stage of
+    # that first job — one dedicated materialization job is cheaper.
+    # Per-ROUND checkpoints are lazy (below): their one consumer is the
+    # convergence checksum, which materializes the blocks as a side
+    # effect, halving driver round-trips on contracted edge sets whose
+    # per-job cost is pure scheduling overhead.
     cur = _canonical_edges(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     def checksum(e: DataFrame) -> tuple:
         row = e.agg(

@@ -991,11 +991,18 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_parallel(spark, sf_dir)
     probe = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
-    prof = train.select(
-        "doc_id",
-        "text",
-        tx.lang_id("text").alias("lang"),
-        tx.quality_score("text").alias("quality"),
+    # persisted for the same reason as q_corpus_prep_summary's profile
+    # stage: without the plan barrier Catalyst substitutes the full
+    # lang-ID + quality expressions into the gate predicate at the scan
+    # (serial on a single-split file) and recomputes them post-exchange
+    # (measured: kept1 materialization 6.5 s -> ~1.5 s at sf0.1)
+    prof = tracked_persist(
+        train.select(
+            "doc_id",
+            "text",
+            tx.lang_id("text").alias("lang"),
+            tx.quality_score("text").alias("quality"),
+        )
     )
     gated = prof.filter(
         (F.col("quality") >= _QUALITY_KEEP) & (F.col("lang") != "unknown")
@@ -1025,7 +1032,10 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     non_reps = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    kept2 = kept1.join(non_reps, "doc_id", "left_anti")
+    # persisted: the contamination screen references its corpus side
+    # several times (df-cap window, inverted-index join, size join) and
+    # would re-run the anti-join + shingle chain per reference
+    kept2 = tracked_persist(kept1.join(non_reps, "doc_id", "left_anti"))
     contam = dd.ngram_overlap_pairs(
         probe,
         kept2,
@@ -1034,7 +1044,12 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=_JACCARD_MAX_DF,
     )
     dirty = contam.select(F.col("corpus_id").alias("doc_id")).distinct()
-    kept3 = kept2.join(dirty, "doc_id", "left_anti")
+    # kept3 is the plan's fan-out point: the sample derives from it AND
+    # joins back to it, and the bucketed prefix sum in packing references
+    # its input several times — unpersisted, each reference re-runs the
+    # whole contamination inverted-index subplan (measured 31 s -> ~8 s
+    # at sf0.1 with the persist).
+    kept3 = tracked_persist(kept2.join(dirty, "doc_id", "left_anti"))
     samp = sel.stratified_sample(
         kept3.select("doc_id", "lang"), "lang", _SAMPLE_RATES
     )
