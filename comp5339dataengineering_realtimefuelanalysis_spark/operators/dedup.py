@@ -573,11 +573,61 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _local_components(e: DataFrame) -> DataFrame:
+    """Single-task union-find finish for a SMALL (contracted) edge set.
+
+    The tail of the hybrid scheme in ``connected_components``: once star
+    contraction (or the input itself) is below the local-finish threshold,
+    the remaining closure is one Arrow-batched ``mapInPandas`` pass over
+    the coalesced edge set — one job instead of O(log n) further rounds
+    whose per-round cost is pure scheduling overhead on tiny frames. This
+    is the documented escalation path (compose > applyInPandas) applied
+    where the data has stopped being big.
+
+    Output matches the star-convergence derivation exactly: one row per
+    node appearing in ``e``, with ``component`` = the smallest node id of
+    its component (union-by-min + path compression).
+    """
+    dt = e.schema["u"].dataType.simpleString()
+
+    def fn(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        seen = set()
+        for pdf in batches:
+            for u, v in zip(pdf["u"].to_list(), pdf["v"].to_list()):
+                seen.add(u)
+                seen.add(v)
+                ra, rb = find(u), find(v)
+                if ra != rb:
+                    if ra > rb:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        if seen:
+            nodes = sorted(seen)
+            yield pd.DataFrame(
+                {"node": nodes, "component": [find(x) for x in nodes]}
+            )
+
+    return e.coalesce(1).mapInPandas(fn, f"node {dt}, component {dt}")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    local_finish_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of the undirected pair graph — the clustering
     step that turns near-dup PAIRS into dedup GROUPS (transitive closure:
@@ -601,6 +651,16 @@ def connected_components(
     ``edges``; ``component`` is the smallest node id of its component
     (the canonical survivor under min-id dedup). Nodes with no edges are
     absent — union singletons at the call site.
+
+    HYBRID: distributed star contraction runs only while the edge set
+    exceeds ``local_finish_edges``; below that, one single-task
+    union-find pass (``_local_components``) finishes the closure in ONE
+    job. Correct because both star operators preserve the node set (every
+    endpoint keeps at least one incident edge each round), so the
+    contracted graph has the same nodes and the same components as the
+    input. At 100 TB the contraction does the heavy lifting; the local
+    finish replaces only the tail rounds whose per-round cost is driver
+    scheduling on a few thousand edges.
     """
     # localCheckpoint (NOT persist): each round's plan references the
     # previous round's several times (unions + both join sides), so the
@@ -634,20 +694,26 @@ def connected_components(
         ).first()
         return (row["n"], row["h"])
 
-    # no checksum of the INITIAL edge set: the first super-round always
-    # runs, so seeding the convergence compare would only spend an extra
-    # driver round-trip on the largest (un-contracted) frame
+    # the count on the just-checkpointed blocks is cheap (no recompute)
+    # and decides up front whether any distributed round is needed at all
+    n = cur.count()
     prev: tuple | None = None
+    converged = False
     for _ in range(max_iter):
-        small = prev is not None and prev[0] <= 1_000_000
-        base = cur.coalesce(1) if small else cur
-        step = _small_star(_large_star(base))
+        if n <= local_finish_edges:
+            break
+        step = _small_star(_large_star(cur))
         nxt = _small_star(_large_star(step)).localCheckpoint(eager=False)
         cur_check = checksum(nxt)  # materializes nxt's checkpoint too
         cur = nxt
+        n = cur_check[0]
         if cur_check == prev:
+            converged = True
             break
         prev = cur_check
+
+    if not converged:
+        return _local_components(cur)
 
     # At convergence every component is a star rooted at its min id:
     # edge (m, v) assigns v -> m, and the root maps to itself.

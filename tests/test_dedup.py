@@ -235,6 +235,33 @@ def test_connected_components_matches_union_find_on_random_graph(spark):
     assert got == want
 
 
+def test_connected_components_distributed_path_matches_local(spark):
+    """Force the star-contraction path (local_finish_edges=0) and check it
+    agrees with the default hybrid (local union-find finish) on graphs
+    that need multiple contraction rounds."""
+    cases = [
+        [(i, i + 1) for i in range(1, 8)],            # chain
+        [(5, 2), (2, 7), (10, 11), (11, 10), (3, 3)],  # dups + self-loop
+    ]
+    import random
+
+    rng = random.Random(7)
+    cases.append([(rng.randrange(60), rng.randrange(60)) for _ in range(80)])
+    for pairs in cases:
+        df = edges_df(spark, pairs)
+        local = {
+            (r.node, r.component)
+            for r in dd.connected_components(df).collect()
+        }
+        distributed = {
+            (r.node, r.component)
+            for r in dd.connected_components(
+                df, local_finish_edges=0
+            ).collect()
+        }
+        assert local == distributed
+
+
 def test_ngram_overlap_contamination(spark):
     probe = docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
     corpus = docs(
