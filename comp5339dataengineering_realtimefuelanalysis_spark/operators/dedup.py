@@ -394,6 +394,32 @@ def minhash_lsh_pairs(
     what was dropped). ALWAYS set this at scale: one degenerate band key
     otherwise makes pair generation quadratic in its bucket size.
     """
+    banded = _banded_signatures(
+        df, text_col, id_col, n, num_hashes, bands, shingles_df
+    )
+    if max_bucket is not None:
+        banded, _ = cap_buckets(banded, ["band", "key"], max_bucket)
+
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _banded_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """(id, band, key) rows: each doc's signature split into LSH bands."""
     rows = num_hashes // bands
     sig = minhash_signatures(
         df, text_col, id_col, n, num_hashes, shingles_df=shingles_df
@@ -407,17 +433,47 @@ def minhash_lsh_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    if max_bucket is not None:
-        banded, _ = cap_buckets(banded, ["band", "key"], max_bucket)
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
 
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "key")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "key")
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC LSH candidate join: LEFT (an incoming batch) docs that
+    share at least one signature band with a RIGHT (existing corpus) doc.
+
+    The incremental-dedup shape a continuously-ingesting pipeline needs:
+    screening a daily batch against the accumulated corpus must cost
+    ~|batch| + the touched corpus buckets, never a corpus self-join. At
+    rest, persist the corpus banded frame bucketed by (band, key) and
+    this probe becomes a co-located join. ``max_bucket`` caps RIGHT-side
+    buckets (a degenerate corpus band would otherwise fan every matching
+    batch doc out by the bucket size).
+
+    Output: distinct (id_a = left id, id_b = right id) candidate pairs —
+    verify with ``jaccard_verify_pairs`` downstream.
+    """
+    lb = _banded_signatures(left, text_col, id_col, n, num_hashes, bands)
+    rb = _banded_signatures(right, text_col, id_col, n, num_hashes, bands)
+    if max_bucket is not None:
+        rb, _ = cap_buckets(rb, ["band", "key"], max_bucket)
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        lb.select(F.col(id_col).alias("id_a"), "band", "key")
+        .join(
+            rb.select(F.col(id_col).alias("id_b"), "band", "key"),
+            ["band", "key"],
+        )
         .select("id_a", "id_b")
         .distinct()
     )

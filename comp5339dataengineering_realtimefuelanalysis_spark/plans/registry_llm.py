@@ -1198,6 +1198,106 @@ def _sql_dedup_clusters() -> str:
         FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
 
 
+def q_doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus maintenance: a NEW batch (doc_id % 10 == 0
+    stands in for today's ingest) screened for near-dups against the
+    EXISTING corpus (the rest) — asymmetric LSH candidates
+    (minhash_lsh_join: batch x touched-buckets, never a corpus self-join)
+    verified with exact Jaccard over the shared shingle sets."""
+    docs = _docs_parallel(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    cands = dd.minhash_lsh_join(
+        new,
+        corpus,
+        n=_SHINGLE_N,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        max_bucket=_LSH_MAX_BUCKET,
+    )
+    return dd.jaccard_verify_pairs(
+        docs, cands, n=_SHINGLE_N, threshold=_JACCARD_THRESHOLD
+    )
+
+
+def _sql_incremental_dedup() -> str:
+    """Replay: signatures are per-doc, so banding the full corpus once and
+    splitting by side equals per-side banding; the bucket cap applies to
+    the corpus side only, exactly as minhash_lsh_join does."""
+    rows = _NUM_HASHES // _BANDS
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ") AS key FROM sig"
+        for b in range(_BANDS)
+    )
+    return f"""
+        WITH sig AS ({_sql_minhash_sig()}),
+        bands_all AS ({band_selects}),
+        new_b AS (SELECT * FROM bands_all WHERE doc_id % 10 = 0),
+        corp_b AS (SELECT * FROM bands_all WHERE doc_id % 10 <> 0
+                   QUALIFY COUNT(*) OVER (PARTITION BY band, key)
+                           <= {_LSH_MAX_BUCKET}),
+        cands AS (SELECT DISTINCT n.doc_id AS id_a, c.doc_id AS id_b
+                  FROM new_b n JOIN corp_b c
+                       ON n.band = c.band AND n.key = c.key),
+        sh AS ({_SQL_SHINGLES}),
+        sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sh_set
+                 FROM sh GROUP BY doc_id)
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+                   / (len(a.sh_set) + len(b.sh_set)
+                      - len(list_intersect(a.sh_set, b.sh_set)))
+                   AS jaccard
+        FROM cands c
+        JOIN sets a ON a.doc_id = c.id_a
+        JOIN sets b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.sh_set, b.sh_set)) AS DOUBLE)
+                  / (len(a.sh_set) + len(b.sh_set)
+                     - len(list_intersect(a.sh_set, b.sh_set)))
+              >= {_JACCARD_THRESHOLD}"""
+
+
+def q_emb_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup clustering: LSH-bucketed cosine near-dup
+    pairs -> connected components -> per-vector cluster representative
+    (min vec_id; keep = is-canonical) — the semantic-dedup analog of
+    doc_dedup_clusters for an embedding column."""
+    emb = _emb_parallel(spark, sf_dir)
+    pairs = sim.embedding_near_dup_pairs(
+        emb, threshold=_NEAR_DUP_THRESHOLD, planes=_NEAR_DUP_PLANES
+    )
+    cc = dd.connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+    return (
+        emb.select("vec_id")
+        .join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("vec_id"))
+    )
+
+
+def _sql_emb_dedup_clusters() -> str:
+    return f"""WITH RECURSIVE pairs AS ({_sql_near_dup_lsh_pairs()}),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+        walk(node, root) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.node
+        ),
+        comp AS (SELECT node AS vec_id, MIN(root) AS cluster_id
+                 FROM walk GROUP BY node)
+        SELECT e.vec_id,
+               COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+               (COALESCE(c.cluster_id, e.vec_id) = e.vec_id) AS keep
+        FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id"""
+
+
 _WINNOW_W = 4
 
 
@@ -1586,6 +1686,12 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         ("documents",),
         "LSH candidates + exact Jaccard verify (scale composition)",
     ),
+    "doc_incremental_dedup": QueryDef(
+        q_doc_incremental_dedup,
+        _sql_incremental_dedup(),
+        ("documents",),
+        "incremental dedup: new batch vs existing corpus (asymmetric LSH)",
+    ),
     "doc_dedup_clusters": QueryDef(
         q_doc_dedup_clusters,
         _sql_dedup_clusters(),
@@ -1675,6 +1781,12 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_near_dup_lsh_pairs(),
         ("embeddings",),
         "hyperplane-LSH near-dup (scale path)",
+    ),
+    "emb_dedup_clusters": QueryDef(
+        q_emb_dedup_clusters,
+        _sql_emb_dedup_clusters(),
+        ("embeddings",),
+        "embedding-space dedup clustering (near-dup CC, min-id canonical)",
     ),
     "emb_ann_lsh_topk": QueryDef(
         q_emb_ann_lsh_topk,

@@ -280,3 +280,34 @@ def test_ngram_overlap_contamination(spark):
     assert set(out) == {(100, 1)}
     n_shared, frac = out[(100, 1)]
     assert n_shared > 0 and 0.9 <= frac <= 1.0
+
+
+def test_minhash_lsh_join_asymmetric(spark):
+    """The incremental-dedup join: batch docs pair only with corpus docs
+    (never batch x batch or corpus x corpus), near-dups are found across
+    the split, and the right-side bucket cap drops a degenerate corpus
+    cluster without touching genuine matches."""
+    batch = docs(spark, [(100, "the quick brown fox jumps over the lazy dog"),
+                         (101, "totally unrelated text about databases")])
+    corpus_rows = [(1, "the quick brown fox jumps over the lazy dog"),
+                   (2, "another unrelated document entirely different")]
+    corpus_rows += [(200 + i, "shared boilerplate terms of service page")
+                    for i in range(30)]
+    corpus = docs(spark, corpus_rows)
+    got = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_join(batch, corpus, n=5).collect()
+    }
+    assert (100, 1) in got                       # cross-split near-dup found
+    assert all(a in (100, 101) for a, b in got)  # left ids only on the left
+    assert all(b not in (100, 101) for a, b in got)
+    # cap the corpus side below the boilerplate cluster size: those
+    # buckets drop, the genuine match survives
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_lsh_join(
+            batch, corpus, n=5, max_bucket=10
+        ).collect()
+    }
+    assert (100, 1) in capped
+    assert all(b < 200 for a, b in capped)
