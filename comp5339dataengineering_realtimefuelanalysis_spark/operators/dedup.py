@@ -84,6 +84,34 @@ def dedup_exact(
     )
 
 
+def dedup_exact_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: FIRST ARRIVAL per canonical content hash
+    survives — the streaming analog of ``dedup_exact``'s min-id pick,
+    with arrival order replacing id order (a stream cannot see the
+    future minimum).
+
+    With ``ts_col`` + ``watermark``, uses ``dropDuplicatesWithinWatermark``
+    so per-hash state is EVICTED once the watermark passes — bounded
+    state for unbounded corpora (a re-ingested duplicate older than the
+    watermark window is treated as new; choose the window >= the
+    realistic re-delivery horizon). Without a watermark, state grows with
+    distinct content — the exact semantics, for bounded backfills.
+    """
+    hashed = df.withColumn(
+        "content_hash", F.md5(norm_text(text_col).cast("binary"))
+    )
+    if ts_col is not None and watermark is not None:
+        return hashed.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(["content_hash"])
+    return hashed.dropDuplicates(["content_hash"])
+
+
 # ---------------------------------------------------------------------------
 # Shingling
 # ---------------------------------------------------------------------------

@@ -251,3 +251,47 @@ def vocab_top(
     return top.withColumn("rank", F.row_number().over(w)).select(
         F.col("tok").alias("term"), "n_total", "n_docs", "rank"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 512,
+    stride: int = 384,
+) -> DataFrame:
+    """Fixed-size overlapping character chunks per document — the context
+    chunking a pretraining / retrieval prep pipeline applies before
+    tokenization (overlap = ``size - stride`` keeps boundary context).
+
+    Map-only: sequence + transform + explode stays in codegen, output is
+    ~len/stride rows per doc. Chunk starts are 0-based multiples of
+    ``stride``; the final chunk is the remainder (shorter than ``size``),
+    and a chunk starting at or past the end is never emitted — every
+    character belongs to at least one chunk, empty docs yield none.
+    Output: (id, chunk_idx, chunk_start, chunk_len, chunk) with chunk_idx
+    0-based in document order.
+    """
+    n_chunks = F.greatest(
+        F.ceil(
+            (F.length(F.col(text_col)) - F.lit(size)) / F.lit(stride)
+        ).cast("long")
+        + 1,
+        F.lit(1),
+    )
+    idx = F.explode(
+        F.when(
+            F.length(F.col(text_col)) > 0,
+            F.sequence(F.lit(0).cast("long"), n_chunks - 1),
+        ).otherwise(F.array().cast("array<long>"))
+    )
+    out = df.select(F.col(id_col), idx.alias("chunk_idx"), F.col(text_col))
+    start = F.col("chunk_idx") * stride
+    chunk = F.substring(F.col(text_col), (start + 1).cast("int"), size)
+    return out.select(
+        id_col,
+        "chunk_idx",
+        start.alias("chunk_start"),
+        F.length(chunk).alias("chunk_len"),
+        chunk.alias("chunk"),
+    )

@@ -1298,6 +1298,38 @@ def _sql_emb_dedup_clusters() -> str:
         FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id"""
 
 
+_CHUNK_SIZE = 200
+_CHUNK_STRIDE = 150
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context chunking: fixed-size overlapping character windows per doc
+    (operators/text.py:chunk_documents) — the map-only prep step before
+    tokenization; overlap keeps boundary context."""
+    docs = _docs_parallel(spark, sf_dir)
+    return tx.chunk_documents(
+        docs, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+def _sql_doc_chunks() -> str:
+    s, t = _CHUNK_SIZE, _CHUNK_STRIDE
+    n = (
+        f"GREATEST(CAST(ceil((length(text) - {s}) / {t}.0) AS BIGINT)"
+        " + 1, 1)"
+    )
+    sub = f"substring(text, CAST(chunk_idx * {t} + 1 AS INT), {s})"
+    return f"""
+        WITH chunks AS (
+            SELECT doc_id, unnest(range(0, {n})) AS chunk_idx, text
+            FROM documents WHERE length(text) > 0)
+        SELECT doc_id, chunk_idx,
+               chunk_idx * {t} AS chunk_start,
+               CAST(length({sub}) AS BIGINT) AS chunk_len,
+               {sub} AS chunk
+        FROM chunks"""
+
+
 _WINNOW_W = 4
 
 
@@ -1685,6 +1717,12 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_lsh_verified(),
         ("documents",),
         "LSH candidates + exact Jaccard verify (scale composition)",
+    ),
+    "doc_chunks": QueryDef(
+        q_doc_chunks,
+        _sql_doc_chunks(),
+        ("documents",),
+        "overlapping fixed-size context chunks (map-only explode)",
     ),
     "doc_incremental_dedup": QueryDef(
         q_doc_incremental_dedup,

@@ -282,3 +282,60 @@ def test_session_window_streaming_watermark_rocksdb(spark, stream_dirs):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
+
+
+def test_streaming_doc_dedup_first_arrival(spark, stream_dirs):
+    """Streaming exact dedup over a document stream: cross-batch
+    duplicates (including normalization variants) are suppressed by keyed
+    state; watermarked variant bounds that state."""
+    import json as _json
+    import pathlib as _pathlib
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.dedup import (
+        dedup_exact_stream,
+    )
+
+    src, ckpt = stream_dirs
+
+    def land_docs(i, rows):
+        p = _pathlib.Path(src) / f"d{i:04d}.json"
+        p.write_text(
+            "\n".join(
+                _json.dumps({"doc_id": d, "ts": ts, "text": t})
+                for d, ts, t in rows
+            )
+        )
+
+    land_docs(0, [
+        (1, "2024-01-01T00:00:00", "the quick brown fox"),
+        (2, "2024-01-01T00:01:00", "The  quick brown fox"),  # norm dup of 1
+        (3, "2024-01-01T00:02:00", "something else entirely"),
+    ])
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).json(str(src))
+    q = (
+        dedup_exact_stream(stream, ts_col="ts", watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("doc_dedup_stream")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.sql(
+            "SELECT doc_id FROM doc_dedup_stream").collect()}
+        assert 3 in got
+        assert len(got & {1, 2}) == 1  # one survivor of the dup group
+        land_docs(1, [
+            (4, "2024-01-01T00:03:00", "THE QUICK BROWN FOX"),  # dup again
+            (5, "2024-01-01T00:04:00", "a genuinely new document"),
+        ])
+        q.processAllAvailable()
+        got2 = {r.doc_id for r in spark.sql(
+            "SELECT doc_id FROM doc_dedup_stream").collect()}
+        assert 5 in got2
+        assert 4 not in got2  # suppressed across batches by keyed state
+    finally:
+        q.stop()

@@ -129,3 +129,31 @@ def test_stratified_sample_deterministic_and_nested(spark):
     # unlisted strata drop to default_pct=0
     none = stratified_sample(df, "lang", {"de": 50})
     assert none.count() == 0
+
+
+def test_chunk_documents_invariants(spark):
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.text import (
+        chunk_documents,
+    )
+
+    rows = [
+        (1, "a" * 1000),   # multi-chunk with remainder
+        (2, "b" * 512),    # exactly one full chunk
+        (3, "c" * 100),    # shorter than one chunk
+        (4, ""),           # empty -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in chunk_documents(df, size=512, stride=384).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    assert 4 not in got
+    assert [r.chunk_start for r in sorted(got[1], key=lambda r: r.chunk_idx)] == [0, 384, 768]
+    assert [r.chunk_len for r in sorted(got[1], key=lambda r: r.chunk_idx)] == [512, 512, 232]
+    assert len(got[2]) == 1 and got[2][0].chunk_len == 512
+    assert len(got[3]) == 1 and got[3][0].chunk_len == 100
+    # every character covered: union of [start, start+len) == [0, len(text))
+    for doc_id, text_len in ((1, 1000), (2, 512), (3, 100)):
+        covered = set()
+        for r in got[doc_id]:
+            covered |= set(range(r.chunk_start, r.chunk_start + r.chunk_len))
+        assert covered == set(range(text_len)), doc_id
