@@ -43,10 +43,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         dtype = dict(df.dtypes).get(c)
         if dtype == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
-        elif dtype == "timestamp_ntz":
-            # Fixtures regenerated as TIMESTAMP_MICROS(isAdjustedToUTC=0)
-            # read as TIMESTAMP_NTZ; normalize to TIMESTAMP so type-strict
-            # functions (unix_micros) resolve. Lossless: the session TZ is
-            # pinned to UTC above, so the wall-clock values are unchanged.
+        elif dtype in ("timestamp_ntz", "date"):
+            # Fixtures have changed encoding between rounds once already
+            # (TIMESTAMP(NANOS) -> TIMESTAMP_MICROS(isAdjustedToUTC=0),
+            # which Spark reads as TIMESTAMP_NTZ). Normalize every
+            # declared ts column to TIMESTAMP so type-strict functions
+            # (unix_micros) resolve regardless of the parquet encoding.
+            # Lossless: the session TZ is pinned to UTC above, so
+            # wall-clock values are unchanged (DATE -> midnight UTC).
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

@@ -83,3 +83,27 @@ def test_oracle_columns_match_spark_columns(spark):
         d_cols = sorted(c[0] for c in d.description)
         s_cols = sorted(qd.fn(spark, SF_SMOKE).columns)
         assert s_cols == d_cols, f"{name}: {s_cols} != {d_cols}"
+
+
+def test_load_table_normalizes_ts_encodings(spark, tmp_path):
+    """Declared ts columns normalize to TIMESTAMP whatever the fixture
+    encoding — the environment has re-encoded fixtures between rounds
+    once already (nanos bigint -> TIMESTAMP_NTZ); DATE is the next
+    plausible shift."""
+    import pandas as pd
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.base import (
+        load_table,
+    )
+
+    df = pd.DataFrame(
+        {
+            "o_orderkey": [1, 2],
+            "o_orderdate": pd.to_datetime(["2024-01-01", "2024-02-02"]).date,
+        }
+    )
+    df.to_parquet(tmp_path / "orders.parquet", index=False)
+    loaded = load_table(spark, str(tmp_path), "orders")
+    assert dict(loaded.dtypes)["o_orderdate"] == "timestamp"
+    got = {r.o_orderdate.isoformat() for r in loaded.collect()}
+    assert got == {"2024-01-01T00:00:00", "2024-02-02T00:00:00"}
