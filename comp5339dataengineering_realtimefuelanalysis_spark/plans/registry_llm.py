@@ -1036,12 +1036,17 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # several times (df-cap window, inverted-index join, size join) and
     # would re-run the anti-join + shingle chain per reference
     kept2 = tracked_persist(kept1.join(non_reps, "doc_id", "left_anti"))
+    # distinct corpus shingles persisted: the screen references its corpus
+    # side twice (df cap + inverted-index join); re-deriving the explode
+    # per reference costs more than the cache
+    csh = tracked_persist(dd.shingles(kept2, n=_SHINGLE_N))
     contam = dd.ngram_overlap_pairs(
         probe,
         kept2,
         n=_SHINGLE_N,
         min_frac=_CONTAM_MIN_FRAC,
         max_df=_JACCARD_MAX_DF,
+        corpus_shingles_df=csh,
     )
     dirty = contam.select(F.col("corpus_id").alias("doc_id")).distinct()
     # kept3 is the plan's fan-out point: the sample derives from it AND
