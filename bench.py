@@ -141,6 +141,9 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 dt = round(time.perf_counter() - t0, 4)
                 timings[name] = min(timings.get(name, dt), dt)
+                # a pass-1 failure followed by a pass-2 success is a timed
+                # query, not an errored one — keep the two sets disjoint
+                errors.pop(name, None)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             finally:
@@ -181,7 +184,19 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
+        # permanently-failing queries shrink the total silently; the
+        # explicit count keeps cross-round total comparisons honest
         out["errors"] = errors
+        out["n_failed"] = len(errors)
+    # The stdout JSON line is the driver contract, but stdout capture has
+    # truncated it before (BENCH_r05 lost its first two timings) — persist
+    # the full artifact to a file so every timing survives any capture
+    # policy, and say where it went on stderr (stdout stays one JSON line).
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "bench_out.json")
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"bench: full artifact written to {out_path}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
 

@@ -797,6 +797,18 @@ def connected_components(
         prev = cur_check
 
     if not converged:
+        if n > local_finish_edges:
+            # max_iter exhausted while still above the local-finish
+            # threshold: refusing to coalesce a still-large edge set into
+            # one task (OOM at scale) — star contraction halves graph
+            # height per round, so hitting this means max_iter is set far
+            # below log2(diameter) for the input
+            raise RuntimeError(
+                f"connected_components: {n} edges remain after {max_iter} "
+                f"contraction rounds (> local_finish_edges="
+                f"{local_finish_edges}); raise max_iter rather than "
+                "single-tasking a large edge set"
+            )
         return _local_components(cur)
 
     # At convergence every component is a star rooted at its min id:

@@ -1095,6 +1095,16 @@ def _rotate_for_attestation(
         return registry
     idx = {name: i for i, name in enumerate(registry)}
     order = sorted(registry, key=lambda n: (last[n], idx[n]))
+    # the order depends on which CORRECTNESS_r*.json artifacts were
+    # readable at import — log the computed head once so an unexpected
+    # rotation (corrupt/missing artifact) is observable, not silent
+    import logging
+
+    logging.getLogger(__name__).info(
+        "registry attestation rotation: head-%d = %s",
+        ATTESTATION_WINDOW,
+        order[:ATTESTATION_WINDOW],
+    )
     return {n: registry[n] for n in order}
 
 
