@@ -291,6 +291,7 @@ def jaccard_verify_pairs(
     n: int = 5,
     threshold: float = 0.5,
     shingles_df: DataFrame | None = None,
+    sets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for a given candidate-pair set (id_a, id_b).
 
@@ -298,6 +299,11 @@ def jaccard_verify_pairs(
     this verifies them exactly. Shingle SETS are collected per doc (array
     column, bounded by text length) and the per-pair Jaccard is a pure
     array expression — no inverted-index explosion, cost ~ |candidates|.
+
+    ``sets_df``: optional precomputed (id, sh_set array) frame — pass a
+    PERSISTED one when the pipeline also needs the distinct shingle sets
+    elsewhere (e.g. a downstream contamination screen explodes them back
+    to (id, shingle) rows), so the collect_set shuffle runs once.
     """
     from ..functions.caching import tracked_persist
 
@@ -306,12 +312,15 @@ def jaccard_verify_pairs(
     # at sf0.1). Materializing also gives AQE real stats to pick the join
     # strategy. Ownership: registered with functions.caching so the caller
     # that materializes the result can release_tracked() afterwards.
-    if shingles_df is None:
-        shingles_df = shingles(df, text_col, id_col, n, distinct=False)
-    sets = tracked_persist(
-        shingles_df.groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("sh_set"))  # set-dedups itself
-    )
+    if sets_df is not None:
+        sets = sets_df
+    else:
+        if shingles_df is None:
+            shingles_df = shingles(df, text_col, id_col, n, distinct=False)
+        sets = tracked_persist(
+            shingles_df.groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("sh_set"))  # set-dedups
+        )
     a = sets.select(
         F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a")
     )

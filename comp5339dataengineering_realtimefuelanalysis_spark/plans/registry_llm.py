@@ -1007,39 +1007,70 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = prof.filter(
         (F.col("quality") >= _QUALITY_KEEP) & (F.col("lang") != "unknown")
     )
+    # n_tokens is computed HERE, once, so every later stage carries the
+    # 3 narrow columns (doc_id, lang, n_tokens) instead of the text —
+    # the packer consumes the precomputed count (token_col) and the
+    # contamination shingles derive from the persisted sets below, so no
+    # stage after this one touches the text column at all
     kept1 = tracked_persist(
         dd.dedup_exact(gated)
         .filter(F.col("is_canonical"))
-        .select("doc_id", "text", "lang")
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            tx.token_count_ws("text").alias("n_tokens"),
+        )
     )
     sh = tracked_persist(dd.shingles(kept1, n=_SHINGLE_N, distinct=False))
-    cands = dd.minhash_lsh_pairs(
-        kept1,
-        n=_SHINGLE_N,
-        num_hashes=_NUM_HASHES,
-        bands=_BANDS,
-        shingles_df=sh,
-        max_bucket=_LSH_MAX_BUCKET,
+    # candidate pairs persisted: BOTH the Jaccard verify and (via the CC
+    # eager checkpoint) the cluster step reference this frame, and the
+    # banded self-join + cap window + distinct behind it is the single
+    # most expensive unshared subplan in the pipeline (measured: the
+    # verify join alone fell 6.1 s -> 0.7 s at sf0.1 once the candidate
+    # derivation stopped being replayed inline)
+    cands = tracked_persist(
+        dd.minhash_lsh_pairs(
+            kept1,
+            n=_SHINGLE_N,
+            num_hashes=_NUM_HASHES,
+            bands=_BANDS,
+            shingles_df=sh,
+            max_bucket=_LSH_MAX_BUCKET,
+        )
+    )
+    # one collect_set shuffle shared by the verify join AND the
+    # contamination screen (which explodes the arrays back to rows) —
+    # previously each stage re-derived its own distinct-shingle frame
+    sets = tracked_persist(
+        sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
     )
     pairs = dd.jaccard_verify_pairs(
         kept1,
         cands,
         n=_SHINGLE_N,
         threshold=_JACCARD_THRESHOLD,
-        shingles_df=sh,
+        sets_df=sets,
     )
     cc = dd.connected_components(pairs, "id_a", "id_b")
     non_reps = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    # persisted: the contamination screen references its corpus side
-    # several times (df-cap window, inverted-index join, size join) and
-    # would re-run the anti-join + shingle chain per reference
-    kept2 = tracked_persist(kept1.join(non_reps, "doc_id", "left_anti"))
-    # distinct corpus shingles persisted: the screen references its corpus
-    # side twice (df cap + inverted-index join); re-deriving the explode
-    # per reference costs more than the cache
-    csh = tracked_persist(dd.shingles(kept2, n=_SHINGLE_N))
+    # narrow survivor frame (no text): the contamination screen, the
+    # sample, and the packer all read it repeatedly
+    kept2 = tracked_persist(
+        kept1.select("doc_id", "lang", "n_tokens").join(
+            non_reps, "doc_id", "left_anti"
+        )
+    )
+    # corpus-side shingles for the screen: explode the persisted sets
+    # (already distinct per doc) filtered to survivors — map-only over
+    # cached arrays, replacing a full re-shingle + distinct shuffle of
+    # the survivor text
+    csh = (
+        sets.join(kept2.select("doc_id"), "doc_id", "semi")
+        .select("doc_id", F.explode("sh_set").alias("shingle"))
+    )
     contam = dd.ngram_overlap_pairs(
         probe,
         kept2,
@@ -1048,18 +1079,24 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_df=_JACCARD_MAX_DF,
         corpus_shingles_df=csh,
     )
-    dirty = contam.select(F.col("corpus_id").alias("doc_id")).distinct()
-    # kept3 is the plan's fan-out point: the sample derives from it AND
-    # joins back to it, and the bucketed prefix sum in packing references
-    # its input several times — unpersisted, each reference re-runs the
-    # whole contamination inverted-index subplan (measured 31 s -> ~8 s
-    # at sf0.1 with the persist).
-    kept3 = tracked_persist(kept2.join(dirty, "doc_id", "left_anti"))
-    samp = sel.stratified_sample(
-        kept3.select("doc_id", "lang"), "lang", _SAMPLE_RATES
+    # persist the TINY dirty-id set (not the wide survivor frame): the
+    # packer references its input several times, and each reference
+    # re-evaluates only cached-kept2 + hash filter + this broadcast
+    # anti-join — the contamination inverted-index subplan runs once.
+    # The sample moved BEFORE the decontamination anti-join: membership
+    # is a pure per-row hash of (doc_id, lang), so sampling survivors
+    # then dropping dirty ids selects the identical rows, and the two
+    # screens no longer serialize against each other.
+    dirty = tracked_persist(
+        contam.select(F.col("corpus_id").alias("doc_id")).distinct()
     )
-    kept4 = kept3.join(samp.select("doc_id"), "doc_id")
-    return pk.pack_manifest(kept4, ctx_len=_PACK_CTX)
+    samp = sel.stratified_sample(
+        kept2.select("doc_id", "lang"), "lang", _SAMPLE_RATES
+    )
+    kept4 = kept2.join(samp.select("doc_id"), "doc_id").join(
+        dirty, "doc_id", "left_anti"
+    )
+    return pk.pack_manifest(kept4, ctx_len=_PACK_CTX, token_col="n_tokens")
 
 
 def _sql_curation_pipeline() -> str:
