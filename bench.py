@@ -188,16 +188,37 @@ def main() -> None:
         # explicit count keeps cross-round total comparisons honest
         out["errors"] = errors
         out["n_failed"] = len(errors)
-    # The stdout JSON line is the driver contract, but stdout capture has
-    # truncated it before (BENCH_r05 lost its first two timings) — persist
-    # the full artifact to a file so every timing survives any capture
-    # policy, and say where it went on stderr (stdout stays one JSON line).
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bench_out.json")
+    # The stdout JSON line is the driver contract, but the driver records
+    # only a ~2000-char tail of stdout (BENCH_r05/r06 both truncated the
+    # head of the line -> parsed: null). Persist the FULL artifact to a
+    # file, then print a COMPACT line (2-dp timings, no separators
+    # whitespace, streaming summarized, error names only) sized to fit the
+    # tail window. Path overridable so concurrent runs don't clobber the
+    # committed artifact; default is gitignored.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_out.json"),
+    )
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"bench: full artifact written to {out_path}", file=sys.stderr)
-    print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "streaming": {
+            k: streaming[k]
+            for k in ("sec", "rows_per_sec", "err")
+            if k in streaming
+        },
+        "sf": out["sf"],
+    }
+    if errors:
+        compact["n_failed"] = len(errors)
+        compact["failed"] = sorted(errors)
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

@@ -1045,7 +1045,18 @@ def _load_attestation_rounds(root: str) -> dict[int, dict]:
         try:
             with open(path) as f:
                 data = json.load(f)
-        except (OSError, ValueError):
+        except (OSError, ValueError) as exc:
+            # an unreadable artifact silently shifts the rotation window —
+            # WARNING reaches stderr even with no logging config (the
+            # stdlib last-resort handler emits WARNING+)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "unreadable correctness artifact %s (%s); "
+                "attestation rotation will ignore it",
+                path,
+                exc,
+            )
             continue
         if isinstance(data, dict):
             rounds[int(m.group(1))] = data
@@ -1083,18 +1094,39 @@ def last_attested_round(
     return last
 
 
+# Queries whose implementation was rewritten AFTER their last green
+# attestation: name -> the first artifact round that would attest the NEW
+# plan. Such a query jumps ahead of everything (even never-attested
+# entries) until a CORRECTNESS_r{N}.json with N >= the recorded round shows
+# it green, after which the entry is inert and may be deleted. Update this
+# whenever a registry query's plan changes materially — a green row for the
+# old plan says nothing about the new one.
+FORCE_ATTEST: dict[str, int] = {
+    # round-6 rewrite (narrow-column fan-out, shared candidate/sets frames,
+    # sample-before-anti-join) landed after the r5 attestation; r6 rotated
+    # it out of the window, so the new plan has no driver-green row yet.
+    "corpus_curation_pipeline": 7,
+}
+
+
 def _rotate_for_attestation(
     registry: dict[str, QueryDef],
 ) -> dict[str, QueryDef]:
-    """Reorder ``registry`` by attestation staleness (never-attested first,
-    then oldest last-green round; original order as the tiebreak). Pure
-    reordering — same keys, same values. No artifacts present (fresh
-    clone) -> original order."""
+    """Reorder ``registry`` by attestation staleness (plan-changed-since-
+    last-green first, then never-attested, then oldest last-green round;
+    original order as the tiebreak). Pure reordering — same keys, same
+    values. No artifacts present (fresh clone) -> original order."""
     last = last_attested_round(registry)
     if all(v == -1 for v in last.values()):
         return registry
     idx = {name: i for i, name in enumerate(registry)}
-    order = sorted(registry, key=lambda n: (last[n], idx[n]))
+
+    def force_pending(name: str) -> bool:
+        return name in FORCE_ATTEST and last[name] < FORCE_ATTEST[name]
+
+    order = sorted(
+        registry, key=lambda n: (not force_pending(n), last[n], idx[n])
+    )
     # the order depends on which CORRECTNESS_r*.json artifacts were
     # readable at import — log the computed head once so an unexpected
     # rotation (corrupt/missing artifact) is observable, not silent

@@ -411,13 +411,19 @@ def _sql_ivf_topk_probes2() -> str:
     ]
     # argmin by (margin, plane): plane p wins iff no earlier clause did and
     # its margin is <= every later plane's (ties break to the lower plane,
-    # matching array_sort on struct(margin, plane))
-    flip = f"""CASE
-        WHEN {ap[0]} <= {ap[1]} AND {ap[0]} <= {ap[2]}
-             AND {ap[0]} <= {ap[3]} THEN 0
-        WHEN {ap[1]} <= {ap[2]} AND {ap[1]} <= {ap[3]} THEN 1
-        WHEN {ap[2]} <= {ap[3]} THEN 2
-        ELSE 3 END"""
+    # matching array_sort on struct(margin, plane)). Generated from
+    # _ANN_PLANES so the probe choice can never diverge from ivf_topk's.
+    when_clauses = [
+        "WHEN "
+        + " AND ".join(f"{ap[p]} <= {ap[q]}" for q in range(p + 1, _ANN_PLANES))
+        + f" THEN {p}"
+        for p in range(_ANN_PLANES - 1)
+    ]
+    flip = (
+        "CASE\n        "
+        + "\n        ".join(when_clauses)
+        + f"\n        ELSE {_ANN_PLANES - 1} END"
+    )
     return f"""
         WITH qb AS (SELECT vec_id AS qid, embedding AS qvec,
                           {_sql_bucket(_ANN_PLANES, "embedding")} AS bucket0,
@@ -971,7 +977,9 @@ def _sql_contamination() -> str:
         WHERE CAST(n_shared AS DOUBLE) / sz >= {_CONTAM_MIN_FRAC}"""
 
 
-def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_curation_pipeline(
+    spark: SparkSession, sf_dir: str, stage_cb=None
+) -> DataFrame:
     """The END-TO-END curation pipeline, every stage sequentially composed
     (each operates on the previous stage's survivors, not independent
     filters over the raw corpus):
@@ -987,7 +995,14 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing is bucketed. The reference analog is the cleaned->analyzed
     flow of DataCleaning.py:15-209 -> DataAnalysis.py:16-165, generalized
     to corpus curation.
+
+    ``stage_cb(name, thunk) -> thunk()`` is a seam for
+    tools/profile_curation.py: each named stage builds through it, so the
+    profiler times (and materializes) EXACTLY the production frames —
+    the default identity hook leaves the production plan untouched.
     """
+    if stage_cb is None:
+        stage_cb = lambda _name, thunk: thunk()  # noqa: E731
     docs = _docs_parallel(spark, sf_dir)
     probe = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
@@ -996,13 +1011,16 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lang-ID + quality expressions into the gate predicate at the scan
     # (serial on a single-split file) and recomputes them post-exchange
     # (measured: kept1 materialization 6.5 s -> ~1.5 s at sf0.1)
-    prof = tracked_persist(
-        train.select(
-            "doc_id",
-            "text",
-            tx.lang_id("text").alias("lang"),
-            tx.quality_score("text").alias("quality"),
-        )
+    prof = stage_cb(
+        "1_profile",
+        lambda: tracked_persist(
+            train.select(
+                "doc_id",
+                "text",
+                tx.lang_id("text").alias("lang"),
+                tx.quality_score("text").alias("quality"),
+            )
+        ),
     )
     gated = prof.filter(
         (F.col("quality") >= _QUALITY_KEEP) & (F.col("lang") != "unknown")
@@ -1012,56 +1030,81 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the packer consumes the precomputed count (token_col) and the
     # contamination shingles derive from the persisted sets below, so no
     # stage after this one touches the text column at all
-    kept1 = tracked_persist(
-        dd.dedup_exact(gated)
-        .filter(F.col("is_canonical"))
-        .select(
-            "doc_id",
-            "text",
-            "lang",
-            tx.token_count_ws("text").alias("n_tokens"),
-        )
+    kept1 = stage_cb(
+        "2_gate_exact_dedup",
+        lambda: tracked_persist(
+            dd.dedup_exact(gated)
+            .filter(F.col("is_canonical"))
+            .select(
+                "doc_id",
+                "text",
+                "lang",
+                tx.token_count_ws("text").alias("n_tokens"),
+            )
+        ),
     )
-    sh = tracked_persist(dd.shingles(kept1, n=_SHINGLE_N, distinct=False))
+    sh = stage_cb(
+        "3_shingles",
+        lambda: tracked_persist(
+            dd.shingles(kept1, n=_SHINGLE_N, distinct=False)
+        ),
+    )
     # candidate pairs persisted: BOTH the Jaccard verify and (via the CC
     # eager checkpoint) the cluster step reference this frame, and the
     # banded self-join + cap window + distinct behind it is the single
     # most expensive unshared subplan in the pipeline (measured: the
     # verify join alone fell 6.1 s -> 0.7 s at sf0.1 once the candidate
     # derivation stopped being replayed inline)
-    cands = tracked_persist(
-        dd.minhash_lsh_pairs(
-            kept1,
-            n=_SHINGLE_N,
-            num_hashes=_NUM_HASHES,
-            bands=_BANDS,
-            shingles_df=sh,
-            max_bucket=_LSH_MAX_BUCKET,
-        )
+    cands = stage_cb(
+        "4_lsh_candidates",
+        lambda: tracked_persist(
+            dd.minhash_lsh_pairs(
+                kept1,
+                n=_SHINGLE_N,
+                num_hashes=_NUM_HASHES,
+                bands=_BANDS,
+                shingles_df=sh,
+                max_bucket=_LSH_MAX_BUCKET,
+            )
+        ),
     )
     # one collect_set shuffle shared by the verify join AND the
     # contamination screen (which explodes the arrays back to rows) —
     # previously each stage re-derived its own distinct-shingle frame
-    sets = tracked_persist(
-        sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh_set"))
+    sets = stage_cb(
+        "5_shingle_sets",
+        lambda: tracked_persist(
+            sh.groupBy("doc_id").agg(
+                F.collect_set("shingle").alias("sh_set")
+            )
+        ),
     )
-    pairs = dd.jaccard_verify_pairs(
-        kept1,
-        cands,
-        n=_SHINGLE_N,
-        threshold=_JACCARD_THRESHOLD,
-        sets_df=sets,
+    pairs = stage_cb(
+        "6_jaccard_verify",
+        lambda: dd.jaccard_verify_pairs(
+            kept1,
+            cands,
+            n=_SHINGLE_N,
+            threshold=_JACCARD_THRESHOLD,
+            sets_df=sets,
+        ),
     )
-    cc = dd.connected_components(pairs, "id_a", "id_b")
+    cc = stage_cb(
+        "7_connected_components",
+        lambda: dd.connected_components(pairs, "id_a", "id_b"),
+    )
     non_reps = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
     # narrow survivor frame (no text): the contamination screen, the
     # sample, and the packer all read it repeatedly
-    kept2 = tracked_persist(
-        kept1.select("doc_id", "lang", "n_tokens").join(
-            non_reps, "doc_id", "left_anti"
-        )
+    kept2 = stage_cb(
+        "8_drop_dup_members",
+        lambda: tracked_persist(
+            kept1.select("doc_id", "lang", "n_tokens").join(
+                non_reps, "doc_id", "left_anti"
+            )
+        ),
     )
     # corpus-side shingles for the screen: explode the persisted sets
     # (already distinct per doc) filtered to survivors — map-only over
@@ -1071,22 +1114,26 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         sets.join(kept2.select("doc_id"), "doc_id", "semi")
         .select("doc_id", F.explode("sh_set").alias("shingle"))
     )
-    contam = dd.ngram_overlap_pairs(
-        probe,
-        kept2,
-        n=_SHINGLE_N,
-        min_frac=_CONTAM_MIN_FRAC,
-        max_df=_JACCARD_MAX_DF,
-        corpus_shingles_df=csh,
+    contam = stage_cb(
+        "9_contamination_screen",
+        lambda: dd.ngram_overlap_pairs(
+            probe,
+            kept2,
+            n=_SHINGLE_N,
+            min_frac=_CONTAM_MIN_FRAC,
+            max_df=_JACCARD_MAX_DF,
+            corpus_shingles_df=csh,
+        ),
     )
     # persist the TINY dirty-id set (not the wide survivor frame): the
     # packer references its input several times, and each reference
     # re-evaluates only cached-kept2 + hash filter + this broadcast
     # anti-join — the contamination inverted-index subplan runs once.
     # The sample moved BEFORE the decontamination anti-join: membership
-    # is a pure per-row hash of (doc_id, lang), so sampling survivors
-    # then dropping dirty ids selects the identical rows, and the two
-    # screens no longer serialize against each other.
+    # is a pure per-row predicate (bucket = md5-hash of doc_id alone;
+    # lang only selects the per-stratum rate threshold), so sampling
+    # survivors then dropping dirty ids selects the identical rows, and
+    # the two screens no longer serialize against each other.
     dirty = tracked_persist(
         contam.select(F.col("corpus_id").alias("doc_id")).distinct()
     )
@@ -1096,7 +1143,12 @@ def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept4 = kept2.join(samp.select("doc_id"), "doc_id").join(
         dirty, "doc_id", "left_anti"
     )
-    return pk.pack_manifest(kept4, ctx_len=_PACK_CTX, token_col="n_tokens")
+    return stage_cb(
+        "10_sample_pack",
+        lambda: pk.pack_manifest(
+            kept4, ctx_len=_PACK_CTX, token_col="n_tokens"
+        ),
+    )
 
 
 def _sql_curation_pipeline() -> str:
