@@ -477,6 +477,45 @@ def _banded_signatures(
     )
 
 
+def minhash_band_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """``df`` plus a ``band_keys`` array column: band b's LSH key at index
+    b, identical strings to ``_banded_signatures``'s exploded ``key``.
+
+    The AT-REST form for a continuously-deduped corpus: store this array
+    (``bands`` short strings per doc) in the silver table so incremental
+    screening never re-shingles or re-hashes corpus text — the banded
+    join side is just ``posexplode(band_keys)``. See
+    ``streaming/incremental_dedup.py`` for the consuming topology.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "_", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    )
+    sig_keys = sig.select(id_col, keys.alias("band_keys"))
+    return df.join(sig_keys, id_col)
+
+
+def banded_from_keys(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode a stored ``band_keys`` array back into the (id, band, key)
+    shape every banded join in this module consumes."""
+    return df.select(
+        id_col, F.posexplode("band_keys").alias("band", "key")
+    )
+
+
 def minhash_lsh_join(
     left: DataFrame,
     right: DataFrame,
@@ -486,6 +525,8 @@ def minhash_lsh_join(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int | None = None,
+    left_banded_df: DataFrame | None = None,
+    right_banded_df: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC LSH candidate join: LEFT (an incoming batch) docs that
     share at least one signature band with a RIGHT (existing corpus) doc.
@@ -500,9 +541,22 @@ def minhash_lsh_join(
 
     Output: distinct (id_a = left id, id_b = right id) candidate pairs —
     verify with ``jaccard_verify_pairs`` downstream.
+
+    ``left_banded_df`` / ``right_banded_df``: precomputed (id, band, key)
+    frames (``banded_from_keys`` over a stored ``band_keys`` column) —
+    pass the corpus side from storage so screening a batch costs zero
+    corpus-side text processing.
     """
-    lb = _banded_signatures(left, text_col, id_col, n, num_hashes, bands)
-    rb = _banded_signatures(right, text_col, id_col, n, num_hashes, bands)
+    lb = (
+        left_banded_df
+        if left_banded_df is not None
+        else _banded_signatures(left, text_col, id_col, n, num_hashes, bands)
+    )
+    rb = (
+        right_banded_df
+        if right_banded_df is not None
+        else _banded_signatures(right, text_col, id_col, n, num_hashes, bands)
+    )
     if max_bucket is not None:
         rb, _ = cap_buckets(rb, ["band", "key"], max_bucket)
     return (

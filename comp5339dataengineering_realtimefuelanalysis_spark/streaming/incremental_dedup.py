@@ -1,0 +1,214 @@
+"""Streaming incremental corpus dedup: the production topology for a
+continuously-ingesting training-data pipeline.
+
+Each micro-batch is screened, in order, against
+
+  1. itself, exactly           (content-hash canonical pick, min id)
+  2. the accumulated corpus,   (id re-delivery + content-hash anti-joins)
+     exactly
+  3. itself, near-dup          (banded LSH self-join + exact-Jaccard
+                                verify; min-id representative kept)
+  4. the accumulated corpus,   (asymmetric banded LSH join — batch ×
+     near-dup                   touched corpus buckets, NEVER a corpus
+                                self-join — + exact-Jaccard verify)
+
+and the survivors are appended to the silver corpus. Generalizes the
+reference's incremental high-watermark publish (main.py:44-51) from
+"newer timestamp per station" to "novel content vs everything admitted".
+
+Scale shape (the 100 TB contract):
+  * The corpus is NEVER re-shingled or re-hashed. Silver stores each
+    admitted doc's ``content_hash`` and LSH ``band_keys`` (operators/
+    dedup.py:minhash_band_keys — ``bands`` short strings per doc);
+    screening explodes the stored keys (``banded_from_keys``). Per batch,
+    corpus-side work is one pruned scan of narrow columns + the bucket
+    join on (band, key).
+  * Corpus text is touched ONLY for docs that land in a candidate pair
+    (semi-join on candidate ids before the Jaccard verify) — cost is
+    proportional to |candidates|, not |corpus|.
+  * ``max_bucket`` caps degenerate corpus buckets (boilerplate bands),
+    the same skew guard every batch composition wires.
+  * Exactly-once across restarts WITHOUT an idempotent-sink assumption:
+    silver is partitioned by ``ingest_epoch`` and written with dynamic
+    partition overwrite, so a replayed epoch overwrites its own previous
+    (possibly partial) output; the corpus read excludes the in-flight
+    epoch's partition, so a replay screens against exactly the state the
+    first attempt saw and recomputes byte-identical survivors. Source
+    offsets live in the checkpoint (T3, exactly-once file intake).
+
+Within-batch near-dup keeps the MIN-ID doc of each verified pair rather
+than a full transitive closure (a chain a~b~c with a !~ c keeps {a} where
+batch connected-components would keep {a, c}) — the standard streaming
+approximation; run ``doc_dedup_clusters`` over silver for closure-exact
+retrospective clustering.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+from pyspark.errors import AnalysisException
+
+from ..operators import dedup as dd
+
+
+@dataclass
+class StreamingIncrementalDedup:
+    spark: SparkSession
+    landing_dir: str
+    silver_path: str
+    checkpoint_dir: str
+    schema: StructType
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    n: int = 5
+    num_hashes: int = 16
+    bands: int = 4
+    threshold: float = 0.6
+    max_bucket: int | None = 1000
+
+    def start(self, available_now: bool = False) -> StreamingQuery:
+        stream = (
+            self.spark.readStream.schema(self.schema)
+            .parquet(self.landing_dir)
+        )
+        writer = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(self._sink)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # -- corpus state -----------------------------------------------------
+
+    def _read_corpus(
+        self, spark: SparkSession, exclude_epoch: int
+    ) -> DataFrame | None:
+        """The admitted corpus as of the epoch being processed. Excluding
+        the in-flight epoch's own partition (partition-pruned) makes a
+        replayed epoch see exactly the pre-attempt state."""
+        try:
+            corpus = spark.read.parquet(self.silver_path)
+        except AnalysisException:
+            return None  # nothing admitted yet
+        return corpus.filter(F.col("ingest_epoch") != F.lit(exclude_epoch))
+
+    # -- per-batch screening ----------------------------------------------
+
+    def _sink(self, batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        txt, did = self.text_col, self.id_col
+
+        # 1. within-batch exact: canonical (min-id) per content hash;
+        #    content_hash is kept — it is part of the silver record
+        b = (
+            dd.dedup_exact(batch, txt, did)
+            .filter(F.col("is_canonical"))
+            .drop("canonical_id", "is_canonical")
+        )
+        corpus = self._read_corpus(spark, epoch_id)
+        if corpus is not None:
+            # 2. vs corpus, exact: re-delivered ids and known content —
+            #    two anti-joins on single narrow columns
+            b = b.join(corpus.select(did), did, "left_anti")
+            b = b.join(
+                corpus.select("content_hash"), "content_hash", "left_anti"
+            )
+        # one signature pass per batch; the stored band_keys array serves
+        # the within-batch join, the corpus join, and the silver record
+        b = dd.minhash_band_keys(
+            b, txt, did, self.n, self.num_hashes, self.bands
+        ).persist()
+        try:
+            batch_banded = dd.banded_from_keys(b, did)
+
+            # 3. within-batch near-dup candidates, oriented DROP=id_a
+            #    (the larger id), KEEP=id_b — uniform with the corpus
+            #    candidates below, where id_a is always the batch doc
+            capped = batch_banded
+            if self.max_bucket is not None:
+                capped, _ = dd.cap_buckets(
+                    capped, ["band", "key"], self.max_bucket
+                )
+            x, y = capped.alias("x"), capped.alias("y")
+            wb_cands = (
+                x.join(y, ["band", "key"])
+                .filter(F.col(f"x.{did}") > F.col(f"y.{did}"))
+                .select(
+                    F.col(f"x.{did}").alias("id_a"),
+                    F.col(f"y.{did}").alias("id_b"),
+                )
+                .distinct()
+            )
+
+            # 4. vs corpus near-dup candidates: stored band_keys on the
+            #    corpus side — zero corpus text processing
+            if corpus is not None:
+                corpus_banded = dd.banded_from_keys(corpus, did)
+                corp_cands = dd.minhash_lsh_join(
+                    b,
+                    corpus,
+                    txt,
+                    did,
+                    self.n,
+                    self.num_hashes,
+                    self.bands,
+                    max_bucket=self.max_bucket,
+                    left_banded_df=batch_banded,
+                    right_banded_df=corpus_banded,
+                )
+                touched = corpus.join(
+                    corp_cands.select(F.col("id_b").alias(did)).distinct(),
+                    did,
+                    "semi",
+                ).select(did, txt)
+                cands = wb_cands.unionByName(corp_cands)
+                verify_docs = b.select(did, txt).unionByName(touched)
+            else:
+                cands = wb_cands
+                verify_docs = b.select(did, txt)
+
+            # exact-Jaccard verify over ONE shared shingle-set frame;
+            # local persist (released below) instead of tracked_persist —
+            # a long-lived stream must not accumulate cache entries
+            sets = (
+                dd.shingles(verify_docs, txt, did, self.n, distinct=False)
+                .groupBy(did)
+                .agg(F.collect_set("shingle").alias("sh_set"))
+                .persist()
+            )
+            try:
+                verified = dd.jaccard_verify_pairs(
+                    verify_docs,
+                    cands,
+                    txt,
+                    did,
+                    self.n,
+                    self.threshold,
+                    sets_df=sets,
+                )
+                drop_ids = verified.select(
+                    F.col("id_a").alias(did)
+                ).distinct()
+                survivors = b.join(drop_ids, did, "left_anti")
+                (
+                    survivors.withColumn(
+                        "ingest_epoch", F.lit(int(epoch_id))
+                    )
+                    .write.mode("overwrite")
+                    .partitionBy("ingest_epoch")
+                    .parquet(self.silver_path)
+                )
+            finally:
+                sets.unpersist()
+        finally:
+            b.unpersist()

@@ -1,0 +1,168 @@
+"""Streaming incremental corpus dedup (streaming/incremental_dedup.py):
+micro-batches screened against the accumulated silver corpus, exactly once
+across restarts (each phase below is a separate StreamingQuery sharing one
+checkpoint, i.e. a restart)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from comp5339dataengineering_realtimefuelanalysis_spark.streaming.incremental_dedup import (
+    StreamingIncrementalDedup,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "startled pheasants scatter across the frozen meadow toward the "
+    "old stone bridge at the edge of the village"
+)
+NEAR = BASE.replace("frozen", "sunlit")  # one-word edit: jaccard >> 0.6
+OTHER = (
+    "completely different content about distributed query engines and "
+    "the economics of shuffling a hundred terabytes of shingled text "
+    "through a thousand executors before breakfast"
+)
+NEAR_OTHER = OTHER.replace("breakfast", "midnight")
+THIRD = (
+    "a third unrelated document enumerating the seven canonical ways "
+    "a partition strategy fails at scale and the one weird trick that "
+    "keeps the bucket join honest under adversarial boilerplate"
+)
+PAIR_A = (
+    "within batch twin number one sharing nearly every character "
+    "five gram with its sibling except for this single distinguishing "
+    "token planted near the very end of the document alpha"
+)
+PAIR_B = PAIR_A.replace("alpha", "omega")
+
+
+@pytest.fixture()
+def dedup(spark, tmp_path):
+    return StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=str(tmp_path / "landing"),
+        silver_path=str(tmp_path / "silver"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        schema=SCHEMA,
+    )
+
+
+def _land(spark, dedup, rows):
+    (
+        spark.createDataFrame(rows, SCHEMA)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(dedup.landing_dir)
+    )
+
+
+def _run(dedup):
+    q = dedup.start(available_now=True)
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def _silver_ids(spark, dedup):
+    try:
+        return {
+            r.doc_id
+            for r in spark.read.parquet(dedup.silver_path)
+            .select("doc_id")
+            .collect()
+        }
+    except Exception:
+        return set()
+
+
+def test_incremental_dedup_across_batches_and_restart(spark, dedup):
+    # batch 1: exact within-batch dup (2 copies BASE) + one distinct
+    _land(
+        spark,
+        dedup,
+        [(1, BASE), (2, BASE), (3, OTHER)],
+    )
+    _run(dedup)
+    assert _silver_ids(spark, dedup) == {1, 3}
+
+    # batch 2 (restart #1): near-dup of an ADMITTED doc (4~BASE), a
+    # re-delivered id+content (1), and a genuinely new doc (5)
+    _land(
+        spark,
+        dedup,
+        [(4, NEAR), (1, BASE), (5, THIRD)],
+    )
+    _run(dedup)
+    assert _silver_ids(spark, dedup) == {1, 3, 5}
+
+    # batch 3 (restart #2): within-batch near-dup pair (6, 7) -> min id
+    # kept; near-dup of corpus doc 3 (8) dropped
+    _land(
+        spark,
+        dedup,
+        [(6, PAIR_A), (7, PAIR_B), (8, NEAR_OTHER)],
+    )
+    _run(dedup)
+    assert _silver_ids(spark, dedup) == {1, 3, 5, 6}
+
+    # restart #3 with NO new data: checkpointed offsets mean nothing is
+    # reprocessed and nothing is re-admitted
+    _run(dedup)
+    assert _silver_ids(spark, dedup) == {1, 3, 5, 6}
+
+    # each admission epoch kept its own partition (replay isolation)
+    silver = spark.read.parquet(dedup.silver_path)
+    by_epoch = {
+        r.ingest_epoch: r.ids
+        for r in silver.groupBy("ingest_epoch")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .collect()
+    }
+    assert sorted(by_epoch.values()) == [[1, 3], [5], [6]]
+
+
+def test_epoch_replay_is_idempotent(spark, dedup):
+    """Simulate a failed-then-replayed epoch: run the sink for the same
+    epoch id twice (the second time with the first attempt's output
+    already in silver). The replay must converge to the same silver
+    state — the corpus read excludes the in-flight epoch and the write
+    overwrites that epoch's partition."""
+    _land(spark, dedup, [(1, BASE), (2, OTHER)])
+    _run(dedup)
+    assert _silver_ids(spark, dedup) == {1, 2}
+
+    batch = spark.createDataFrame([(3, NEAR), (4, THIRD)], SCHEMA)
+    dedup._sink(batch, epoch_id=99)
+    assert _silver_ids(spark, dedup) == {1, 2, 4}
+    # replay of epoch 99 (e.g. failure after a partial write): same input,
+    # same pre-epoch corpus -> byte-identical survivors, no duplication
+    dedup._sink(batch, epoch_id=99)
+    assert _silver_ids(spark, dedup) == {1, 2, 4}
+    silver = spark.read.parquet(dedup.silver_path)
+    assert silver.filter("ingest_epoch = 99").count() == 1
+
+
+def test_stored_band_keys_match_recomputed(spark, dedup):
+    """Silver's stored band_keys must equal a fresh recomputation — they
+    are what future batches join against."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import dedup as dd
+
+    _land(spark, dedup, [(1, BASE), (3, OTHER)])
+    _run(dedup)
+    silver = spark.read.parquet(dedup.silver_path)
+    fresh = dd.minhash_band_keys(
+        silver.select("doc_id", "text"), "text", "doc_id"
+    ).withColumnRenamed("band_keys", "fresh_keys")
+    joined = silver.select("doc_id", "band_keys").join(
+        fresh.select("doc_id", "fresh_keys"), "doc_id"
+    )
+    assert joined.filter(F.col("band_keys") != F.col("fresh_keys")).count() == 0
+    assert joined.count() == 2
