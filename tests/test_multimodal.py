@@ -34,11 +34,41 @@ def test_decode_fake_deterministic(spark):
     assert all(-1.0 <= f <= 1.0 for f in out[1].feature)
 
 
-def test_decode_real_mode_is_explicit_stub(spark):
-    with pytest.raises(NotImplementedError, match="PIL"):
-        mm.decode_media(media(spark), mode="real")
+def test_decode_real_mode_detects_codecs(spark):
+    """mode="real" works iff every codec was detected; otherwise it names
+    the missing dependency at PLAN time (no task failures)."""
+    codecs = mm.available_codecs()
+    if all(codecs.values()):
+        rows = mm.decode_media(media(spark), mode="real").collect()
+        assert len(rows) == len(ROWS)
+    else:
+        with pytest.raises(NotImplementedError, match="PIL|ffmpeg"):
+            mm.decode_media(media(spark), mode="real")
     with pytest.raises(ValueError):
         mm.decode_media(media(spark), mode="nope")
+
+
+def test_decode_auto_uses_whatever_exists(spark):
+    """mode="auto" always runs: real per kind where a codec was detected,
+    the deterministic stub elsewhere — same schema either way. In this
+    container every kind falls back to fake, so auto == fake row-for-row;
+    with PIL installed the image row would instead carry true dimensions
+    (the branch choice is asserted against detection, not hardcoded)."""
+    codecs = mm.available_codecs()
+    out = {
+        r.media_id: r
+        for r in mm.decode_media(media(spark), mode="auto").collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    fake = {
+        r.media_id: r for r in mm.decode_media(media(spark)).collect()
+    }
+    for mid, row in out.items():
+        kind = row.kind
+        if not codecs[kind]:
+            assert row == fake[mid]  # stub path: bit-identical to fake
+        else:
+            assert row.n_bytes == fake[mid].n_bytes  # real path ran
 
 
 def test_frame_sample_fanout(spark):
