@@ -119,40 +119,54 @@ def main() -> None:
         release_tracked()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # Each query is timed as the MIN of two independent materializations.
+    # Each query is timed as the MIN of independent materializations.
     # This host is a VM with bursty CPU steal (sampled up to 16% of all
     # cores for tens of seconds): a single-shot timing randomly inflates
-    # whichever queries a burst lands on by 3-10x. The min of two runs
-    # spaced a full registry apart bounds that distortion; it measures the
-    # plan, not the neighbor.
-    timings: dict[str, float] = {}
+    # whichever queries a burst lands on by 3-10x. The min of runs spaced
+    # a full registry apart bounds that distortion; it measures the plan,
+    # not the neighbor. Queries whose min after two passes is still >1 s
+    # get a THIRD run: the r5->r6 record showed unchanged >1 s plans
+    # swinging +-50% on min-of-2, too noisy to separate drift from
+    # regression. All raw runs are kept in the artifact so a later reader
+    # can attribute any cross-round delta (run spread = host noise; a
+    # shifted floor = the plan changed).
+    all_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+
+    def _one_run(name, qd) -> None:
+        # Fault-isolated: one failing query records its error and the
+        # run keeps timing the rest — a single regression must never
+        # zero the whole round's benchmark signal.
+        try:
+            t0 = time.perf_counter()
+            df = qd.fn(spark, sf_dir)
+            # noop datasource: materializes EVERY output column without
+            # sink cost — count() would let Catalyst prune computed
+            # columns and measure only the scan on map-only queries
+            df.write.format("noop").mode("overwrite").save()
+            all_runs.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 4)
+            )
+            # a pass-1 failure followed by a pass-2 success is a timed
+            # query, not an errored one — keep the two sets disjoint
+            errors.pop(name, None)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        finally:
+            # release the frames THIS query persisted (plan builders
+            # register them via functions/caching.py) — explicit
+            # ownership instead of a blanket clearCache; leaked blocks
+            # would otherwise accumulate and evict each other mid-run
+            release_tracked()
+
     for _pass in range(2):
         for name, qd in REGISTRY.items():
-            # Fault-isolated: one failing query records its error and the
-            # run keeps timing the rest — a single regression must never
-            # zero the whole round's benchmark signal.
-            try:
-                t0 = time.perf_counter()
-                df = qd.fn(spark, sf_dir)
-                # noop datasource: materializes EVERY output column without
-                # sink cost — count() would let Catalyst prune computed
-                # columns and measure only the scan on map-only queries
-                df.write.format("noop").mode("overwrite").save()
-                dt = round(time.perf_counter() - t0, 4)
-                timings[name] = min(timings.get(name, dt), dt)
-                # a pass-1 failure followed by a pass-2 success is a timed
-                # query, not an errored one — keep the two sets disjoint
-                errors.pop(name, None)
-            except Exception as exc:  # noqa: BLE001
-                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            finally:
-                # release the frames THIS query persisted (plan builders
-                # register them via functions/caching.py) — explicit
-                # ownership instead of a blanket clearCache; leaked blocks
-                # would otherwise accumulate and evict each other mid-run
-                release_tracked()
+            _one_run(name, qd)
+    for name, qd in REGISTRY.items():
+        if name in all_runs and min(all_runs[name]) > 1.0:
+            _one_run(name, qd)
 
+    timings = {name: min(runs) for name, runs in all_runs.items()}
     total = round(sum(timings.values()), 4)
     # drop the materialized IVF index (built once, probed on both passes —
     # the reported min reflects probe cost, not the build)
@@ -180,6 +194,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
         "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -218,7 +233,15 @@ def main() -> None:
     if errors:
         compact["n_failed"] = len(errors)
         compact["failed"] = sorted(errors)
-    print(json.dumps(compact, separators=(",", ":")))
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # the driver keeps only a ~2000-char stdout tail; a longer line
+        # loses its HEAD (r5/r6 both recorded parsed: null). 1-dp timings
+        # buy ~70 chars per hundred queries; the full-precision record
+        # lives in the file artifact either way.
+        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
     spark.stop()
 
 
