@@ -95,6 +95,9 @@ def main() -> None:
         landing_dir=landing,
         warehouse_dir=os.path.join(workdir, "warehouse"),
         checkpoint_dir=os.path.join(workdir, "checkpoint"),
+        # full fan-out: the stateful per-station high-watermark publisher
+        # (the reference's F4 publish loop) runs as the 4th query
+        publish_new_highs=True,
     )
     queries = pipe.start()
     try:
@@ -118,6 +121,14 @@ def main() -> None:
 
     print("== Q3 price trend ==")
     pipe.gold_q3().show(truncate=False)
+
+    print("== published new-high payloads (stateful F4 publisher) ==")
+    # one JSON line per record that raised its station's high-watermark —
+    # the exact bytes a Kafka sink would carry (K1 payload contract)
+    for line in sorted(
+        spark.read.text(pipe.published_path).toPandas()["value"]
+    ):
+        print(" ", line)
 
     spark.stop()
 
