@@ -527,6 +527,7 @@ def minhash_lsh_join(
     max_bucket: int | None = None,
     left_banded_df: DataFrame | None = None,
     right_banded_df: DataFrame | None = None,
+    prune_right: bool = False,
 ) -> DataFrame:
     """ASYMMETRIC LSH candidate join: LEFT (an incoming batch) docs that
     share at least one signature band with a RIGHT (existing corpus) doc.
@@ -546,6 +547,13 @@ def minhash_lsh_join(
     frames (``banded_from_keys`` over a stored ``band_keys`` column) —
     pass the corpus side from storage so screening a batch costs zero
     corpus-side text processing.
+
+    ``prune_right=True`` (set it when |left| << |right|): semi-join the
+    right side down to the left's broadcast (band, key) set BEFORE the
+    ``max_bucket`` groupBy. Per-(band, key) counts are unchanged by
+    dropping other groups, so cap-after-prune keeps the output identical
+    while the corpus-side aggregation — otherwise a full-corpus shuffle
+    per screening batch — runs over touched buckets only.
     """
     lb = (
         left_banded_df
@@ -557,6 +565,12 @@ def minhash_lsh_join(
         if right_banded_df is not None
         else _banded_signatures(right, text_col, id_col, n, num_hashes, bands)
     )
+    if prune_right:
+        rb = rb.join(
+            F.broadcast(lb.select("band", "key").distinct()),
+            ["band", "key"],
+            "semi",
+        )
     if max_bucket is not None:
         rb, _ = cap_buckets(rb, ["band", "key"], max_bucket)
     return (

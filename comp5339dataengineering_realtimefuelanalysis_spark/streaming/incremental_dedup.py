@@ -117,12 +117,21 @@ class StreamingIncrementalDedup:
         )
         corpus = self._read_corpus(spark, epoch_id)
         if corpus is not None:
-            # 2. vs corpus, exact: re-delivered ids and known content —
-            #    two anti-joins on single narrow columns
-            b = b.join(corpus.select(did), did, "left_anti")
-            b = b.join(
-                corpus.select("content_hash"), "content_hash", "left_anti"
-            )
+            # 2. vs corpus, exact: re-delivered ids and known content.
+            #    NOT a plain left_anti(batch, corpus): Spark cannot
+            #    broadcast the LEFT side of an anti-join, so that plan
+            #    sort-merge-SHUFFLES the whole corpus every micro-batch —
+            #    measured as per-epoch cost ramping ~4x while the corpus
+            #    grew 5x (tools/scale_stream.py). Instead broadcast the
+            #    small batch key set, find the collisions with a map-only
+            #    semi SCAN of the pruned corpus column (tiny result), and
+            #    anti-join the batch against that — per-epoch corpus cost
+            #    drops from two shuffles to two columnar scans.
+            for key in (did, "content_hash"):
+                hits = corpus.select(key).join(
+                    F.broadcast(b.select(key).distinct()), key, "semi"
+                )
+                b = b.join(F.broadcast(hits), key, "left_anti")
         # one signature pass per batch; the stored band_keys array serves
         # the within-batch join, the corpus join, and the silver record
         b = dd.minhash_band_keys(
@@ -165,6 +174,11 @@ class StreamingIncrementalDedup:
                     max_bucket=self.max_bucket,
                     left_banded_df=batch_banded,
                     right_banded_df=corpus_banded,
+                    # |batch| << |corpus|: prune the corpus side to the
+                    # batch's broadcast key set before the bucket-cap
+                    # groupBy — otherwise that aggregation shuffles the
+                    # full corpus every micro-batch
+                    prune_right=True,
                 )
                 touched = corpus.join(
                     corp_cands.select(F.col("id_b").alias(did)).distinct(),

@@ -166,3 +166,66 @@ def test_stored_band_keys_match_recomputed(spark, dedup):
     )
     assert joined.filter(F.col("band_keys") != F.col("fresh_keys")).count() == 0
     assert joined.count() == 2
+
+
+def test_corpus_screen_plan_never_shuffles_corpus(spark, dedup):
+    """The scale contract of the per-batch corpus screens, pinned at the
+    PLAN level (wall-clock at test size proves nothing): the corpus side
+    of the exact screens and of the pruned LSH join must reach its join
+    as a broadcast-hash build/probe — never through an Exchange
+    (hashpartitioning) of corpus rows, which would shuffle the whole
+    accumulated corpus every micro-batch."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import dedup as dd
+
+    _land(spark, dedup, [(i, f"{BASE} tail {i}") for i in range(1, 9)])
+    _run(dedup)
+    corpus = spark.read.parquet(dedup.silver_path)
+    batch = dd.dedup_exact(
+        spark.createDataFrame([(100, OTHER), (101, THIRD)], SCHEMA),
+        "text",
+        "doc_id",
+    ).filter(F.col("is_canonical")).drop("canonical_id", "is_canonical")
+
+    # exact screens, as _sink builds them
+    b = batch
+    for key in ("doc_id", "content_hash"):
+        hits = corpus.select(key).join(
+            F.broadcast(b.select(key).distinct()), key, "semi"
+        )
+        b = b.join(F.broadcast(hits), key, "left_anti")
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+    # pruned asymmetric LSH join: corpus side must not be exchanged
+    # before the candidate join either (the bucket-cap aggregation runs
+    # on the broadcast-pruned touched buckets only)
+    bk = dd.minhash_band_keys(batch, "text", "doc_id")
+    cands = dd.minhash_lsh_join(
+        batch,
+        corpus,
+        "text",
+        "doc_id",
+        max_bucket=1000,
+        left_banded_df=dd.banded_from_keys(bk, "doc_id"),
+        right_banded_df=dd.banded_from_keys(corpus, "doc_id"),
+        prune_right=True,
+    )
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    # the only sort-merge/shuffle allowed is over the (tiny) pruned
+    # bucket set; the corpus scan itself must feed a broadcast semi join
+    assert "BroadcastHashJoin" in plan
+
+    # and prune_right must not change results vs the unpruned join
+    plain = dd.minhash_lsh_join(
+        batch,
+        corpus,
+        "text",
+        "doc_id",
+        max_bucket=1000,
+        left_banded_df=dd.banded_from_keys(bk, "doc_id"),
+        right_banded_df=dd.banded_from_keys(corpus, "doc_id"),
+    )
+    assert sorted(map(tuple, cands.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

@@ -94,7 +94,18 @@ def _hmod(cols, mod):
     return F.pmod(F.xxhash64(*cols), F.lit(mod))
 
 
-def build_docs(spark: SparkSession, out_dir: str, mult: int) -> int:
+def build_docs(
+    spark: SparkSession, out_dir: str, mult: int, vocab: str = "bounded"
+) -> int:
+    """``vocab='bounded'`` resamples the driver corpus's fixed 31-word
+    vocabulary — the ADVERSARIAL regime where shingle/band-key space stays
+    constant while the corpus grows, so baseline inter-doc similarity (and
+    LSH bucket occupancy) rises with density.  ``vocab='open'`` suffixes
+    ~1/3 of resampled words with a doc-unique tag, so the shingle space
+    GROWS with the corpus — the realistic open-vocabulary regime where
+    unrelated docs rarely collide.  Planted dups survive either way: a
+    near/exact copy inherits its target's tags (mutation only substitutes
+    1-in-25 words), so its Jaccard to the target stays high."""
     n = REAL_DOCS * mult
     real = F.broadcast(
         spark.read.parquet(f"{REAL_DIR}/documents.parquet").select(
@@ -112,19 +123,24 @@ def build_docs(spark: SparkSession, out_dir: str, mult: int) -> int:
         .join(real, "base_id")
     )
     words = F.split(F.col("base_text"), " ")
+
     # fresh text: the base doc's own word population, hash-permuted per
     # position — same vocab/length/lang-signal, different shingle set
-    fresh = F.array_join(
-        F.transform(
+    def fresh_word(w, i):
+        picked = F.element_at(
             words,
-            lambda w, i: F.element_at(
-                words,
-                (_hmod([F.col("doc_id"), F.lit("w"), i], 10_000)
-                 % F.size(words) + 1).cast("int"),
-            ),
-        ),
-        " ",
-    )
+            (_hmod([F.col("doc_id"), F.lit("w"), i], 10_000)
+             % F.size(words) + 1).cast("int"),
+        )
+        if vocab == "open":
+            tag = _hmod([F.col("doc_id"), F.lit("tagv"), i], 100_000)
+            return F.when(
+                _hmod([F.col("doc_id"), F.lit("tag"), i], 3) == 0,
+                F.concat(picked, F.lit("#"), tag.cast("string")),
+            ).otherwise(picked)
+        return picked
+
+    fresh = F.array_join(F.transform(words, fresh_word), " ")
     fresh_frame = base.select(
         "doc_id", "kind_r", "lang", "source", fresh.alias("ftext")
     )
@@ -399,6 +415,10 @@ def main() -> None:
     ap.add_argument("--extras-only", action="store_true",
                     help="only the bucket-census + production-threshold "
                          "measurements, merged into an existing JSON")
+    ap.add_argument("--vocab", choices=["bounded", "open"],
+                    default="bounded")
+    ap.add_argument("--queries", default=None,
+                    help="comma list restricting the timed queries")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
 
@@ -446,14 +466,19 @@ def main() -> None:
         results.setdefault("scales", {})
     else:
         results = {"seed": SEED, "passes": args.passes, "scales": {}}
+    results.setdefault("vocab", args.vocab)
     queries = DOC_QUERIES + ([] if args.skip_emb else EMB_QUERIES)
+    if args.queries:
+        queries = [q for q in args.queries.split(",") if q]
 
     for mult in mults:
         sf_dir = os.path.join(args.out_dir, f"x{mult}")
         scale_res = {"dir": sf_dir, "queries": {}}
         if not (args.skip_gen and os.path.isdir(sf_dir)):
             t0 = time.perf_counter()
-            scale_res["n_docs"] = build_docs(spark, sf_dir, mult)
+            scale_res["n_docs"] = build_docs(
+                spark, sf_dir, mult, vocab=args.vocab
+            )
             if not args.skip_emb:
                 scale_res["n_vecs"] = build_embeddings(spark, sf_dir, mult)
             scale_res["gen_sec"] = round(time.perf_counter() - t0, 2)
