@@ -409,7 +409,19 @@ def kmeans_step(
 
     Output: (cluster_id, dim, n_members, mean) — k×dim rows.
     """
-    seeds = (
+    c = corpus.select(
+        F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
+    )
+    return _lloyd_means(
+        _lloyd_assign(c, _kmeans_seeds(corpus, k, id_col, vec_col), id_col)
+    )
+
+
+def _kmeans_seeds(
+    corpus: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Deterministic seeds: the k lowest-id vectors (no RNG)."""
+    return (
         corpus.orderBy(id_col)
         .limit(k)
         .select(
@@ -417,9 +429,14 @@ def kmeans_step(
             scaled_vec(F.col(vec_col)).alias("c_svec"),
         )
     )
-    c = corpus.select(
-        F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
-    )
+
+
+def _lloyd_assign(
+    c: DataFrame, cents: DataFrame, id_col: str
+) -> DataFrame:
+    """Assign every (id, svec) row to its nearest centroid by exact
+    integer squared-L2; tiebreak = lowest centroid id. Centroids are k
+    rows — broadcast; min_by collapses the k-fold fan-out map-side."""
     # difference and square in decimal(38,0): unit-norm embeddings would
     # fit int64, but nothing enforces unit norm — (x-y)^2 overflows long
     # already at |x| > ~1.5 on the 1e9 grid
@@ -433,8 +450,8 @@ def kmeans_step(
         F.lit(0).cast(_ACC),
         lambda acc, x: acc + x,
     )
-    assigned = (
-        c.crossJoin(F.broadcast(seeds))
+    return (
+        c.crossJoin(F.broadcast(cents))
         .withColumn("dist", dist)
         .groupBy(id_col)
         .agg(
@@ -442,18 +459,213 @@ def kmeans_step(
             F.first("svec").alias("svec"),  # identical across the k rows
         )
     )
-    ex = assigned.select(
-        "cid", F.posexplode("svec").alias("dim", "sv")
-    )
+
+
+def _lloyd_sums(assigned: DataFrame) -> DataFrame:
+    """(cid, dim, n_members, s): exact per-cluster per-dimension count
+    and int-grid coordinate sum of the assigned vectors."""
+    ex = assigned.select("cid", F.posexplode("svec").alias("dim", "sv"))
     return ex.groupBy("cid", "dim").agg(
         F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("sv").cast(_ACC)).alias("s"),
+    )
+
+
+def _lloyd_means(assigned: DataFrame) -> DataFrame:
+    """The presentation form of one Lloyd update: per-cluster
+    per-dimension mean back in real space (one exact-int division in
+    IEEE double)."""
+    return _lloyd_sums(assigned).select(
+        F.col("cid").alias("cluster_id"),
+        "dim",
+        "n_members",
         (
-            (
-                F.sum(F.col("sv").cast(_ACC)).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            )
+            (F.col("s").cast("double") / F.col("n_members").cast("double"))
             / F.lit(1e9)
         ).alias("mean"),
-    ).select(
-        F.col("cid").alias("cluster_id"), "dim", "n_members", "mean"
+    )
+
+
+def kmeans_train_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroids (cid, c_svec) after ``iters`` exact Lloyd updates from
+    the deterministic lowest-id seeds (``iters=0`` returns the seeds).
+
+    Each update re-quantizes the new centroid to the int64 grid with
+    MATHEMATICAL FLOOR division, spelled ``(s - ((s % n + n) % n)) / n``
+    — bit-identical wherever ``%`` is the truncating remainder (Spark
+    and DuckDB both), unlike round(), whose half-way ties Spark
+    (HALF_UP) and DuckDB (half-even) break differently. That makes the
+    whole training replayable as chained oracle CTEs. The ≤1-grid-unit
+    (1e-9) quantization bias is far below float32 input precision.
+
+    A cluster that loses all members simply disappears from the next
+    round's centroid set (standard drop-empty Lloyd) — deterministic on
+    both engines because the assignments are.
+
+    Scale shape per iteration: one broadcast k-row crossJoin collapsed
+    map-side (shuffle keyed on the vector id), one k x dim group-by —
+    the same two shuffles as ``kmeans_step``; ``iters`` is a small
+    constant, each iteration one job when materialized.
+    """
+    c = corpus.select(
+        F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
+    )
+    cents = _kmeans_seeds(corpus, k, id_col, vec_col)
+    for _ in range(iters):
+        sums = _lloyd_sums(_lloyd_assign(c, cents, id_col))
+        quant = (
+            (
+                F.col("s")
+                - F.pmod(F.col("s"), F.col("n_members").cast(_ACC))
+            )
+            / F.col("n_members").cast(_ACC)
+        ).cast("long")
+        cents = (
+            sums.withColumn("cv", quant)
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "cv"))
+                ).alias("dc")
+            )
+            .select(
+                "cid",
+                F.transform(F.col("dc"), lambda x: x["cv"]).alias(
+                    "c_svec"
+                ),
+            )
+        )
+    return cents
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full fixed-iteration Lloyd training: the ``iters``-th update's
+    per-cluster per-dimension means (same schema as ``kmeans_step``;
+    ``iters=1`` IS ``kmeans_step`` — asserted in tests). Fixed iteration
+    count rather than a convergence test keeps the computation a finite
+    deterministic expression an oracle can replay."""
+    c = corpus.select(
+        F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
+    )
+    cents = kmeans_train_centroids(
+        corpus, k, iters - 1, id_col, vec_col
+    )
+    return _lloyd_means(_lloyd_assign(c, cents, id_col))
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``corpus`` plus ``cluster_id`` = nearest trained centroid (exact
+    integer L2, lowest-cid tiebreak) — the IVF cell assignment."""
+    c = corpus.select(
+        F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
+    )
+    return corpus.join(
+        _lloyd_assign(c, cents, id_col).select(
+            id_col, F.col("cid").alias("cluster_id")
+        ),
+        id_col,
+    )
+
+
+def ivf_write_kmeans(
+    corpus: DataFrame,
+    cents: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the LEARNED-centroid IVF layout: corpus partitioned
+    by nearest-trained-centroid cell, scaled vector + norm precomputed at
+    rest. The k-means analog of ``ivf_write`` (hyperplane buckets):
+    data-adaptive cells follow the corpus distribution, so cell sizes are
+    balanced by construction where hyperplane buckets depend on luck."""
+    cb = attach_scaled(
+        kmeans_assign(corpus, cents, id_col, vec_col), vec_col, "c_"
+    )
+    (
+        cb.select(id_col, "c_svec", "c_norm", "cluster_id")
+        .write.partitionBy("cluster_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_kmeans_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    cents: DataFrame,
+    k: int = 10,
+    probes: int = 1,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k against a materialized ``ivf_write_kmeans``
+    index: each query probes its ``probes`` nearest centroid cells
+    (exact integer L2 to the k trained centroids — a broadcast k-row
+    ranking, the classic IVF nprobe), and only those partitions of the
+    index are scanned (broadcast probe join -> dynamic partition
+    pruning). Exact-cosine scoring within the probed cells; every corpus
+    vector lives in exactly one cell, so no cross-probe dedup is needed.
+    """
+    index = spark.read.parquet(path)
+    q = attach_scaled(queries, query_vec, "q_").withColumnRenamed(
+        query_id, "qid_"
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("q_svec"),
+            F.col("c_svec"),
+            lambda x, y: (x.cast(_ACC) - y.cast(_ACC))
+            * (x.cast(_ACC) - y.cast(_ACC)),
+        ),
+        F.lit(0).cast(_ACC),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid_").orderBy("dist", "cid")
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= probes)
+        .select(
+            F.col("qid_").alias(query_id),
+            "q_svec",
+            "q_norm",
+            F.col("cid").alias("cluster_id"),
+        )
+    )
+    scored = index.join(F.broadcast(probed), "cluster_id").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        (
+            dot_scaled(F.col("q_svec"), F.col("c_svec")).cast("double")
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
+    )
+    wr = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
     )

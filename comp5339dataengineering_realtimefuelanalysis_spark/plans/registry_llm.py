@@ -1562,6 +1562,8 @@ def q_emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One materialized IVF index per (sf_dir, planes): ivf_write is an eager
 # parquet write, so cache the path instead of rebuilding per invocation.
 _KMEANS_K = 8
+_KMEANS_ITERS = 2
+_KMEANS_PROBES = 2
 
 
 def q_emb_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1676,6 +1678,147 @@ def q_emb_ivf_topk_probes2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(
         spark, path, queries, k=_TOPK_K, planes=_ANN_PLANES, probes=2
     )
+
+
+def q_emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF training: _KMEANS_ITERS exact Lloyd iterations
+    (operators/similarity.py:kmeans_train). Every update re-quantizes
+    centroids to the int64 grid by mathematical floor division, so the
+    oracle replays the whole loop as chained CTEs bit-exactly —
+    iterative training under the same exact-hash gate as everything
+    else."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.kmeans_train(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
+
+
+def _sql_kmeans_chain(iters: int) -> str:
+    """CTE chain replaying kmeans_train_centroids: c (scaled corpus),
+    cents0 (lowest-id seeds), then per iteration i: pairs{i} (integer L2
+    to cents{i-1}), asg{i} (argmin, cid tiebreak), sums{i} (per-cluster
+    per-dim count+sum), cents{i} (floor-div re-quantized centroids).
+    Floor division is spelled (s - ((s % n + n) % n)) / n — exact and
+    engine-portable where round() is not (HALF_UP vs half-even ties)."""
+    sv = (
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {_SCALE}) AS BIGINT))"
+    )
+    parts = [
+        f"c AS (SELECT vec_id, {sv} AS svec FROM embeddings)",
+        f"""cents0 AS (
+            SELECT vec_id AS cid, {sv} AS c_svec
+            FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K})""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""pairs{i} AS (
+            SELECT c.vec_id, s.cid, c.svec,
+                   list_sum(list_transform(list_zip(c.svec, s.c_svec),
+                       p -> (CAST(p[1] AS HUGEINT) - CAST(p[2] AS HUGEINT))
+                            * (CAST(p[1] AS HUGEINT)
+                               - CAST(p[2] AS HUGEINT)))) AS dist
+            FROM c CROSS JOIN cents{i - 1} s)""")
+        parts.append(f"""asg{i} AS (
+            SELECT vec_id, svec, cid FROM pairs{i}
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) = 1)""")
+        parts.append(f"""sums{i} AS (
+            SELECT cid, CAST(r.range AS INT) AS dim, COUNT(*) AS n,
+                   SUM(CAST(svec[CAST(r.range AS INT) + 1] AS HUGEINT))
+                       AS s
+            FROM asg{i} CROSS JOIN range({_EMB_DIM}) r GROUP BY 1, 2)""")
+        parts.append(f"""cents{i} AS (
+            SELECT cid,
+                   list(CAST((s - ((s % n + n) % n)) / n AS BIGINT)
+                        ORDER BY dim) AS c_svec
+            FROM sums{i} GROUP BY cid)""")
+    return ",\n        ".join(parts)
+
+
+def _sql_kmeans_train() -> str:
+    # kmeans_train(iters=N) presents the N-th update's means: the sums
+    # of the assignment against cents{N-1} — exactly sums{N}
+    return f"""WITH {_sql_kmeans_chain(_KMEANS_ITERS)}
+        SELECT cid AS cluster_id, dim, n AS n_members,
+               (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / {_SCALE}.0
+                   AS mean
+        FROM sums{_KMEANS_ITERS}"""
+
+
+def _ivf_kmeans_index_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, DataFrame]:
+    """Path of the materialized learned-centroid IVF index for
+    (sf_dir, k, iters) plus the trained centroid frame, building the
+    index under the managed root on first use."""
+    key = f"{sf_dir}:kmeans:{_KMEANS_K}:{_KMEANS_ITERS}"
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_train_centroids(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+    path = _IVF_INDEX_PATHS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = _ivf_index_dir(key)
+        sim.ivf_write_kmeans(emb, cents, path)
+        _IVF_INDEX_PATHS[key] = path
+    return path, cents
+
+
+def q_emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against the LEARNED-centroid IVF index (the real IVF:
+    k-means cells, not hyperplane luck): corpus partitioned on disk by
+    nearest trained centroid, each query probing its _KMEANS_PROBES
+    nearest cells (classic nprobe) through a dynamic-partition-pruned
+    scan. Exact cosine within the probed cells; the oracle replays
+    training, assignment, probe selection, and scoring in SQL."""
+    path, cents = _ivf_kmeans_index_for(spark, sf_dir)
+    queries, _ = _queries_vecs(spark, sf_dir)
+    return sim.ivf_kmeans_topk(
+        spark, path, queries, cents, k=_TOPK_K, probes=_KMEANS_PROBES
+    )
+
+
+def _sql_ivf_kmeans_topk() -> str:
+    # index cells = assignment against the FINAL trained centroids
+    # (cents{N}) — that is asg{N+1} in a chain extended one stage
+    n1 = _KMEANS_ITERS + 1
+    sq = "x -> CAST(x AS HUGEINT) * CAST(x AS HUGEINT)"
+    return f"""WITH {_sql_kmeans_chain(n1)},
+        q AS (SELECT vec_id AS qid, svec AS q_svec FROM c
+              WHERE vec_id < {_TOPK_NQ}),
+        qd AS (
+            SELECT q.qid, s.cid,
+                   list_sum(list_transform(list_zip(q.q_svec, s.c_svec),
+                       p -> (CAST(p[1] AS HUGEINT) - CAST(p[2] AS HUGEINT))
+                            * (CAST(p[1] AS HUGEINT)
+                               - CAST(p[2] AS HUGEINT)))) AS dist
+            FROM q CROSS JOIN cents{_KMEANS_ITERS} s),
+        probe AS (
+            SELECT qid, cid FROM qd
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY dist, cid) <= {_KMEANS_PROBES}),
+        pairs AS (
+            SELECT p.qid, a.vec_id,
+                   list_sum(list_transform(list_zip(q.q_svec, a.svec),
+                       z -> CAST(z[1] AS HUGEINT) * CAST(z[2] AS HUGEINT)))
+                       AS dot,
+                   list_sum(list_transform(q.q_svec, {sq})) AS qn,
+                   list_sum(list_transform(a.svec, {sq})) AS en
+            FROM probe p
+            JOIN q ON q.qid = p.qid
+            JOIN asg{n1} a ON a.cid = p.cid),
+        scored AS (
+            SELECT qid, vec_id,
+                   CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(qn AS DOUBLE))
+                          * sqrt(CAST(en AS DOUBLE))) AS cosine
+            FROM pairs),
+        ranked AS (
+            SELECT qid, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY cosine DESC, vec_id)
+                       AS BIGINT) AS rank
+            FROM scored)
+        SELECT qid, vec_id, cosine, rank FROM ranked
+        WHERE rank <= {_TOPK_K}"""
 
 
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1943,6 +2086,20 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_kmeans_step(),
         ("embeddings",),
         "IVF training: one exact Lloyd iteration (integer L2 argmin)",
+    ),
+    "emb_kmeans_train": QueryDef(
+        q_emb_kmeans_train,
+        _sql_kmeans_train(),
+        ("embeddings",),
+        "full fixed-iteration Lloyd training, floor-div re-quantized "
+        "centroids replayed as chained oracle CTEs",
+    ),
+    "emb_ivf_kmeans_topk": QueryDef(
+        q_emb_ivf_kmeans_topk,
+        _sql_ivf_kmeans_topk(),
+        ("embeddings",),
+        "ANN over the learned-centroid IVF index: nprobe nearest cells, "
+        "partition-pruned scan, exact cosine",
     ),
     "media_decode": QueryDef(
         q_media_decode,

@@ -41,8 +41,18 @@ def test_attestation_rotation_keeps_window_fresh():
     if latest < 0:  # fresh clone, no correctness artifacts yet
         return
     names = list(REGISTRY)
-    # never-attested and stalest entries must iterate first
-    rounds_in_order = [last[n] for n in names]
+    # plan-changed (FORCE_ATTEST-pending) entries take the head; after
+    # them, never-attested and stalest entries must iterate first
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
+        FORCE_ATTEST,
+    )
+
+    forced = [
+        n for n in names
+        if n in FORCE_ATTEST and last[n] < FORCE_ATTEST[n]
+    ]
+    assert names[: len(forced)] == forced
+    rounds_in_order = [last[n] for n in names[len(forced):]]
     assert rounds_in_order == sorted(rounds_in_order)
     stale = [
         n for n in names[ATTESTATION_WINDOW:] if last[n] < latest - 1

@@ -171,3 +171,105 @@ def test_ivf_registry_index_lifecycle(spark):
     rl.release_ivf_indexes()
     assert not os.path.isdir(root1)
     assert rl._IVF_ROOT is None and not rl._IVF_INDEX_PATHS
+
+
+def test_kmeans_train_one_iter_is_kmeans_step(spark):
+    """kmeans_train(iters=1) is DEFINED to equal kmeans_step (same seeds,
+    one assignment, same mean presentation)."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.base import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    step = sim.kmeans_step(emb, k=4).orderBy("cluster_id", "dim").collect()
+    train = (
+        sim.kmeans_train(emb, k=4, iters=1)
+        .orderBy("cluster_id", "dim")
+        .collect()
+    )
+    assert step == train
+
+
+def test_kmeans_train_fixpoint_on_separated_clusters(spark):
+    """On a cleanly separable set the assignment stabilizes after one
+    update, so further iterations reproduce the same means — and the
+    floor-div re-quantized centroids equal the integer floor of the
+    member means on the 1e9 grid."""
+    rows = [
+        (0, [0.0, 0.0], 0),
+        (1, [10.0, 10.0], 0),
+        (2, [0.1, -0.1], 0),
+        (3, [9.9, 10.1], 0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    t1 = sim.kmeans_train(df, k=2, iters=1).orderBy("cluster_id", "dim")
+    t3 = sim.kmeans_train(df, k=2, iters=3).orderBy("cluster_id", "dim")
+    assert t1.collect() == t3.collect()
+    cents = {
+        r.cid: r.c_svec
+        for r in sim.kmeans_train_centroids(df, k=2, iters=2).collect()
+    }
+    # cluster 0 = {v0, v2}. float32(0.1) = 0.10000000149..., so v2
+    # scales to (100000001, -100000001); the centroid is the
+    # MATHEMATICAL floor of the member mean on the grid:
+    # floor(100000001/2) = 50000000, floor(-100000001/2) = -50000001
+    assert cents[0] == [50000000, -50000001]
+    # float32(9.9) scales to 9899999619, float32(10.1) to 10100000381;
+    # v1 = (10000000000, 10000000000); python's // is the same
+    # mathematical floor the operator computes
+    assert cents[1] == [
+        (10000000000 + 9899999619) // 2,
+        (10000000000 + 10100000381) // 2,
+    ]
+
+
+def test_ivf_kmeans_topk_recall_and_pruning(spark, tmp_path):
+    """Learned-centroid IVF: probes=k-cells recovers the brute-force
+    top-k exactly (every cell scanned); fewer probes only lose, never
+    invent, pairs; and the probe join partition-prunes the index scan."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.base import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    k_cells = 4
+    cents = sim.kmeans_train_centroids(emb, k=k_cells, iters=2)
+    path = str(tmp_path / "ivf_km")
+    sim.ivf_write_kmeans(emb, cents, path)
+
+    truth = {
+        (r.qid, r.vec_id): r.rank
+        for r in sim.cosine_topk(qs, emb, k=10).collect()
+    }
+    full = {
+        (r.qid, r.vec_id): r.rank
+        for r in sim.ivf_kmeans_topk(
+            spark, path, qs, cents, k=10, probes=k_cells
+        ).collect()
+    }
+    assert full == truth  # all cells probed == exact
+
+    got1 = {
+        (r.qid, r.vec_id)
+        for r in sim.ivf_kmeans_topk(
+            spark, path, qs, cents, k=10, probes=1
+        ).collect()
+    }
+    got2 = {
+        (r.qid, r.vec_id)
+        for r in sim.ivf_kmeans_topk(
+            spark, path, qs, cents, k=10, probes=2
+        ).collect()
+    }
+    assert len(got1 & set(truth)) <= len(got2 & set(truth))
+
+    plan = (
+        sim.ivf_kmeans_topk(spark, path, qs, cents, k=10, probes=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
