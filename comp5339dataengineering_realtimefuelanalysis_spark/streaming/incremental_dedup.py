@@ -56,6 +56,13 @@ from pyspark.errors import AnalysisException
 from ..operators import dedup as dd
 
 
+def _key_prefix():
+    """Partition bucket for a band key: first 2 hex chars of md5(key) —
+    256 uniformly-filled buckets regardless of the key's own value
+    distribution (raw minhash-concat keys are heavily skewed)."""
+    return F.substring(F.md5(F.col("key")), 1, 2)
+
+
 @dataclass
 class StreamingIncrementalDedup:
     spark: SparkSession
@@ -70,6 +77,15 @@ class StreamingIncrementalDedup:
     bands: int = 4
     threshold: float = 0.6
     max_bucket: int | None = 1000
+    # Optional at-rest band-key index: the exploded (doc_id, band, key)
+    # frame partitioned by kp = first 2 hex chars of md5(key). With it,
+    # the per-batch corpus screening scan is DYNAMICALLY PARTITION
+    # PRUNED to the key-prefix buckets the batch touches — without it
+    # the (map-only, columnar) corpus band_keys scan still reads every
+    # admitted doc's keys. Same exactly-once story as silver: rows are
+    # partitioned by (kp, ingest_epoch), a replayed epoch overwrites
+    # its own partitions and reads exclude the in-flight epoch.
+    band_index_path: str | None = None
 
     def start(self, available_now: bool = False) -> StreamingQuery:
         stream = (
@@ -98,6 +114,22 @@ class StreamingIncrementalDedup:
         except AnalysisException:
             return None  # nothing admitted yet
         return corpus.filter(F.col("ingest_epoch") != F.lit(exclude_epoch))
+
+    def _read_band_index(
+        self, spark: SparkSession, exclude_epoch: int
+    ) -> DataFrame | None:
+        """The at-rest (doc_id, band, key, kp) index as of the epoch being
+        processed, or None when disabled / nothing admitted yet. Same
+        replay isolation as the corpus read."""
+        if self.band_index_path is None:
+            return None
+        try:
+            idx = spark.read.parquet(self.band_index_path)
+        except AnalysisException:
+            return None
+        return idx.filter(
+            F.col("ingest_epoch") != F.lit(exclude_epoch)
+        ).select(self.id_col, "band", "key", "kp")
 
     # -- per-batch screening ----------------------------------------------
 
@@ -160,9 +192,20 @@ class StreamingIncrementalDedup:
             )
 
             # 4. vs corpus near-dup candidates: stored band_keys on the
-            #    corpus side — zero corpus text processing
+            #    corpus side — zero corpus text processing. With a band
+            #    index at rest, the corpus side is the partition-pruned
+            #    index scan instead of exploding every silver row's keys.
             if corpus is not None:
-                corpus_banded = dd.banded_from_keys(corpus, did)
+                partition_col = None
+                corpus_banded = self._read_band_index(spark, epoch_id)
+                left_banded = batch_banded
+                if corpus_banded is not None:
+                    partition_col = "kp"
+                    left_banded = batch_banded.withColumn(
+                        "kp", _key_prefix()
+                    )
+                else:
+                    corpus_banded = dd.banded_from_keys(corpus, did)
                 corp_cands = dd.minhash_lsh_join(
                     b,
                     corpus,
@@ -172,13 +215,14 @@ class StreamingIncrementalDedup:
                     self.num_hashes,
                     self.bands,
                     max_bucket=self.max_bucket,
-                    left_banded_df=batch_banded,
+                    left_banded_df=left_banded,
                     right_banded_df=corpus_banded,
                     # |batch| << |corpus|: prune the corpus side to the
                     # batch's broadcast key set before the bucket-cap
                     # groupBy — otherwise that aggregation shuffles the
                     # full corpus every micro-batch
                     prune_right=True,
+                    partition_col=partition_col,
                 )
                 touched = corpus.join(
                     corp_cands.select(F.col("id_b").alias(did)).distinct(),
@@ -222,6 +266,23 @@ class StreamingIncrementalDedup:
                     .partitionBy("ingest_epoch")
                     .parquet(self.silver_path)
                 )
+                if self.band_index_path is not None:
+                    # the exploded at-rest form of the survivors' band
+                    # keys; a replayed epoch recomputes the identical
+                    # rows and dynamic overwrite replaces exactly its
+                    # own (kp, epoch) partitions
+                    (
+                        dd.banded_from_keys(
+                            survivors.select(did, "band_keys"), did
+                        )
+                        .withColumn("kp", _key_prefix())
+                        .withColumn(
+                            "ingest_epoch", F.lit(int(epoch_id))
+                        )
+                        .write.mode("overwrite")
+                        .partitionBy("kp", "ingest_epoch")
+                        .parquet(self.band_index_path)
+                    )
             finally:
                 sets.unpersist()
         finally:

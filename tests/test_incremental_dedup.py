@@ -229,3 +229,102 @@ def test_corpus_screen_plan_never_shuffles_corpus(spark, dedup):
     assert sorted(map(tuple, cands.collect())) == sorted(
         map(tuple, plain.collect())
     )
+
+
+def test_band_index_equivalent_and_partition_pruned(spark, tmp_path):
+    """With band_index_path set, admissions are IDENTICAL to the plain
+    topology (the index is just the exploded band_keys at rest), epoch
+    replay stays idempotent (index partitions overwrite like silver's),
+    and the screening join's index scan is dynamically partition-pruned
+    on the kp bucket column."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import dedup as dd
+    from comp5339dataengineering_realtimefuelanalysis_spark.streaming.incremental_dedup import (  # noqa: E501
+        StreamingIncrementalDedup,
+        _key_prefix,
+    )
+
+    batches = [
+        [(1, BASE), (2, BASE), (3, OTHER)],
+        [(4, NEAR), (1, BASE), (5, THIRD)],
+        [(6, PAIR_A), (7, PAIR_B), (8, NEAR_OTHER)],
+    ]
+    silvers = {}
+    for tag in ("plain", "indexed"):
+        d = StreamingIncrementalDedup(
+            spark=spark,
+            landing_dir=str(tmp_path / tag / "landing"),
+            silver_path=str(tmp_path / tag / "silver"),
+            checkpoint_dir=str(tmp_path / tag / "chk"),
+            schema=SCHEMA,
+            band_index_path=(
+                str(tmp_path / tag / "bandidx") if tag == "indexed" else None
+            ),
+        )
+        for rows in batches:
+            _land(spark, d, rows)
+            _run(d)
+        silvers[tag] = _silver_ids(spark, d)
+    assert silvers["plain"] == silvers["indexed"] == {1, 3, 5, 6}
+
+    # index rows must equal the silver corpus's exploded band_keys
+    silver = spark.read.parquet(str(tmp_path / "indexed" / "silver"))
+    idx = spark.read.parquet(str(tmp_path / "indexed" / "bandidx"))
+    recomputed = sorted(
+        map(
+            tuple,
+            dd.banded_from_keys(
+                silver.select("doc_id", "band_keys")
+            ).collect(),
+        )
+    )
+    stored = sorted(
+        map(tuple, idx.select("doc_id", "band", "key").collect())
+    )
+    assert stored == recomputed
+
+    # replay of the last epoch converges (index + silver both epoch-
+    # partitioned dynamic overwrites)
+    d = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=str(tmp_path / "indexed" / "landing"),
+        silver_path=str(tmp_path / "indexed" / "silver"),
+        checkpoint_dir=str(tmp_path / "indexed" / "chk"),
+        schema=SCHEMA,
+        band_index_path=str(tmp_path / "indexed" / "bandidx"),
+    )
+    last_epoch = (
+        silver.agg(F.max("ingest_epoch")).first()[0]
+    )
+    batch = spark.createDataFrame(batches[-1], SCHEMA)
+    d._sink(batch, epoch_id=last_epoch)
+    assert _silver_ids(spark, d) == {1, 3, 5, 6}
+    assert (
+        spark.read.parquet(str(tmp_path / "indexed" / "bandidx"))
+        .select("doc_id", "band", "key")
+        .distinct()
+        .count()
+        == len(stored)
+    )
+
+    # plan: the pruned screening join carries a dynamic pruning filter
+    # on the index's kp partition column
+    batch_keys = dd.minhash_band_keys(batch, "text", "doc_id")
+    lb = dd.banded_from_keys(batch_keys, "doc_id").withColumn(
+        "kp", _key_prefix()
+    )
+    rb = spark.read.parquet(str(tmp_path / "indexed" / "bandidx")).select(
+        "doc_id", "band", "key", "kp"
+    )
+    cands = dd.minhash_lsh_join(
+        batch,
+        silver,
+        "text",
+        "doc_id",
+        left_banded_df=lb,
+        right_banded_df=rb,
+        max_bucket=1000,
+        prune_right=True,
+        partition_col="kp",
+    )
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
