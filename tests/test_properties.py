@@ -137,3 +137,66 @@ def test_dedup_first_idempotent_and_complete(spark, keys):
     for k, s in got.items():
         assert s == min(i for i, kk in rows if kk == k)
     assert rows_key(once) == rows_key(twice)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(3 * 10**13), 3 * 10**13),  # coordinate sum s
+            st.integers(1, 10**6),                    # member count n
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_floor_div_centroid_quantization_cross_engine(spark, pairs):
+    """kmeans_train re-quantizes centroids with
+    (s - ((s % n + n) % n)) / n, claimed to be the MATHEMATICAL floor
+    bit-identically in Spark and DuckDB (both have truncating %). The
+    property: for random (s, n) the Spark expression, the DuckDB
+    expression, and Python's // (true floor) all agree — including
+    negative sums, where round() ties and truncating division diverge."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = [(i, s, n) for i, (s, n) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "i long, s long, n long")
+    got_spark = [
+        r.q
+        for r in df.select(
+            "i",
+            (
+                (
+                    F.col("s").cast("decimal(38,0)")
+                    - F.pmod(
+                        F.col("s").cast("decimal(38,0)"),
+                        F.col("n").cast("decimal(38,0)"),
+                    )
+                )
+                / F.col("n").cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("q"),
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, s HUGEINT, n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    got_duck = [
+        row[0]
+        for row in con.execute(
+            "SELECT CAST((s - ((s % n + n) % n)) / n AS BIGINT) "
+            "FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    want = [s // n for s, n in pairs]
+    assert got_spark == want
+    assert got_duck == want

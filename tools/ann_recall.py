@@ -1,0 +1,104 @@
+"""Recall-vs-cost curves for the ANN family: brute-force cosine top-k as
+ground truth, hyperplane-bucket IVF (`ivf_topk`, multi-probe LSH) and
+learned-centroid IVF (`ivf_kmeans_topk`, nprobe) across probe counts.
+
+Probe cost in both layouts is a partition-pruned scan (probes/2^planes of
+the corpus for hyperplanes; nprobe/k cells for k-means), so this is the
+recall side of the trade SCALE.md's flat probe-cost curves measure.
+
+Usage: python tools/ann_recall.py [sf_dir] — prints a markdown table and
+appends nothing; paste the numbers where needed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.session import get_spark
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+        similarity as sim,
+    )
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.base import (
+        load_table,
+    )
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry_llm import (
+        _ANN_PLANES, _KMEANS_K, _KMEANS_ITERS, _TOPK_K, _TOPK_NQ,
+    )
+
+    spark = get_spark("ann_recall")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    qs = emb.filter(F.col("vec_id") < _TOPK_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    truth = {
+        (r.qid, r.vec_id)
+        for r in sim.cosine_topk(qs, emb, k=_TOPK_K).collect()
+    }
+
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="ann_recall_")
+    hp_path = os.path.join(root, "hp")
+    km_path = os.path.join(root, "km")
+    sim.ivf_write(emb, hp_path, planes=_ANN_PLANES)
+    cents = sim.kmeans_train_centroids(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+    sim.ivf_write_kmeans(emb, cents, km_path)
+
+    print(f"corpus {n_vecs} vecs, {_TOPK_NQ} queries, k={_TOPK_K}, "
+          f"planes={_ANN_PLANES} (2^{_ANN_PLANES} buckets), "
+          f"kmeans k={_KMEANS_K} iters={_KMEANS_ITERS}\n")
+    print("| index | probes | scan fraction | recall@10 | sec |")
+    print("|---|---|---|---|---|")
+
+    def measure(label, frac, fn):
+        t0 = time.perf_counter()
+        got = {(r.qid, r.vec_id) for r in fn().collect()}
+        dt = time.perf_counter() - t0
+        rec = len(got & truth) / len(truth)
+        print(f"| {label} | {frac} | {rec:.3f} | {dt:.2f} |")
+
+    for p in (1, 2, 4, 8):
+        if p > 2 ** _ANN_PLANES:
+            break
+        measure(
+            f"hyperplane | {p}",
+            f"{p}/{2 ** _ANN_PLANES}",
+            lambda p=p: sim.ivf_topk(
+                spark, hp_path, qs, k=_TOPK_K, planes=_ANN_PLANES,
+                probes=p,
+            ),
+        )
+    for p in (1, 2, 4, 8):
+        if p > _KMEANS_K:
+            break
+        measure(
+            f"k-means | {p}",
+            f"{p}/{_KMEANS_K}",
+            lambda p=p: sim.ivf_kmeans_topk(
+                spark, km_path, qs, cents, k=_TOPK_K, probes=p
+            ),
+        )
+
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
