@@ -1114,17 +1114,6 @@ def q_corpus_curation_pipeline(
         sets.join(kept2.select("doc_id"), "doc_id", "semi")
         .select("doc_id", F.explode("sh_set").alias("shingle"))
     )
-    contam = stage_cb(
-        "9_contamination_screen",
-        lambda: dd.ngram_overlap_pairs(
-            probe,
-            kept2,
-            n=_SHINGLE_N,
-            min_frac=_CONTAM_MIN_FRAC,
-            max_df=_JACCARD_MAX_DF,
-            corpus_shingles_df=csh,
-        ),
-    )
     # persist the TINY dirty-id set (not the wide survivor frame): the
     # packer references its input several times, and each reference
     # re-evaluates only cached-kept2 + hash filter + this broadcast
@@ -1134,8 +1123,24 @@ def q_corpus_curation_pipeline(
     # lang only selects the per-stratum rate threshold), so sampling
     # survivors then dropping dirty ids selects the identical rows, and
     # the two screens no longer serialize against each other.
-    dirty = tracked_persist(
-        contam.select(F.col("corpus_id").alias("doc_id")).distinct()
+    # stage_cb wraps the PERSISTED dirty frame (what production actually
+    # consumes), not the raw contam pairs — materializing the pairs
+    # separately made the profiler re-run the inverted-index subplan
+    # inside the next stage and double-count ~1.7 s.
+    dirty = stage_cb(
+        "9_contamination_screen",
+        lambda: tracked_persist(
+            dd.ngram_overlap_pairs(
+                probe,
+                kept2,
+                n=_SHINGLE_N,
+                min_frac=_CONTAM_MIN_FRAC,
+                max_df=_JACCARD_MAX_DF,
+                corpus_shingles_df=csh,
+            )
+            .select(F.col("corpus_id").alias("doc_id"))
+            .distinct()
+        ),
     )
     samp = sel.stratified_sample(
         kept2.select("doc_id", "lang"), "lang", _SAMPLE_RATES
