@@ -273,3 +273,30 @@ def test_ivf_kmeans_topk_recall_and_pruning(spark, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_kmeans_degenerate_identical_corpus(spark, tmp_path):
+    """Adversarial input: every vector identical. All ties resolve to
+    the lowest centroid id, empty clusters drop (standard Lloyd), and
+    the IVF index degenerates to ONE cell that still answers probes —
+    no crash, no divergence, deterministic output."""
+    rows = [(i, [1.0, 2.0], 0) for i in range(20)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    cents = sim.kmeans_train_centroids(df, k=4, iters=3)
+    got = cents.collect()
+    assert len(got) == 1 and got[0].cid == 0  # ties -> lowest seed id
+    train = sim.kmeans_train(df, k=4, iters=3).collect()
+    assert {r.cluster_id for r in train} == {0}
+    assert all(r.n_members == 20 for r in train)
+
+    path = str(tmp_path / "degenerate_ivf")
+    sim.ivf_write_kmeans(df, cents, path)
+    qs = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = sim.ivf_kmeans_topk(spark, path, qs, cents, k=5, probes=2)
+    rows = got.collect()
+    assert len(rows) == 5
+    assert all(abs(r.cosine - 1.0) < 1e-12 for r in rows)
+    # deterministic id tiebreak on equal cosine
+    assert [r.vec_id for r in rows] == [0, 1, 2, 3, 4]
