@@ -16,8 +16,13 @@ plumbing — schemas, batching, partitioning, UDF signatures — is real and
 testable in any environment; ``"real"`` uses the detected codecs and
 raises NotImplementedError at plan time naming whichever dependency is
 missing; ``"auto"`` picks real-where-available per media kind, decided
-driver-side so no task can fail on a missing codec. The registry queries
-pin ``"fake"`` (the DuckDB oracle must replay the features bit-exactly);
+driver-side so tasks never make divergent choices. CAVEAT: detection
+runs on the DRIVER — on a cluster whose executor Python lacks a codec
+the driver has (routine env skew), the captured real path still fails at
+task time with ImportError. Homogeneous driver/executor environments are
+assumed (the standard packaged-venv deployment); with skewed envs, pin
+``"fake"`` or fix the executor image. The registry queries pin
+``"fake"`` (the DuckDB oracle must replay the features bit-exactly);
 production callers use ``"auto"``.
 """
 
@@ -77,8 +82,10 @@ def _fake_decode_bytes(content: bytes) -> dict:
 
 def available_codecs() -> dict[str, bool]:
     """Which real codecs this environment provides, per media kind.
-    Driver-side detection — the result is closure-captured into the decode
-    UDF so every executor makes the same choice."""
+    Driver-side detection — the result is closure-captured into the
+    decode UDF so every executor makes the same choice. Assumes the
+    executor Python matches the driver's (see module docstring caveat on
+    skewed environments)."""
     try:
         import PIL.Image  # noqa: F401
 

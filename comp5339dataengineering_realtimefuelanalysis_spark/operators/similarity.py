@@ -513,6 +513,8 @@ def kmeans_train_centroids(
     the same two shuffles as ``kmeans_step``; ``iters`` is a small
     constant, each iteration one job when materialized.
     """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
     c = corpus.select(
         F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
     )
@@ -556,6 +558,10 @@ def kmeans_train(
     ``iters=1`` IS ``kmeans_step`` — asserted in tests). Fixed iteration
     count rather than a convergence test keeps the computation a finite
     deterministic expression an oracle can replay."""
+    if iters < 1:
+        # iters=0 would silently present the means of one assignment
+        # against the raw seeds — which IS iters=1 by this definition
+        raise ValueError(f"kmeans_train requires iters >= 1, got {iters}")
     c = corpus.select(
         F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
     )

@@ -45,7 +45,7 @@ retrospective clustering.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,6 +86,9 @@ class StreamingIncrementalDedup:
     # partitioned by (kp, ingest_epoch), a replayed epoch overwrites
     # its own partitions and reads exclude the in-flight epoch.
     band_index_path: str | None = None
+    _index_coverage_checked: bool = field(
+        default=False, init=False, repr=False
+    )
 
     def start(self, available_now: bool = False) -> StreamingQuery:
         stream = (
@@ -120,24 +123,109 @@ class StreamingIncrementalDedup:
     ) -> DataFrame | None:
         """The at-rest (doc_id, band, key, kp) index as of the epoch being
         processed, or None when disabled / nothing admitted yet. Same
-        replay isolation as the corpus read."""
+        replay isolation as the corpus read.
+
+        The schema is PINNED: kp is a hex partition-directory value, and
+        Spark's partition-type inference would read an index whose
+        present partitions are all-digits (e.g. kp=07, kp=45) as INT —
+        the string-vs-int screening join would then null out every
+        non-numeric kp and silently admit near-duplicates."""
         if self.band_index_path is None:
             return None
         try:
-            idx = spark.read.parquet(self.band_index_path)
+            idx = spark.read.schema(
+                f"{self.id_col} long, band int, key string, "
+                "kp string, ingest_epoch long"
+            ).parquet(self.band_index_path)
         except AnalysisException:
             return None
         return idx.filter(
             F.col("ingest_epoch") != F.lit(exclude_epoch)
         ).select(self.id_col, "band", "key", "kp")
 
+    def _check_index_coverage(
+        self, spark: SparkSession, corpus: DataFrame, exclude_epoch: int
+    ) -> None:
+        """Refuse to screen against a band index that does not cover
+        every admitted silver epoch — an index enabled AFTER epochs were
+        admitted without it would silently skip near-dup screening
+        against those docs. Checked once per runner instance (coverage
+        cannot regress mid-run: every epoch writes both stores)."""
+        if self._index_coverage_checked:
+            return
+        idx = spark.read.schema(
+            f"{self.id_col} long, band int, key string, "
+            "kp string, ingest_epoch long"
+        ).parquet(self.band_index_path)
+        idx_epochs = {
+            r[0]
+            for r in idx.filter(
+                F.col("ingest_epoch") != F.lit(exclude_epoch)
+            ).select("ingest_epoch").distinct().collect()
+        }
+        silver_epochs = {
+            r[0]
+            for r in corpus.select("ingest_epoch").distinct().collect()
+        }
+        missing = silver_epochs - idx_epochs
+        if missing:
+            raise RuntimeError(
+                f"band index {self.band_index_path} is missing epochs "
+                f"{sorted(missing)} that exist in silver — screening "
+                "against it would skip those docs' near-dup keys. Run "
+                "backfill_band_index(spark) once before streaming."
+            )
+        self._index_coverage_checked = True
+
+    def backfill_band_index(self, spark: SparkSession) -> int:
+        """Build index rows for every silver epoch missing from the
+        band index — the one-time migration when enabling
+        ``band_index_path`` over a corpus admitted without it. Returns
+        the number of epochs backfilled. Idempotent (dynamic overwrite
+        of exactly the rebuilt (kp, epoch) partitions)."""
+        if self.band_index_path is None:
+            raise ValueError("band_index_path is not configured")
+        try:
+            silver = spark.read.parquet(self.silver_path)
+        except AnalysisException:
+            return 0  # nothing admitted yet
+        have: set[int] = set()
+        try:
+            idx = spark.read.schema(
+                f"{self.id_col} long, band int, key string, "
+                "kp string, ingest_epoch long"
+            ).parquet(self.band_index_path)
+            have = {
+                r[0]
+                for r in idx.select("ingest_epoch").distinct().collect()
+            }
+        except AnalysisException:
+            pass
+        missing = [
+            r[0]
+            for r in silver.select("ingest_epoch").distinct().collect()
+            if r[0] not in have
+        ]
+        if missing:
+            (
+                silver.filter(F.col("ingest_epoch").isin(missing))
+                .select(
+                    self.id_col,
+                    "ingest_epoch",
+                    F.posexplode("band_keys").alias("band", "key"),
+                )
+                .withColumn("kp", _key_prefix())
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("kp", "ingest_epoch")
+                .parquet(self.band_index_path)
+            )
+        return len(missing)
+
     # -- per-batch screening ----------------------------------------------
 
     def _sink(self, batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
         txt, did = self.text_col, self.id_col
 
         # 1. within-batch exact: canonical (min-id) per content hash;
@@ -200,6 +288,7 @@ class StreamingIncrementalDedup:
                 corpus_banded = self._read_band_index(spark, epoch_id)
                 left_banded = batch_banded
                 if corpus_banded is not None:
+                    self._check_index_coverage(spark, corpus, epoch_id)
                     partition_col = "kp"
                     left_banded = batch_banded.withColumn(
                         "kp", _key_prefix()
@@ -258,11 +347,16 @@ class StreamingIncrementalDedup:
                     F.col("id_a").alias(did)
                 ).distinct()
                 survivors = b.join(drop_ids, did, "left_anti")
+                # dynamic overwrite is scoped to these writers (the
+                # option), NOT set on the session conf — a session-wide
+                # flip would silently change overwrite semantics for
+                # every later partitioned write sharing the session
                 (
                     survivors.withColumn(
                         "ingest_epoch", F.lit(int(epoch_id))
                     )
                     .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("ingest_epoch")
                     .parquet(self.silver_path)
                 )
@@ -280,6 +374,7 @@ class StreamingIncrementalDedup:
                             "ingest_epoch", F.lit(int(epoch_id))
                         )
                         .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
                         .partitionBy("kp", "ingest_epoch")
                         .parquet(self.band_index_path)
                     )

@@ -328,3 +328,47 @@ def test_band_index_equivalent_and_partition_pruned(spark, tmp_path):
     )
     plan = cands._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_band_index_coverage_guard_and_backfill(spark, tmp_path):
+    """Enabling band_index_path over a silver corpus admitted WITHOUT
+    the index must refuse to screen (the partial index would skip
+    earlier epochs' near-dup keys) until backfill_band_index builds the
+    missing epochs — after which screening catches near-dups of
+    pre-index admissions."""
+    import pytest
+    from comp5339dataengineering_realtimefuelanalysis_spark.streaming.incremental_dedup import (  # noqa: E501
+        StreamingIncrementalDedup,
+    )
+
+    common = dict(
+        spark=spark,
+        landing_dir=str(tmp_path / "landing"),
+        silver_path=str(tmp_path / "silver"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        schema=SCHEMA,
+    )
+    plain = StreamingIncrementalDedup(**common)
+    _land(spark, plain, [(1, BASE), (2, OTHER)])
+    _run(plain)
+    assert _silver_ids(spark, plain) == {1, 2}
+
+    indexed = StreamingIncrementalDedup(
+        **common, band_index_path=str(tmp_path / "bandidx")
+    )
+    batch = spark.createDataFrame([(10, NEAR), (11, THIRD)], SCHEMA)
+    # writing one indexed epoch leaves earlier epochs uncovered -> the
+    # NEXT screen must refuse rather than silently miss them
+    indexed._sink(batch, epoch_id=7)
+    later = spark.createDataFrame([(20, NEAR_OTHER)], SCHEMA)
+    with pytest.raises(RuntimeError, match="backfill_band_index"):
+        indexed._sink(later, epoch_id=8)
+
+    n = indexed.backfill_band_index(spark)
+    assert n >= 1
+    indexed._sink(later, epoch_id=8)
+    # epoch 7 predated the index, so it fell back to the full corpus
+    # scan and rejected 10 (near-dup of pre-index doc 1); epoch 8 runs
+    # the INDEX path over the backfilled epochs and must reject 20
+    # (near-dup of pre-index doc 2)
+    assert _silver_ids(spark, indexed) == {1, 2, 11}

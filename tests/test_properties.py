@@ -147,8 +147,11 @@ def test_dedup_first_idempotent_and_complete(spark, keys):
 @given(
     st.lists(
         st.tuples(
-            st.integers(-(3 * 10**13), 3 * 10**13),  # coordinate sum s
-            st.integers(1, 10**6),                    # member count n
+            # coordinate sums well beyond 2^53: the DOUBLE-division
+            # hazard zone where DuckDB's `/` (float) would diverge —
+            # the oracle must use `//` (exact HUGEINT division)
+            st.integers(-(10**18), 10**18),
+            st.integers(1, 10**9),  # member count n
         ),
         min_size=1,
         max_size=30,
@@ -193,7 +196,7 @@ def test_floor_div_centroid_quantization_cross_engine(spark, pairs):
     got_duck = [
         row[0]
         for row in con.execute(
-            "SELECT CAST((s - ((s % n + n) % n)) / n AS BIGINT) "
+            "SELECT CAST((s - ((s % n + n) % n)) // n AS BIGINT) "
             "FROM t ORDER BY i"
         ).fetchall()
     ]

@@ -88,7 +88,10 @@ def main() -> None:
         )
         epochs = []
         for e in range(args.epochs):
-            lo, hi = e * per_epoch, (e + 1) * per_epoch
+            # last epoch takes the remainder — otherwise docs that were
+            # never landed would be counted as "rejected" in the artifact
+            lo = e * per_epoch
+            hi = n_total if e == args.epochs - 1 else (e + 1) * per_epoch
             # one file per epoch -> one micro-batch; ids are globally
             # unique and near-dup targets reference a bounded id window,
             # so later epochs carry genuine cross-epoch duplicates of
@@ -109,7 +112,7 @@ def main() -> None:
             epochs.append(
                 {
                     "epoch": e,
-                    "batch_rows": per_epoch,
+                    "batch_rows": hi - lo,
                     "sec": dt,
                     "silver_rows_after": n_silver,
                 }
@@ -127,7 +130,7 @@ def main() -> None:
     epochs = [
         {
             "epoch": e,
-            "batch_rows": per_epoch,
+            "batch_rows": sequences[0][e]["batch_rows"],
             "sec": min(seq[e]["sec"] for seq in sequences),
             "runs": [seq[e]["sec"] for seq in sequences],
             "silver_rows_after": sequences[0][e]["silver_rows_after"],
