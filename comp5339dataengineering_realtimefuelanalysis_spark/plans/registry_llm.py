@@ -1693,6 +1693,202 @@ def q_emb_ivf_topk_probes2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (dup-word / top-bigram /
+    dup-trigram fractions), computed row-local over the split word array
+    — map-only, scan-speed at any corpus size."""
+    return tx.repetition_signals(_docs_parallel(spark, sf_dir))
+
+
+def _sql_doc_repetition() -> str:
+    return r"""WITH w AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS words
+            FROM documents),
+        g AS (
+            SELECT doc_id, words,
+                   CASE WHEN len(words) >= 2 THEN
+                       list_transform(range(1, len(words)),
+                           i -> words[i] || ' ' || words[i + 1])
+                   ELSE []::VARCHAR[] END AS bi,
+                   CASE WHEN len(words) >= 3 THEN
+                       list_transform(range(1, len(words) - 1),
+                           i -> words[i] || ' ' || words[i + 1]
+                                || ' ' || words[i + 2])
+                   ELSE []::VARCHAR[] END AS tri
+            FROM w)
+        SELECT doc_id,
+               CASE WHEN len(words) > 0 THEN
+                   1.0 - CAST(len(list_distinct(words)) AS DOUBLE)
+                       / len(words)
+               ELSE 0.0 END AS dup_word_frac,
+               CASE WHEN len(bi) > 0 THEN
+                   CAST(list_max(list_transform(list_distinct(bi),
+                       b -> len(list_filter(bi, x -> x = b))))
+                       AS DOUBLE) / len(bi)
+               ELSE 0.0 END AS top_bigram_frac,
+               CASE WHEN len(tri) > 0 THEN
+                   CAST(len(list_filter(list_distinct(tri),
+                       t -> len(list_filter(tri, x -> x = t)) > 1))
+                       AS DOUBLE) / len(list_distinct(tri))
+               ELSE 0.0 END AS dup_trigram_frac
+        FROM g"""
+
+
+_TEXT_EMB_DIM = 64
+_TEXT_EMB_SEED = "emb"
+_SEM_THRESHOLD = 0.9  # unrelated-doc cosine p99.9 is ~0.81 on this corpus
+_SEM_PLANES = 4
+
+
+def q_doc_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text embedding (operators/text.py:embed_text): the
+    text -> embedding bridge, row-local and oracle-replayable."""
+    return tx.embed_text(
+        _docs_parallel(spark, sf_dir),
+        dim=_TEXT_EMB_DIM,
+        seed=_TEXT_EMB_SEED,
+    )
+
+
+def _sql_doc_embed_ctes() -> str:
+    """Shared CTE chain: documents -> word uni+bigram features -> hashed
+    (bucket, sign) arrays -> signed counts -> L2-normalized REAL vector.
+    Mirrors embed_text exactly (same md5-derived bucket/sign hashes)."""
+    d, s = _TEXT_EMB_DIM, _TEXT_EMB_SEED
+    return rf"""w AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ') AS words
+            FROM documents),
+        feats_cte AS (
+            SELECT doc_id,
+                   CASE WHEN len(words) >= 2 THEN
+                       list_concat(words,
+                           list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1]))
+                   ELSE words END AS feats
+            FROM w),
+        hashed AS (
+            SELECT doc_id,
+                   list_transform(feats, f ->
+                       ('0x' || substring(md5(f || '#{s}'), 1, 8))::BIGINT
+                           % {d}) AS bks,
+                   list_transform(feats, f ->
+                       ((('0x' || substring(md5(f || '#s{s}'), 1, 8))
+                           ::BIGINT % 2) * 2 - 1)) AS sgs
+            FROM feats_cte),
+        counted AS (
+            SELECT doc_id,
+                   list_transform(range(0, {d}), i ->
+                       COALESCE(list_sum(
+                           list_transform(range(1, len(bks) + 1),
+                               j -> CASE WHEN bks[j] = i THEN sgs[j]
+                                    ELSE 0 END)), 0)) AS counts
+            FROM hashed),
+        normed AS (
+            SELECT doc_id, counts,
+                   sqrt(CAST(list_sum(list_transform(counts,
+                       x -> x * x)) AS DOUBLE)) AS nrm
+            FROM counted),
+        emb AS (
+            SELECT doc_id,
+                   list_transform(counts, x ->
+                       CAST(CASE WHEN nrm > 0
+                            THEN CAST(x AS DOUBLE) / nrm
+                            ELSE 0.0 END AS REAL)) AS embedding
+            FROM normed)"""
+
+
+def _sql_doc_embed_hash() -> str:
+    return f"""WITH {_sql_doc_embed_ctes()}
+        SELECT doc_id, embedding FROM emb"""
+
+
+def q_doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup of the documents table end-to-end: hashing-trick
+    embedding -> hyperplane-blocked cosine near-dup pairs (theta=0.9;
+    unrelated docs top out ~0.81 on this corpus) -> connected components
+    -> per-doc cluster id + canonical-representative flag. The
+    embedding-space analog of doc_dedup_clusters, catching rephrasings
+    shingle Jaccard underweights; at scale every stage is the measured
+    one (map-only embed, bucket-blocked pairs, hybrid CC)."""
+    # persisted: the embed expression tree (dim-wide HOF aggregates) is
+    # wide enough to exceed janino's method limit when inlined into the
+    # self-join's both sides — interpreted-mode evaluation per pair hung
+    # the composed plan. The barrier materializes vectors ONCE; the join
+    # then reads 64-float arrays (same pattern as the curation profile
+    # stage and the shared shingle frame).
+    emb = tracked_persist(
+        tx.embed_text(
+            _docs_parallel(spark, sf_dir),
+            dim=_TEXT_EMB_DIM,
+            seed=_TEXT_EMB_SEED,
+        )
+    )
+    pairs = sim.embedding_near_dup_pairs(
+        emb.withColumnRenamed("doc_id", "vec_id"),
+        threshold=_SEM_THRESHOLD,
+        planes=_SEM_PLANES,
+        dim=_TEXT_EMB_DIM,
+    )
+    cc = dd.connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    )
+    return (
+        emb.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("doc_id"))
+    )
+
+
+def _sql_doc_semantic_dedup() -> str:
+    return f"""WITH RECURSIVE {_sql_doc_embed_ctes()},
+        bk AS (SELECT doc_id, embedding,
+                      {_sql_bucket(_SEM_PLANES, "embedding")} AS bucket
+               FROM emb),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   SUM({_sql_scaled('a.embedding[CAST(i AS INT)]')}
+                       * {_sql_scaled('b.embedding[CAST(i AS INT)]')})
+                       AS dot,
+                   SUM({_sql_scaled('a.embedding[CAST(i AS INT)]')}
+                       * {_sql_scaled('a.embedding[CAST(i AS INT)]')})
+                       AS an,
+                   SUM({_sql_scaled('b.embedding[CAST(i AS INT)]')}
+                       * {_sql_scaled('b.embedding[CAST(i AS INT)]')})
+                       AS bn
+            FROM bk a JOIN bk b
+                 ON a.bucket = b.bucket AND a.doc_id < b.doc_id,
+                 range(1, {_TEXT_EMB_DIM + 1}) r(i)
+            GROUP BY a.doc_id, b.doc_id),
+        sem AS (
+            SELECT id_a, id_b FROM pairs
+            WHERE CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(an AS DOUBLE))
+                         * sqrt(CAST(bn AS DOUBLE)))
+                  >= {_SEM_THRESHOLD}),
+        edges AS (SELECT id_a AS u, id_b AS v FROM sem
+                  UNION SELECT id_b, id_a FROM sem),
+        walk(node, root) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, w2.root FROM walk w2 JOIN edges e ON e.u = w2.node
+        ),
+        comp AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+                 FROM walk GROUP BY node)
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
+
+
 def q_emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF training: _KMEANS_ITERS exact Lloyd iterations
     (operators/similarity.py:kmeans_train). Every update re-quantizes
@@ -2119,6 +2315,27 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_kmeans_step(),
         ("embeddings",),
         "IVF training: one exact Lloyd iteration (integer L2 argmin)",
+    ),
+    "doc_embed_hash": QueryDef(
+        q_doc_embed_hash,
+        _sql_doc_embed_hash(),
+        ("documents",),
+        "hashing-trick text embedding: word n-grams -> signed buckets, "
+        "L2-normalized; row-local, the text->embedding bridge",
+    ),
+    "doc_semantic_dedup": QueryDef(
+        q_doc_semantic_dedup,
+        _sql_doc_semantic_dedup(),
+        ("documents",),
+        "semantic dedup end-to-end: hash embedding -> cosine near-dup "
+        "(theta=0.9) -> connected components -> representatives",
+    ),
+    "doc_repetition": QueryDef(
+        q_doc_repetition,
+        _sql_doc_repetition(),
+        ("documents",),
+        "Gopher repetition signals: dup-word / top-bigram / dup-trigram "
+        "fractions, row-local map-only",
     ),
     "emb_kmeans_train": QueryDef(
         q_emb_kmeans_train,

@@ -157,3 +157,64 @@ def test_chunk_documents_invariants(spark):
         for r in got[doc_id]:
             covered |= set(range(r.chunk_start, r.chunk_start + r.chunk_len))
         assert covered == set(range(text_len)), doc_id
+
+
+def test_repetition_signals_cases(spark):
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.text import (
+        repetition_signals,
+    )
+
+    rows = [
+        (1, "a a a a"),          # maximal repetition
+        (2, "w x y z"),          # fully unique
+        (3, "one two"),          # too short for trigrams
+        (4, ""),                 # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    # doc 1: words 4x'a' -> 1 - 1/4; bigrams ['a a']x3 all same -> 3/3;
+    # trigrams ['a a a']x2 -> the single distinct trigram repeats -> 1.0
+    assert abs(got[1].dup_word_frac - 0.75) < 1e-12
+    assert abs(got[1].top_bigram_frac - 1.0) < 1e-12
+    assert abs(got[1].dup_trigram_frac - 1.0) < 1e-12
+    # doc 2: all distinct -> 0; top bigram 1 of 3; no repeated trigram
+    assert got[2].dup_word_frac == 0.0
+    assert abs(got[2].top_bigram_frac - 1.0 / 3.0) < 1e-12
+    assert got[2].dup_trigram_frac == 0.0
+    # doc 3: no trigrams -> 0.0 by contract
+    assert got[3].dup_trigram_frac == 0.0
+    assert abs(got[3].top_bigram_frac - 1.0) < 1e-12
+    # doc 4: empty text -> one empty-string word -> all zeros
+    assert (got[4].dup_word_frac, got[4].top_bigram_frac,
+            got[4].dup_trigram_frac) == (0.0, 0.0, 0.0)
+
+
+def test_embed_text_geometry_and_determinism(spark):
+    import math
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.text import (
+        embed_text,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog near the old "
+            "stone bridge at the edge of the quiet village every morning")
+    near = base.replace("quiet", "sleepy")
+    other = ("distributed query engines shuffle a hundred terabytes of "
+             "shingled text through a thousand executors before breakfast "
+             "and nobody notices the bill until monday")
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    vecs = {r.doc_id: r.embedding for r in embed_text(df).collect()}
+    assert all(len(v) == 64 for v in vecs.values())
+    for v in vecs.values():  # unit norm
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-6
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(vecs[1], vecs[2]) > 0.9      # one-word edit stays close
+    assert cos(vecs[1], vecs[3]) < 0.5      # unrelated text is far
+    # bit-deterministic across independent evaluations
+    again = {r.doc_id: r.embedding for r in embed_text(df).collect()}
+    assert again == vecs
