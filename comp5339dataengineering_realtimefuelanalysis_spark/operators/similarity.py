@@ -58,6 +58,61 @@ def dot_scaled(sa: Column, sb: Column) -> Column:
     )
 
 
+def dot_scaled_unrolled(
+    sa: Column, sb: Column, dim: int, long_acc: bool = False
+) -> Column:
+    """Exact scaled dot product as a DIM-UNROLLED expression: dim
+    element_at products summed. Bit-identical to ``dot_scaled``
+    (integer addition is associative), but every term is a plain
+    codegen-able expression — higher-order-function lambdas
+    (zip_with/aggregate) never enter whole-stage codegen and run on the
+    interpreted path, measured ~30µs per evaluation; unrolled is far
+    faster. Use for HOT inner loops (pair scoring, Lloyd assignment);
+    the HOF forms remain for dynamic dims.
+
+    ``long_acc=True`` accumulates in int64 instead of decimal —
+    decimal(38,0) codegen still allocates BigDecimals per op (~10µs per
+    64-term evaluation); longs are ~100x cheaper. SAFE ONLY under a
+    norm bound the CALLER guarantees: for vectors with L2 norm <= 1.5
+    on the 1e9 grid, Cauchy-Schwarz bounds every partial sum by
+    sum|x_i y_i| <= |x||y| <= 2.25e18 < 2^63. Results are identical to
+    the decimal path whenever both are in range."""
+    acc = "long" if long_acc else _ACC
+    terms = [
+        (
+            F.element_at(sa, j + 1).cast(acc)
+            * F.element_at(sb, j + 1).cast(acc)
+        )
+        for j in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def l2sq_scaled_unrolled(
+    sa: Column, sb: Column, dim: int, long_acc: bool = False
+) -> Column:
+    """Exact scaled squared-L2 distance, dim-unrolled (see
+    dot_scaled_unrolled for why and for the ``long_acc`` norm-bound
+    contract: sum (x-y)^2 = |x|^2 + |y|^2 - 2xy <= 9e18 for norms
+    <= 1.5e9, and every per-term square is <= (3e9)^2; terms are
+    non-negative so partial sums never exceed the total)."""
+    acc = "long" if long_acc else _ACC
+    terms = []
+    for j in range(dim):
+        d = (
+            F.element_at(sa, j + 1).cast(acc)
+            - F.element_at(sb, j + 1).cast(acc)
+        )
+        terms.append(d * d)
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def attach_scaled(df: DataFrame, vec_col: str, prefix: str = "") -> DataFrame:
     """Add ``{prefix}svec`` (int64-scaled vector) and ``{prefix}norm``
     (double L2 norm on the scaled grid) — the per-vector precomputation
@@ -129,6 +184,8 @@ def embedding_near_dup_pairs(
     planes: int = 8,
     dim: int = 64,
     max_bucket: int | None = None,
+    block_col: str | None = None,
+    unit_norm: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 
@@ -141,11 +198,25 @@ def embedding_near_dup_pairs(
     embeddings, otherwise makes pair generation O(b²); exact dedup should
     collapse those upstream). See operators.dedup.cap_buckets for the
     observable dropped-bucket stats. Set it at scale.
+
+    ``block_col``: use an EXISTING column of ``df`` as the blocking key
+    instead of hyperplane signs — e.g. a k-means cell id
+    (``kmeans_assign``), the data-ADAPTIVE choice. Hyperplane buckets
+    depend on the corpus direction distribution: on a corpus whose
+    vectors concentrate around a shared direction (any single-domain
+    text corpus under feature hashing), most rows share a sign pattern
+    and within-bucket pair generation degrades toward O(n²) — measured
+    5x the time for 3x the docs. k-means cells track density by
+    construction, so cell sizes stay ~n/k and pair cost stays linear
+    for k grown with the corpus.
     """
     from .dedup import cap_buckets
 
     bucketed = attach_scaled(df, vec_col).withColumn(
-        "bucket", _hyperplane_bucket(F.col(vec_col), planes, dim)
+        "bucket",
+        F.col(block_col)
+        if block_col is not None
+        else _hyperplane_bucket(F.col(vec_col), planes, dim),
     )
     if max_bucket is not None:
         bucketed, _ = cap_buckets(bucketed, ["bucket"], max_bucket)
@@ -168,7 +239,9 @@ def embedding_near_dup_pairs(
             "id_a",
             "id_b",
             (
-                dot_scaled(F.col("sa"), F.col("sb")).cast("double")
+                dot_scaled_unrolled(
+                    F.col("sa"), F.col("sb"), dim, long_acc=unit_norm
+                ).cast("double")
                 / (F.col("na") * F.col("nb"))
             ).alias("cosine"),
         )
@@ -389,6 +462,8 @@ def kmeans_step(
     k: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    unit_norm: bool = False,
 ) -> DataFrame:
     """One Lloyd iteration over the corpus: assign every vector to its
     nearest seed centroid (exact squared-L2 on the int64 grid), then
@@ -413,7 +488,13 @@ def kmeans_step(
         F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
     )
     return _lloyd_means(
-        _lloyd_assign(c, _kmeans_seeds(corpus, k, id_col, vec_col), id_col)
+        _lloyd_assign(
+            c,
+            _kmeans_seeds(corpus, k, id_col, vec_col),
+            id_col,
+            dim,
+            unit_norm,
+        )
     )
 
 
@@ -432,27 +513,29 @@ def _kmeans_seeds(
 
 
 def _lloyd_assign(
-    c: DataFrame, cents: DataFrame, id_col: str
+    c: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    dim: int = 64,
+    unit_norm: bool = False,
 ) -> DataFrame:
     """Assign every (id, svec) row to its nearest centroid by exact
     integer squared-L2; tiebreak = lowest centroid id. Centroids are k
-    rows — broadcast; min_by collapses the k-fold fan-out map-side."""
-    # difference and square in decimal(38,0): unit-norm embeddings would
-    # fit int64, but nothing enforces unit norm — (x-y)^2 overflows long
-    # already at |x| > ~1.5 on the 1e9 grid
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("svec"),
-            F.col("c_svec"),
-            lambda x, y: (x.cast(_ACC) - y.cast(_ACC))
-            * (x.cast(_ACC) - y.cast(_ACC)),
-        ),
-        F.lit(0).cast(_ACC),
-        lambda acc, x: acc + x,
-    )
+    rows — broadcast; min_by collapses the k-fold fan-out map-side.
+
+    Distance is the dim-UNROLLED decimal expression (codegen; the HOF
+    zip_with form runs interpreted — with k growing with the corpus the
+    n x k assignment is the training hot loop). decimal(38,0) because
+    nothing enforces unit norm: (x-y)^2 overflows long already at
+    |x| > ~1.5 on the 1e9 grid."""
     return (
         c.crossJoin(F.broadcast(cents))
-        .withColumn("dist", dist)
+        .withColumn(
+            "dist",
+            l2sq_scaled_unrolled(
+                F.col("svec"), F.col("c_svec"), dim, long_acc=unit_norm
+            ),
+        )
         .groupBy(id_col)
         .agg(
             F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
@@ -492,6 +575,8 @@ def kmeans_train_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    unit_norm: bool = False,
 ) -> DataFrame:
     """Centroids (cid, c_svec) after ``iters`` exact Lloyd updates from
     the deterministic lowest-id seeds (``iters=0`` returns the seeds).
@@ -520,7 +605,9 @@ def kmeans_train_centroids(
     )
     cents = _kmeans_seeds(corpus, k, id_col, vec_col)
     for _ in range(iters):
-        sums = _lloyd_sums(_lloyd_assign(c, cents, id_col))
+        sums = _lloyd_sums(
+            _lloyd_assign(c, cents, id_col, dim, unit_norm)
+        )
         quant = (
             (
                 F.col("s")
@@ -552,6 +639,8 @@ def kmeans_train(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    unit_norm: bool = False,
 ) -> DataFrame:
     """Full fixed-iteration Lloyd training: the ``iters``-th update's
     per-cluster per-dimension means (same schema as ``kmeans_step``;
@@ -566,9 +655,11 @@ def kmeans_train(
         F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
     )
     cents = kmeans_train_centroids(
-        corpus, k, iters - 1, id_col, vec_col
+        corpus, k, iters - 1, id_col, vec_col, dim, unit_norm
     )
-    return _lloyd_means(_lloyd_assign(c, cents, id_col))
+    return _lloyd_means(
+        _lloyd_assign(c, cents, id_col, dim, unit_norm)
+    )
 
 
 def kmeans_assign(
@@ -576,6 +667,8 @@ def kmeans_assign(
     cents: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    unit_norm: bool = False,
 ) -> DataFrame:
     """``corpus`` plus ``cluster_id`` = nearest trained centroid (exact
     integer L2, lowest-cid tiebreak) — the IVF cell assignment."""
@@ -583,7 +676,7 @@ def kmeans_assign(
         F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
     )
     return corpus.join(
-        _lloyd_assign(c, cents, id_col).select(
+        _lloyd_assign(c, cents, id_col, dim, unit_norm).select(
             id_col, F.col("cid").alias("cluster_id")
         ),
         id_col,
@@ -596,6 +689,7 @@ def ivf_write_kmeans(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> None:
     """Materialize the LEARNED-centroid IVF layout: corpus partitioned
     by nearest-trained-centroid cell, scaled vector + norm precomputed at
@@ -603,7 +697,7 @@ def ivf_write_kmeans(
     data-adaptive cells follow the corpus distribution, so cell sizes are
     balanced by construction where hyperplane buckets depend on luck."""
     cb = attach_scaled(
-        kmeans_assign(corpus, cents, id_col, vec_col), vec_col, "c_"
+        kmeans_assign(corpus, cents, id_col, vec_col, dim), vec_col, "c_"
     )
     (
         cb.select(id_col, "c_svec", "c_norm", "cluster_id")
@@ -623,6 +717,7 @@ def ivf_kmeans_topk(
     query_id: str = "qid",
     corpus_id: str = "vec_id",
     query_vec: str = "qvec",
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k against a materialized ``ivf_write_kmeans``
     index: each query probes its ``probes`` nearest centroid cells
@@ -636,16 +731,7 @@ def ivf_kmeans_topk(
     q = attach_scaled(queries, query_vec, "q_").withColumnRenamed(
         query_id, "qid_"
     )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("q_svec"),
-            F.col("c_svec"),
-            lambda x, y: (x.cast(_ACC) - y.cast(_ACC))
-            * (x.cast(_ACC) - y.cast(_ACC)),
-        ),
-        F.lit(0).cast(_ACC),
-        lambda acc, x: acc + x,
-    )
+    dist = l2sq_scaled_unrolled(F.col("q_svec"), F.col("c_svec"), dim)
     w = Window.partitionBy("qid_").orderBy("dist", "cid")
     probed = (
         q.crossJoin(F.broadcast(cents))
@@ -663,7 +749,9 @@ def ivf_kmeans_topk(
         F.col(query_id),
         F.col(corpus_id),
         (
-            dot_scaled(F.col("q_svec"), F.col("c_svec")).cast("double")
+            dot_scaled_unrolled(
+                F.col("q_svec"), F.col("c_svec"), dim
+            ).cast("double")
             / (F.col("q_norm") * F.col("c_norm"))
         ).alias("cosine"),
     )

@@ -506,3 +506,43 @@ def embed_text(
             .cast("float"),
         ).alias("embedding"),
     )
+
+
+# PII patterns chosen for REGEX PORTABILITY: the same pattern strings
+# compile identically under Java regex (Spark) and RE2 (DuckDB) — no
+# lookbehind, no backreferences, no possessive quantifiers.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+              "<EMAIL>"),
+    "phone": (r"\+?[0-9][0-9() -]{7,14}[0-9]", "<PHONE>"),
+    "ip": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+}
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII redaction for training corpora: emails, phone-like number
+    runs, and IPv4 addresses replaced with typed placeholder tokens,
+    with per-kind match counts kept for auditing (a scrub you cannot
+    measure is a scrub you cannot trust). Purely map-side regex work —
+    scan speed at any corpus size; patterns are deliberately
+    conservative (precision over recall: a placeholder in clean text is
+    worse than a missed digit run for most training uses).
+
+    Replacement order is email -> phone -> ip, counted BEFORE any
+    replacement so counts refer to the original text.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.size(
+            F.regexp_extract_all(c, F.lit(pat), F.lit(0))
+        ).cast("long").alias(f"n_{kind}")
+        for kind, (pat, _) in PII_PATTERNS.items()
+    ]
+    scrubbed = c
+    for kind, (pat, token) in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(
+        id_col, scrubbed.alias("clean_text"), *counts
+    )

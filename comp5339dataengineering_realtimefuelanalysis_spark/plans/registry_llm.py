@@ -1736,10 +1736,45 @@ def _sql_doc_repetition() -> str:
         FROM g"""
 
 
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with per-kind audit counts (emails / phone-like
+    runs / IPv4), map-only regex work at scan speed. Patterns compile
+    identically under Java regex and RE2, so the oracle replays the
+    exact replacement."""
+    return tx.scrub_pii(_docs_parallel(spark, sf_dir))
+
+
+def _sql_doc_pii_scrub() -> str:
+    repl = "text"
+    counts = []
+    for kind, (pat, token) in tx.PII_PATTERNS.items():
+        repl = f"regexp_replace({repl}, '{pat}', '{token}', 'g')"
+        counts.append(
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        )
+    return f"""SELECT doc_id, {repl} AS clean_text,
+               {', '.join(counts)}
+        FROM documents"""
+
+
 _TEXT_EMB_DIM = 64
 _TEXT_EMB_SEED = "emb"
 _SEM_THRESHOLD = 0.9  # unrelated-doc cosine p99.9 is ~0.81 on this corpus
-_SEM_PLANES = 4
+# k-means-cell blocking, NOT hyperplane signs: hashed doc embeddings
+# concentrate around the corpus's shared vocabulary direction, so sign
+# buckets lump most docs together and pair generation degraded toward
+# O(n^2) (measured 43x time for 10x docs). Cells are data-adaptive, and
+# k = max(8, floor(sqrt(n))) balances the two cost terms of flat
+# blocking — assignment n*k and within-cell pairs n^2/k are BOTH
+# n^1.5 at k=sqrt(n), the standard flat-index (SemDeDup-style)
+# operating point; sub-n^1.5 needs hierarchical/graph indexes.
+_SEM_ITERS = 1
+
+
+def _sem_k(n: int) -> int:
+    import math
+
+    return max(8, math.isqrt(n))
 
 
 def q_doc_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1808,37 +1843,53 @@ def _sql_doc_embed_hash() -> str:
 
 def q_doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup of the documents table end-to-end: hashing-trick
-    embedding -> hyperplane-blocked cosine near-dup pairs (theta=0.9;
+    embedding -> k-means-cell-blocked cosine near-dup pairs (theta=0.9;
     unrelated docs top out ~0.81 on this corpus) -> connected components
     -> per-doc cluster id + canonical-representative flag. The
     embedding-space analog of doc_dedup_clusters, catching rephrasings
-    shingle Jaccard underweights; at scale every stage is the measured
-    one (map-only embed, bucket-blocked pairs, hybrid CC)."""
-    # persisted: the embed expression tree (dim-wide HOF aggregates) is
-    # wide enough to exceed janino's method limit when inlined into the
-    # self-join's both sides — interpreted-mode evaluation per pair hung
-    # the composed plan. The barrier materializes vectors ONCE; the join
-    # then reads 64-float arrays (same pattern as the curation profile
-    # stage and the shared shingle frame).
+    shingle Jaccard underweights. Blocking uses kmeans_assign cells (see
+    _SEM_K note) — the data-adaptive guard against the sign-bucket
+    degeneracy this corpus shape triggers; boundary pairs split across
+    cells are the documented recall trade of any single-assignment
+    blocking."""
+    # persisted: the embed frame feeds seeding, assignment, and both
+    # self-join sides — and its expression tree is wide enough that
+    # inlining it into each consumer pushed evaluation off the codegen
+    # path. The barrier materializes vectors ONCE.
     emb = tracked_persist(
         tx.embed_text(
             _docs_parallel(spark, sf_dir),
             dim=_TEXT_EMB_DIM,
             seed=_TEXT_EMB_SEED,
-        )
+        ).withColumnRenamed("doc_id", "vec_id")
+    )
+    # one metadata-cheap count to size k with the corpus (the sqrt
+    # balance point, see _sem_k) — parameter selection, not row data.
+    # unit_norm=True everywhere: embed_text L2-normalizes, so the
+    # Cauchy-Schwarz bound licenses int64 accumulation in the unrolled
+    # distance/dot expressions (~100x cheaper than decimal, identical
+    # values). The ASSIGNED frame is persisted — it feeds both self-join
+    # sides and the n x k assignment is the training hot loop.
+    k = _sem_k(emb.count())
+    cents = sim.kmeans_train_centroids(
+        emb, k=k, iters=_SEM_ITERS, unit_norm=True
+    )
+    assigned = tracked_persist(
+        sim.kmeans_assign(emb, cents, unit_norm=True)
     )
     pairs = sim.embedding_near_dup_pairs(
-        emb.withColumnRenamed("doc_id", "vec_id"),
+        assigned,
         threshold=_SEM_THRESHOLD,
-        planes=_SEM_PLANES,
         dim=_TEXT_EMB_DIM,
+        block_col="cluster_id",
+        unit_norm=True,
     )
     cc = dd.connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
     )
     return (
-        emb.select("doc_id")
+        emb.select(F.col("vec_id").alias("doc_id"))
         .join(cc, "doc_id", "left")
         .select(
             "doc_id",
@@ -1849,25 +1900,29 @@ def q_doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_doc_semantic_dedup() -> str:
+    # blocking = assignment against cents{_SEM_ITERS}, which is
+    # asg{_SEM_ITERS + 1} in a chain extended one stage (the chain's
+    # asg{i} assigns to cents{i-1}); its svec column is already the
+    # scaled int vector, so the pair dot/norms read it directly
+    asg = f"asg{_SEM_ITERS + 1}"
+    sq = "CAST({0}.svec[CAST(i AS INT)] AS HUGEINT)"
+    # k replayed as the same sqrt balance: DuckDB allows a subquery in
+    # LIMIT, so the static oracle string matches Spark's count-derived k
+    # at every scale factor
+    k_sql = ("(SELECT GREATEST(8, CAST(floor(sqrt(COUNT(*))) AS BIGINT))"
+             " FROM documents)")
     return f"""WITH RECURSIVE {_sql_doc_embed_ctes()},
-        bk AS (SELECT doc_id, embedding,
-                      {_sql_bucket(_SEM_PLANES, "embedding")} AS bucket
-               FROM emb),
+        {_sql_kmeans_chain(_SEM_ITERS + 1, src="emb", id_col="doc_id",
+                           dim=_TEXT_EMB_DIM, k=k_sql)},
         pairs AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   SUM({_sql_scaled('a.embedding[CAST(i AS INT)]')}
-                       * {_sql_scaled('b.embedding[CAST(i AS INT)]')})
-                       AS dot,
-                   SUM({_sql_scaled('a.embedding[CAST(i AS INT)]')}
-                       * {_sql_scaled('a.embedding[CAST(i AS INT)]')})
-                       AS an,
-                   SUM({_sql_scaled('b.embedding[CAST(i AS INT)]')}
-                       * {_sql_scaled('b.embedding[CAST(i AS INT)]')})
-                       AS bn
-            FROM bk a JOIN bk b
-                 ON a.bucket = b.bucket AND a.doc_id < b.doc_id,
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   SUM({sq.format('a')} * {sq.format('b')}) AS dot,
+                   SUM({sq.format('a')} * {sq.format('a')}) AS an,
+                   SUM({sq.format('b')} * {sq.format('b')}) AS bn
+            FROM {asg} a JOIN {asg} b
+                 ON a.cid = b.cid AND a.vec_id < b.vec_id,
                  range(1, {_TEXT_EMB_DIM + 1}) r(i)
-            GROUP BY a.doc_id, b.doc_id),
+            GROUP BY a.vec_id, b.vec_id),
         sem AS (
             SELECT id_a, id_b FROM pairs
             WHERE CAST(dot AS DOUBLE)
@@ -1900,22 +1955,30 @@ def q_emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_train(emb, k=_KMEANS_K, iters=_KMEANS_ITERS)
 
 
-def _sql_kmeans_chain(iters: int) -> str:
+def _sql_kmeans_chain(
+    iters: int,
+    src: str = "embeddings",
+    id_col: str = "vec_id",
+    dim: int = _EMB_DIM,
+    k: int | str = _KMEANS_K,
+) -> str:
     """CTE chain replaying kmeans_train_centroids: c (scaled corpus),
     cents0 (lowest-id seeds), then per iteration i: pairs{i} (integer L2
     to cents{i-1}), asg{i} (argmin, cid tiebreak), sums{i} (per-cluster
     per-dim count+sum), cents{i} (floor-div re-quantized centroids).
     Floor division is spelled (s - ((s % n + n) % n)) / n — exact and
-    engine-portable where round() is not (HALF_UP vs half-even ties)."""
+    engine-portable where round() is not (HALF_UP vs half-even ties).
+    ``src`` is any table/CTE with (id_col, embedding); ``k`` may be SQL
+    text (e.g. a LIMIT subquery) when the cell count is data-derived."""
     sv = (
         "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
         f" * {_SCALE}) AS BIGINT))"
     )
     parts = [
-        f"c AS (SELECT vec_id, {sv} AS svec FROM embeddings)",
+        f"c AS (SELECT {id_col} AS vec_id, {sv} AS svec FROM {src})",
         f"""cents0 AS (
-            SELECT vec_id AS cid, {sv} AS c_svec
-            FROM embeddings ORDER BY vec_id LIMIT {_KMEANS_K})""",
+            SELECT {id_col} AS cid, {sv} AS c_svec
+            FROM {src} ORDER BY {id_col} LIMIT {k})""",
     ]
     for i in range(1, iters + 1):
         parts.append(f"""pairs{i} AS (
@@ -1933,7 +1996,7 @@ def _sql_kmeans_chain(iters: int) -> str:
             SELECT cid, CAST(r.range AS INT) AS dim, COUNT(*) AS n,
                    SUM(CAST(svec[CAST(r.range AS INT) + 1] AS HUGEINT))
                        AS s
-            FROM asg{i} CROSS JOIN range({_EMB_DIM}) r GROUP BY 1, 2)""")
+            FROM asg{i} CROSS JOIN range({dim}) r GROUP BY 1, 2)""")
         # `//` (not `/`): DuckDB's `/` coerces HUGEINT operands to
         # DOUBLE, losing exactness above 2^53; `//` stays HUGEINT, and
         # with the residue subtracted the numerator divides exactly, so
@@ -2315,6 +2378,13 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_kmeans_step(),
         ("embeddings",),
         "IVF training: one exact Lloyd iteration (integer L2 argmin)",
+    ),
+    "doc_pii_scrub": QueryDef(
+        q_doc_pii_scrub,
+        _sql_doc_pii_scrub(),
+        ("documents",),
+        "PII redaction (email/phone/IPv4 -> typed tokens) with per-kind "
+        "audit counts; map-only regex",
     ),
     "doc_embed_hash": QueryDef(
         q_doc_embed_hash,

@@ -120,7 +120,7 @@ def test_kmeans_step_assignment_and_means(spark):
     the integer distance go to the smaller cluster id, so everything
     within equal distance of both seeds lands in cluster 0; means are
     exact per-dimension averages of the members."""
-    out = sim.kmeans_step(corpus(spark), k=2).collect()
+    out = sim.kmeans_step(corpus(spark), k=2, dim=4).collect()
     members = {r.cluster_id: r.n_members for r in out}
     # seeds 0 and 1 are identical -> every vector ties -> all go to 0
     assert members == {0: 5}
@@ -139,7 +139,7 @@ def test_kmeans_step_separates_clusters(spark):
         (3, [9.9, 10.1], 0),   # near seed 1
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
-    out = sim.kmeans_step(df, k=2).collect()
+    out = sim.kmeans_step(df, k=2, dim=2).collect()
     got = {(r.cluster_id, r.dim): (r.n_members, r.mean) for r in out}
     want = {
         (0, 0): (2, 0.05),
@@ -202,12 +202,12 @@ def test_kmeans_train_fixpoint_on_separated_clusters(spark):
         (3, [9.9, 10.1], 0),
     ]
     df = spark.createDataFrame(rows, SCHEMA)
-    t1 = sim.kmeans_train(df, k=2, iters=1).orderBy("cluster_id", "dim")
-    t3 = sim.kmeans_train(df, k=2, iters=3).orderBy("cluster_id", "dim")
+    t1 = sim.kmeans_train(df, k=2, iters=1, dim=2).orderBy("cluster_id", "dim")
+    t3 = sim.kmeans_train(df, k=2, iters=3, dim=2).orderBy("cluster_id", "dim")
     assert t1.collect() == t3.collect()
     cents = {
         r.cid: r.c_svec
-        for r in sim.kmeans_train_centroids(df, k=2, iters=2).collect()
+        for r in sim.kmeans_train_centroids(df, k=2, iters=2, dim=2).collect()
     }
     # cluster 0 = {v0, v2}. float32(0.1) = 0.10000000149..., so v2
     # scales to (100000001, -100000001); the centroid is the
@@ -282,19 +282,19 @@ def test_kmeans_degenerate_identical_corpus(spark, tmp_path):
     no crash, no divergence, deterministic output."""
     rows = [(i, [1.0, 2.0], 0) for i in range(20)]
     df = spark.createDataFrame(rows, SCHEMA)
-    cents = sim.kmeans_train_centroids(df, k=4, iters=3)
+    cents = sim.kmeans_train_centroids(df, k=4, iters=3, dim=2)
     got = cents.collect()
     assert len(got) == 1 and got[0].cid == 0  # ties -> lowest seed id
-    train = sim.kmeans_train(df, k=4, iters=3).collect()
+    train = sim.kmeans_train(df, k=4, iters=3, dim=2).collect()
     assert {r.cluster_id for r in train} == {0}
     assert all(r.n_members == 20 for r in train)
 
     path = str(tmp_path / "degenerate_ivf")
-    sim.ivf_write_kmeans(df, cents, path)
+    sim.ivf_write_kmeans(df, cents, path, dim=2)
     qs = df.filter(F.col("vec_id") == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    got = sim.ivf_kmeans_topk(spark, path, qs, cents, k=5, probes=2)
+    got = sim.ivf_kmeans_topk(spark, path, qs, cents, k=5, probes=2, dim=2)
     rows = got.collect()
     assert len(rows) == 5
     assert all(abs(r.cosine - 1.0) < 1e-12 for r in rows)

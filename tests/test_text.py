@@ -218,3 +218,27 @@ def test_embed_text_geometry_and_determinism(spark):
     # bit-deterministic across independent evaluations
     again = {r.doc_id: r.embedding for r in embed_text(df).collect()}
     assert again == vecs
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.text import (
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "mail me at jane.doe+spam@example.co.uk or call +61 2 9385 1234"),
+        (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (3, "no pii here, just text with numbers 42 and 7"),
+        (4, "two mails: a@b.io c.d@e-f.org and ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert "<EMAIL>" in got[1].clean_text and "<PHONE>" in got[1].clean_text
+    assert "jane.doe" not in got[1].clean_text
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ip) == (1, 1, 0)
+    assert got[2].clean_text.count("<IP>") == 2
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ip) == (0, 0, 2)
+    assert got[3].clean_text == rows[2][1]  # untouched
+    assert (got[3].n_email, got[3].n_phone, got[3].n_ip) == (0, 0, 0)
+    assert got[4].n_email == 2 and got[4].n_ip == 1
+    assert "a@b.io" not in got[4].clean_text
