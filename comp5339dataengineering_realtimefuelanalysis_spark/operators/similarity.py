@@ -113,6 +113,23 @@ def l2sq_scaled_unrolled(
     return out
 
 
+def _dim_guard(arr: Column, dim: int, expr: Column) -> Column:
+    """Make a dim/vector-length mismatch LOUD: the unrolled expressions
+    hard-index 1..dim, so a longer vector would silently truncate the
+    sum (underestimated cosines, missed near-dups) and a shorter one
+    throws a bare array-index error. One size() compare per evaluation;
+    raise_error carries the actual length."""
+    return F.when(F.size(arr) == dim, expr).otherwise(
+        F.raise_error(
+            F.format_string(
+                "vector length %s does not match unrolled dim "
+                + str(dim),
+                F.size(arr),
+            )
+        )
+    )
+
+
 def attach_scaled(df: DataFrame, vec_col: str, prefix: str = "") -> DataFrame:
     """Add ``{prefix}svec`` (int64-scaled vector) and ``{prefix}norm``
     (double L2 norm on the scaled grid) — the per-vector precomputation
@@ -238,11 +255,13 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            (
+            _dim_guard(
+                F.col("sa"),
+                dim,
                 dot_scaled_unrolled(
                     F.col("sa"), F.col("sb"), dim, long_acc=unit_norm
                 ).cast("double")
-                / (F.col("na") * F.col("nb"))
+                / (F.col("na") * F.col("nb")),
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
@@ -532,8 +551,13 @@ def _lloyd_assign(
         c.crossJoin(F.broadcast(cents))
         .withColumn(
             "dist",
-            l2sq_scaled_unrolled(
-                F.col("svec"), F.col("c_svec"), dim, long_acc=unit_norm
+            _dim_guard(
+                F.col("svec"),
+                dim,
+                l2sq_scaled_unrolled(
+                    F.col("svec"), F.col("c_svec"), dim,
+                    long_acc=unit_norm,
+                ),
             ),
         )
         .groupBy(id_col)
@@ -731,7 +755,11 @@ def ivf_kmeans_topk(
     q = attach_scaled(queries, query_vec, "q_").withColumnRenamed(
         query_id, "qid_"
     )
-    dist = l2sq_scaled_unrolled(F.col("q_svec"), F.col("c_svec"), dim)
+    dist = _dim_guard(
+        F.col("q_svec"),
+        dim,
+        l2sq_scaled_unrolled(F.col("q_svec"), F.col("c_svec"), dim),
+    )
     w = Window.partitionBy("qid_").orderBy("dist", "cid")
     probed = (
         q.crossJoin(F.broadcast(cents))
@@ -748,11 +776,13 @@ def ivf_kmeans_topk(
     scored = index.join(F.broadcast(probed), "cluster_id").select(
         F.col(query_id),
         F.col(corpus_id),
-        (
+        _dim_guard(
+            F.col("c_svec"),
+            dim,
             dot_scaled_unrolled(
                 F.col("q_svec"), F.col("c_svec"), dim
             ).cast("double")
-            / (F.col("q_norm") * F.col("c_norm"))
+            / (F.col("q_norm") * F.col("c_norm")),
         ).alias("cosine"),
     )
     wr = Window.partitionBy(query_id).orderBy(

@@ -514,7 +514,14 @@ def embed_text(
 PII_PATTERNS: dict[str, tuple[str, str]] = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
               "<EMAIL>"),
-    "phone": (r"\+?[0-9][0-9() -]{7,14}[0-9]", "<PHONE>"),
+    # Either an explicit phone marker (+/open-paren lead) or three
+    # separator-joined digit groups — a bare "1914 - 1918" year range or
+    # page span must NOT match (precision over recall)
+    "phone": (
+        r"(\+|\()[0-9()\- ]{6,14}[0-9]"
+        r"|[0-9]{3,4}[ -][0-9]{3,4}[ -][0-9]{3,4}",
+        "<PHONE>",
+    ),
     "ip": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
 }
 

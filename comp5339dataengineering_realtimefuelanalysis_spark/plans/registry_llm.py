@@ -1695,17 +1695,25 @@ def q_emb_ivf_topk_probes2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (dup-word / top-bigram /
-    dup-trigram fractions), computed row-local over the split word array
-    — map-only, scan-speed at any corpus size."""
+    dup-trigram fractions): one tagged n-gram explode, two map-side-
+    combined shuffles (the tf-idf shape; the row-local HOF form runs
+    interpreted and measured ~30x slower)."""
     return tx.repetition_signals(_docs_parallel(spark, sf_dir))
 
 
-def _sql_doc_repetition() -> str:
-    return r"""WITH w AS (
+def _sql_norm_words_cte() -> str:
+    """The `w` CTE (doc_id, normalized word array) — ONE definition
+    shared by every oracle that tokenizes like tx.norm_text, so a
+    normalization tweak cannot silently diverge between them."""
+    return r"""w AS (
             SELECT doc_id,
                    string_split(trim(regexp_replace(lower(text),
                        '\s+', ' ', 'g')), ' ') AS words
-            FROM documents),
+            FROM documents)"""
+
+
+def _sql_doc_repetition() -> str:
+    return f"""WITH {_sql_norm_words_cte()},
         g AS (
             SELECT doc_id, words,
                    CASE WHEN len(words) >= 2 THEN
@@ -1779,7 +1787,8 @@ def _sem_k(n: int) -> int:
 
 def q_doc_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick text embedding (operators/text.py:embed_text): the
-    text -> embedding bridge, row-local and oracle-replayable."""
+    text -> embedding bridge — feature explode + one map-side-combined
+    hash shuffle, oracle-replayable bit-exactly."""
     return tx.embed_text(
         _docs_parallel(spark, sf_dir),
         dim=_TEXT_EMB_DIM,
@@ -1792,11 +1801,7 @@ def _sql_doc_embed_ctes() -> str:
     (bucket, sign) arrays -> signed counts -> L2-normalized REAL vector.
     Mirrors embed_text exactly (same md5-derived bucket/sign hashes)."""
     d, s = _TEXT_EMB_DIM, _TEXT_EMB_SEED
-    return rf"""w AS (
-            SELECT doc_id,
-                   string_split(trim(regexp_replace(lower(text),
-                       '\s+', ' ', 'g')), ' ') AS words
-            FROM documents),
+    return rf"""{_sql_norm_words_cte()},
         feats_cte AS (
             SELECT doc_id,
                    CASE WHEN len(words) >= 2 THEN
@@ -2391,7 +2396,7 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_doc_embed_hash(),
         ("documents",),
         "hashing-trick text embedding: word n-grams -> signed buckets, "
-        "L2-normalized; row-local, the text->embedding bridge",
+        "L2-normalized; one hash shuffle, the text->embedding bridge",
     ),
     "doc_semantic_dedup": QueryDef(
         q_doc_semantic_dedup,
@@ -2405,7 +2410,7 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_doc_repetition(),
         ("documents",),
         "Gopher repetition signals: dup-word / top-bigram / dup-trigram "
-        "fractions, row-local map-only",
+        "fractions; tagged n-gram explode, two combined shuffles",
     ),
     "emb_kmeans_train": QueryDef(
         q_emb_kmeans_train,

@@ -242,3 +242,23 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert (got[3].n_email, got[3].n_phone, got[3].n_ip) == (0, 0, 0)
     assert got[4].n_email == 2 and got[4].n_ip == 1
     assert "a@b.io" not in got[4].clean_text
+
+
+def test_scrub_pii_leaves_year_ranges_alone(spark):
+    """Precision contract: bare numeric ranges (years, page spans,
+    scores) are NOT phone numbers — the pattern requires an explicit
+    +/( lead or three separator-joined digit groups."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.text import (
+        scrub_pii,
+    )
+
+    rows = [
+        (1, "the war of 1914 - 1918 killed millions"),
+        (2, "pages 1000 - 2000, the 2020 - 2021 season"),
+        (3, "dial 123 456 7890 today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert got[1].clean_text == rows[0][1] and got[1].n_phone == 0
+    assert got[2].clean_text == rows[1][1] and got[2].n_phone == 0
+    assert got[3].n_phone == 1  # three separated groups IS phone-shaped

@@ -473,7 +473,13 @@ def main() -> None:
 
     for mult in mults:
         sf_dir = os.path.join(args.out_dir, f"x{mult}")
-        scale_res = {"dir": sf_dir, "queries": {}}
+        # MERGE into any existing per-scale entry: a --queries-restricted
+        # re-measurement must update only its own rows — wholesale
+        # replacement once deleted every other query's committed evidence
+        scale_res = results["scales"].get(
+            f"x{mult}", {"dir": sf_dir, "queries": {}}
+        )
+        scale_res.setdefault("queries", {})
         if not (args.skip_gen and os.path.isdir(sf_dir)):
             t0 = time.perf_counter()
             scale_res["n_docs"] = build_docs(
