@@ -255,13 +255,24 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            _dim_guard(
-                F.col("sa"),
-                dim,
-                dot_scaled_unrolled(
-                    F.col("sa"), F.col("sb"), dim, long_acc=unit_norm
-                ).cast("double")
-                / (F.col("na") * F.col("nb")),
+            # unit_norm -> dim-unrolled int64 dot (codegen, ~100x);
+            # generic -> the HOF decimal dot: unrolled DECIMAL is
+            # SLOWER than interpreted HOF (BigDecimal alloc per term,
+            # measured 5x at x10), so unrolling only pays with longs
+            (
+                _dim_guard(
+                    F.col("sa"),
+                    dim,
+                    dot_scaled_unrolled(
+                        F.col("sa"), F.col("sb"), dim, long_acc=True
+                    ).cast("double")
+                    / (F.col("na") * F.col("nb")),
+                )
+                if unit_norm
+                else (
+                    dot_scaled(F.col("sa"), F.col("sb")).cast("double")
+                    / (F.col("na") * F.col("nb"))
+                )
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(threshold))
@@ -555,9 +566,21 @@ def _lloyd_assign(
                 F.col("svec"),
                 dim,
                 l2sq_scaled_unrolled(
-                    F.col("svec"), F.col("c_svec"), dim,
-                    long_acc=unit_norm,
+                    F.col("svec"), F.col("c_svec"), dim, long_acc=True
                 ),
+            )
+            if unit_norm
+            # generic path: HOF decimal — unrolled decimal is slower
+            # (BigDecimal per term); see dot_scaled_unrolled docstring
+            else F.aggregate(
+                F.zip_with(
+                    F.col("svec"),
+                    F.col("c_svec"),
+                    lambda x, y: (x.cast(_ACC) - y.cast(_ACC))
+                    * (x.cast(_ACC) - y.cast(_ACC)),
+                ),
+                F.lit(0).cast(_ACC),
+                lambda acc, x: acc + x,
             ),
         )
         .groupBy(id_col)
@@ -755,10 +778,15 @@ def ivf_kmeans_topk(
     q = attach_scaled(queries, query_vec, "q_").withColumnRenamed(
         query_id, "qid_"
     )
-    dist = _dim_guard(
-        F.col("q_svec"),
-        dim,
-        l2sq_scaled_unrolled(F.col("q_svec"), F.col("c_svec"), dim),
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("q_svec"),
+            F.col("c_svec"),
+            lambda x, y: (x.cast(_ACC) - y.cast(_ACC))
+            * (x.cast(_ACC) - y.cast(_ACC)),
+        ),
+        F.lit(0).cast(_ACC),
+        lambda acc, x: acc + x,
     )
     w = Window.partitionBy("qid_").orderBy("dist", "cid")
     probed = (
@@ -776,13 +804,9 @@ def ivf_kmeans_topk(
     scored = index.join(F.broadcast(probed), "cluster_id").select(
         F.col(query_id),
         F.col(corpus_id),
-        _dim_guard(
-            F.col("c_svec"),
-            dim,
-            dot_scaled_unrolled(
-                F.col("q_svec"), F.col("c_svec"), dim
-            ).cast("double")
-            / (F.col("q_norm") * F.col("c_norm")),
+        (
+            dot_scaled(F.col("q_svec"), F.col("c_svec")).cast("double")
+            / (F.col("q_norm") * F.col("c_norm"))
         ).alias("cosine"),
     )
     wr = Window.partitionBy(query_id).orderBy(
