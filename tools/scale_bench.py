@@ -69,6 +69,10 @@ DOC_QUERIES = [
     "doc_contamination",
     "doc_seq_pack",
     "doc_pack_manifest",
+    "doc_repetition",
+    "doc_embed_hash",
+    "doc_pii_scrub",
+    "doc_semantic_dedup",
     "corpus_curation_pipeline",
 ]
 EMB_QUERIES = [
