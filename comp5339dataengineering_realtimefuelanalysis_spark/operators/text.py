@@ -298,7 +298,7 @@ def chunk_documents(
 
 
 def _word_ngram_arrays(
-    text_col: str, ns: tuple[int, ...]
+    text_col: Column | str, ns: tuple[int, ...]
 ) -> dict[int, Column]:
     """Per-n word n-gram arrays of the normalized text, built row-local
     (one O(|words|) transform each — cheap even on the interpreted HOF
@@ -442,13 +442,19 @@ def embed_text(
     ``repetition_signals``, the counting deliberately avoids dim-wide
     higher-order-function aggregates (interpreted path, measured ~50 s
     at sf0.1 vs ~2 s for this shape). Output: (id, embedding
-    array<float>); all-zero for text with no features (cannot happen for
-    string input — empty text normalizes to one empty-string feature —
-    but the norm>0 guard keeps the math total).
+    array<float>); NULL text is coalesced to '' FIRST, so every input
+    row yields an output row (a NULL's feature array would otherwise be
+    NULL and the explode would drop the row) carrying the deterministic
+    empty-string-feature vector; all-zero only if a feature array were
+    empty (cannot happen after the coalesce — empty text normalizes to
+    one empty-string feature — but the norm>0 guard keeps the math
+    total).
     """
     from .dedup import hash32
 
-    grams = _word_ngram_arrays(text_col, ngrams)
+    grams = _word_ngram_arrays(
+        F.coalesce(F.col(text_col), F.lit("")), ngrams
+    )
     feats = grams[ngrams[0]]
     for n in ngrams[1:]:
         feats = F.concat(feats, grams[n])

@@ -1649,6 +1649,7 @@ def release_ivf_indexes() -> None:
 
     _IVF_INDEX_PATHS.clear()
     _IVF_KMEANS_CENTS.clear()
+    _TEXT_EMB_PATHS.clear()
     if _IVF_ROOT is not None:
         shutil.rmtree(_IVF_ROOT, ignore_errors=True)
         _IVF_ROOT = None
@@ -1704,10 +1705,15 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_norm_words_cte() -> str:
     """The `w` CTE (doc_id, normalized word array) — ONE definition
     shared by every oracle that tokenizes like tx.norm_text, so a
-    normalization tweak cannot silently diverge between them."""
+    normalization tweak cannot silently diverge between them. text is
+    COALESCEd to '' to mirror embed_text's NULL contract (NULL text ->
+    one empty-string word, never a NULL/absent row); repetition_signals
+    reaches the same 0.0 fractions for NULL either way (its Spark side
+    drops the NULL row and fillna(0.0)s the left join)."""
     return r"""w AS (
             SELECT doc_id,
-                   string_split(trim(regexp_replace(lower(text),
+                   string_split(trim(regexp_replace(lower(
+                       COALESCE(text, '')),
                        '\s+', ' ', 'g')), ' ') AS words
             FROM documents)"""
 
@@ -1785,14 +1791,42 @@ def _sem_k(n: int) -> int:
     return max(8, math.isqrt(n))
 
 
+_TEXT_EMB_PATHS: dict[str, str] = {}
+
+
+def _text_emb_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick document-embedding frame (doc_id, embedding)
+    for sf_dir, materialized ONCE to parquet under the managed temp root
+    (the _ivf_kmeans_index_for pattern): doc_embed_hash and
+    doc_semantic_dedup both consume the same vectors, and without the
+    shared materialization each registry pass recomputed the full
+    explode+shuffle twice. Parquet round-trips float32 bit-exactly, so
+    oracle parity is unaffected; release_ivf_indexes() drops it."""
+    key = f"{sf_dir}:textemb:{_TEXT_EMB_DIM}:{_TEXT_EMB_SEED}"
+    path = _TEXT_EMB_PATHS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = _ivf_index_dir(key)
+        tx.embed_text(
+            _docs_parallel(spark, sf_dir),
+            dim=_TEXT_EMB_DIM,
+            seed=_TEXT_EMB_SEED,
+        ).write.mode("overwrite").parquet(path)
+        _TEXT_EMB_PATHS[key] = path
+    return spark.read.parquet(path)
+
+
 def q_doc_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick text embedding (operators/text.py:embed_text): the
     text -> embedding bridge — feature explode + one map-side-combined
-    hash shuffle, oracle-replayable bit-exactly."""
-    return tx.embed_text(
-        _docs_parallel(spark, sf_dir),
-        dim=_TEXT_EMB_DIM,
-        seed=_TEXT_EMB_SEED,
+    hash shuffle, oracle-replayable bit-exactly. Registered in EXPLODED
+    form (doc_id, dim_index, value) — one row per vector component —
+    because the attestation harness canonicalizes by sorting/hashing
+    scalar cells and cannot canonicalize a raw array<float> column (the
+    round-7 red row); per-cell floats keep bit-exactness. Operator
+    callers (doc_semantic_dedup) consume the array contract via
+    _text_emb_for unchanged."""
+    return _text_emb_for(spark, sf_dir).select(
+        "doc_id", F.posexplode("embedding").alias("dim_index", "value")
     )
 
 
@@ -1842,8 +1876,12 @@ def _sql_doc_embed_ctes() -> str:
 
 
 def _sql_doc_embed_hash() -> str:
+    # exploded to scalar cells (see q_doc_embed_hash): DuckDB lists are
+    # 1-indexed, Spark posexplode positions are 0-based INTs
     return f"""WITH {_sql_doc_embed_ctes()}
-        SELECT doc_id, embedding FROM emb"""
+        SELECT doc_id, CAST(i - 1 AS INT) AS dim_index,
+               embedding[CAST(i AS INT)] AS value
+        FROM emb, range(1, {_TEXT_EMB_DIM + 1}) r(i)"""
 
 
 def q_doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1857,25 +1895,27 @@ def q_doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     degeneracy this corpus shape triggers; boundary pairs split across
     cells are the documented recall trade of any single-assignment
     blocking."""
-    # persisted: the embed frame feeds seeding, assignment, and both
-    # self-join sides — and its expression tree is wide enough that
-    # inlining it into each consumer pushed evaluation off the codegen
-    # path. The barrier materializes vectors ONCE.
+    # the embed frame comes from the shared parquet materialization
+    # (_text_emb_for — also feeds doc_embed_hash); the persist on top of
+    # the scan keeps the decoded vectors hot across seeding, assignment,
+    # and both self-join sides.
+    docs = _docs_parallel(spark, sf_dir)
     emb = tracked_persist(
-        tx.embed_text(
-            _docs_parallel(spark, sf_dir),
-            dim=_TEXT_EMB_DIM,
-            seed=_TEXT_EMB_SEED,
-        ).withColumnRenamed("doc_id", "vec_id")
+        _text_emb_for(spark, sf_dir).withColumnRenamed(
+            "doc_id", "vec_id"
+        )
     )
     # one metadata-cheap count to size k with the corpus (the sqrt
     # balance point, see _sem_k) — parameter selection, not row data.
+    # Counted on the DOCUMENTS table, matching the oracle's k subquery
+    # (embed_text preserves row count by contract, but the source table
+    # is the ground truth either way).
     # unit_norm=True everywhere: embed_text L2-normalizes, so the
     # Cauchy-Schwarz bound licenses int64 accumulation in the unrolled
     # distance/dot expressions (~100x cheaper than decimal, identical
     # values). The ASSIGNED frame is persisted — it feeds both self-join
     # sides and the n x k assignment is the training hot loop.
-    k = _sem_k(emb.count())
+    k = _sem_k(docs.count())
     cents = sim.kmeans_train_centroids(
         emb, k=k, iters=_SEM_ITERS, unit_norm=True
     )
@@ -1893,8 +1933,11 @@ def q_doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
     )
+    # output frame derived from the DOCUMENTS table (one row per doc by
+    # source-of-truth, like the oracle's final FROM documents), not from
+    # the embed frame
     return (
-        emb.select(F.col("vec_id").alias("doc_id"))
+        docs.select("doc_id")
         .join(cc, "doc_id", "left")
         .select(
             "doc_id",
@@ -2396,7 +2439,8 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_doc_embed_hash(),
         ("documents",),
         "hashing-trick text embedding: word n-grams -> signed buckets, "
-        "L2-normalized; one hash shuffle, the text->embedding bridge",
+        "L2-normalized; one hash shuffle, the text->embedding bridge; "
+        "attested exploded to (doc_id, dim_index, value) scalar cells",
     ),
     "doc_semantic_dedup": QueryDef(
         q_doc_semantic_dedup,

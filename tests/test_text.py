@@ -220,6 +220,25 @@ def test_embed_text_geometry_and_determinism(spark):
     assert again == vecs
 
 
+def test_embed_text_null_and_empty_text_keep_their_rows(spark):
+    """NULL text must not vanish (the pre-coalesce bug: a NULL feature
+    array exploded to zero rows); it carries the SAME deterministic
+    vector as empty text (the empty-string-feature contract), which is
+    nonzero and unit-norm."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real words here")],
+        "doc_id long, text string",
+    )
+    vecs = {r.doc_id: r.embedding for r in tx.embed_text(df).collect()}
+    assert set(vecs) == {1, 2, 3, 4}
+    assert vecs[1] == vecs[2] == vecs[3]  # all normalize to one '' word
+    assert any(x != 0.0 for x in vecs[1])
+    import math
+
+    assert abs(math.sqrt(sum(x * x for x in vecs[1])) - 1.0) < 1e-6
+    assert vecs[4] != vecs[1]
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     from comp5339dataengineering_realtimefuelanalysis_spark.operators.text import (
         scrub_pii,
