@@ -553,11 +553,13 @@ def _lloyd_assign(
     integer squared-L2; tiebreak = lowest centroid id. Centroids are k
     rows — broadcast; min_by collapses the k-fold fan-out map-side.
 
-    Distance is the dim-UNROLLED decimal expression (codegen; the HOF
-    zip_with form runs interpreted — with k growing with the corpus the
-    n x k assignment is the training hot loop). decimal(38,0) because
-    nothing enforces unit norm: (x-y)^2 overflows long already at
-    |x| > ~1.5 on the 1e9 grid."""
+    Distance: with ``unit_norm`` the caller guarantees |x| <= 1 on the
+    1e9 grid, so the dim-UNROLLED int64 expression applies (codegen,
+    no per-term allocation — the training hot loop, since the n x k
+    assignment dominates). Without it the HOF decimal(38,0) form runs
+    instead: (x-y)^2 overflows long already at |x| > ~1.5 on the grid,
+    and the unrolled DECIMAL variant measured ~5x slower than the HOF
+    (a BigDecimal allocation per term — see dot_scaled_unrolled)."""
     return (
         c.crossJoin(F.broadcast(cents))
         .withColumn(
@@ -571,16 +573,22 @@ def _lloyd_assign(
             )
             if unit_norm
             # generic path: HOF decimal — unrolled decimal is slower
-            # (BigDecimal per term); see dot_scaled_unrolled docstring
-            else F.aggregate(
-                F.zip_with(
-                    F.col("svec"),
-                    F.col("c_svec"),
-                    lambda x, y: (x.cast(_ACC) - y.cast(_ACC))
-                    * (x.cast(_ACC) - y.cast(_ACC)),
+            # (BigDecimal per term); see dot_scaled_unrolled docstring.
+            # The dim guard still applies: zip_with would silently
+            # truncate a corpus/dim mismatch to the shorter length
+            else _dim_guard(
+                F.col("svec"),
+                dim,
+                F.aggregate(
+                    F.zip_with(
+                        F.col("svec"),
+                        F.col("c_svec"),
+                        lambda x, y: (x.cast(_ACC) - y.cast(_ACC))
+                        * (x.cast(_ACC) - y.cast(_ACC)),
+                    ),
+                    F.lit(0).cast(_ACC),
+                    lambda acc, x: acc + x,
                 ),
-                F.lit(0).cast(_ACC),
-                lambda acc, x: acc + x,
             ),
         )
         .groupBy(id_col)
@@ -773,11 +781,16 @@ def ivf_kmeans_topk(
     index are scanned (broadcast probe join -> dynamic partition
     pruning). Exact-cosine scoring within the probed cells; every corpus
     vector lives in exactly one cell, so no cross-probe dedup is needed.
+    ``dim`` is validated against the query vectors (loud failure on a
+    mismatched caller, same contract as the unrolled kernels); scoring
+    itself uses the dynamic-dim HOF path, which any query/index length
+    skew would hit as a zip_with truncation otherwise.
     """
     index = spark.read.parquet(path)
     q = attach_scaled(queries, query_vec, "q_").withColumnRenamed(
         query_id, "qid_"
     )
+    q = q.withColumn("q_svec", _dim_guard(F.col("q_svec"), dim, F.col("q_svec")))
     dist = F.aggregate(
         F.zip_with(
             F.col("q_svec"),

@@ -1102,10 +1102,13 @@ def last_attested_round(
 # whenever a registry query's plan changes materially — a green row for the
 # old plan says nothing about the new one.
 FORCE_ATTEST: dict[str, int] = {
-    # round-6 rewrite (narrow-column fan-out, shared candidate/sets frames,
-    # sample-before-anti-join) landed after the r5 attestation; r6 rotated
-    # it out of the window, so the new plan has no driver-green row yet.
-    "corpus_curation_pipeline": 7,
+    # round-8 rewrites: doc_embed_hash's registered output reshaped to
+    # exploded (doc_id, dim_index, value) scalar cells (the r7 array
+    # form was un-canonicalizable at the driver); doc_semantic_dedup now
+    # consumes the shared parquet embed materialization and derives its
+    # output frame + k from the documents table.
+    "doc_embed_hash": 8,
+    "doc_semantic_dedup": 8,
 }
 
 

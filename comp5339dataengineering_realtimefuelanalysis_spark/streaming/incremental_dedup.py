@@ -90,6 +90,22 @@ class StreamingIncrementalDedup:
         default=False, init=False, repr=False
     )
 
+    def _index_read_schema(self) -> str:
+        """Explicit read schema for the at-rest band index. The id
+        field's type is DERIVED from the configured landing schema — a
+        corpus whose id column is int/string must not be misread
+        against a hard-coded long. kp stays pinned to string: it is a
+        hex partition-directory value, and Spark's partition-type
+        inference would read an index whose present partitions are
+        all-digits (e.g. kp=07, kp=45) as INT — the string-vs-int
+        screening join would then null out every non-numeric kp and
+        silently admit near-duplicates."""
+        id_type = self.schema[self.id_col].dataType.simpleString()
+        return (
+            f"{self.id_col} {id_type}, band int, key string, "
+            "kp string, ingest_epoch long"
+        )
+
     def start(self, available_now: bool = False) -> StreamingQuery:
         stream = (
             self.spark.readStream.schema(self.schema)
@@ -123,19 +139,13 @@ class StreamingIncrementalDedup:
     ) -> DataFrame | None:
         """The at-rest (doc_id, band, key, kp) index as of the epoch being
         processed, or None when disabled / nothing admitted yet. Same
-        replay isolation as the corpus read.
-
-        The schema is PINNED: kp is a hex partition-directory value, and
-        Spark's partition-type inference would read an index whose
-        present partitions are all-digits (e.g. kp=07, kp=45) as INT —
-        the string-vs-int screening join would then null out every
-        non-numeric kp and silently admit near-duplicates."""
+        replay isolation as the corpus read. Read schema: see
+        ``_index_read_schema`` (derived id type, pinned string kp)."""
         if self.band_index_path is None:
             return None
         try:
             idx = spark.read.schema(
-                f"{self.id_col} long, band int, key string, "
-                "kp string, ingest_epoch long"
+                self._index_read_schema()
             ).parquet(self.band_index_path)
         except AnalysisException:
             return None
@@ -154,8 +164,7 @@ class StreamingIncrementalDedup:
         if self._index_coverage_checked:
             return
         idx = spark.read.schema(
-            f"{self.id_col} long, band int, key string, "
-            "kp string, ingest_epoch long"
+            self._index_read_schema()
         ).parquet(self.band_index_path)
         idx_epochs = {
             r[0]
@@ -192,8 +201,7 @@ class StreamingIncrementalDedup:
         have: set[int] = set()
         try:
             idx = spark.read.schema(
-                f"{self.id_col} long, band int, key string, "
-                "kp string, ingest_epoch long"
+                self._index_read_schema()
             ).parquet(self.band_index_path)
             have = {
                 r[0]

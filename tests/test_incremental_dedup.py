@@ -372,3 +372,37 @@ def test_band_index_coverage_guard_and_backfill(spark, tmp_path):
     # the INDEX path over the backfilled epochs and must reject 20
     # (near-dup of pre-index doc 2)
     assert _silver_ids(spark, indexed) == {1, 2, 11}
+
+
+def test_band_index_with_string_id_column(spark, tmp_path):
+    """The index read schema derives the id field's type from the
+    configured landing schema — a STRING doc id corpus must screen
+    correctly through the at-rest index (the old pinned-long read
+    misparsed non-long ids)."""
+    sschema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    d = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=str(tmp_path / "landing"),
+        silver_path=str(tmp_path / "silver"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        schema=sschema,
+        band_index_path=str(tmp_path / "bandidx"),
+    )
+    b1 = spark.createDataFrame([("a-1", BASE), ("a-2", OTHER)], sschema)
+    d._sink(b1, epoch_id=0)
+    # second epoch reads the index written by the first: the near-dup
+    # of BASE must be rejected via the indexed corpus screen
+    b2 = spark.createDataFrame([("b-1", NEAR), ("b-2", THIRD)], sschema)
+    d._sink(b2, epoch_id=1)
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "silver"))
+        .select("doc_id")
+        .collect()
+    }
+    assert ids == {"a-1", "a-2", "b-2"}
