@@ -553,9 +553,16 @@ def scrub_pii(
         ).cast("long").alias(f"n_{kind}")
         for kind, (pat, _) in PII_PATTERNS.items()
     ]
-    scrubbed = c
-    for kind, (pat, token) in PII_PATTERNS.items():
-        scrubbed = F.regexp_replace(scrubbed, pat, token)
     return df.select(
-        id_col, scrubbed.alias("clean_text"), *counts
+        id_col, scrubbed_text(c).alias("clean_text"), *counts
     )
+
+
+def scrubbed_text(col: Column | str) -> Column:
+    """The PII replacement chain (PII_PATTERNS, declaration order) as a
+    pure column expression — the composable form for pipelines that
+    scrub in place without the audit counts (scrub_pii wraps this)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _kind, (pat, token) in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, token)
+    return c

@@ -1109,6 +1109,10 @@ FORCE_ATTEST: dict[str, int] = {
     # output frame + k from the documents table.
     "doc_embed_hash": 8,
     "doc_semantic_dedup": 8,
+    # round-8 composition: PII scrub + Gopher repetition gate inserted
+    # between the quality gate and exact dedup (oracle extended with the
+    # scrub/rep/repgate CTEs).
+    "corpus_curation_pipeline": 8,
 }
 
 

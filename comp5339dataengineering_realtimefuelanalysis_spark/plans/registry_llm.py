@@ -540,6 +540,14 @@ def q_doc_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUALITY_KEEP = 0.7
+# Gopher-style repetition gate thresholds (corpus-calibrated: the
+# synthetic docs draw from a small vocabulary, so dup_word_frac runs
+# high — median ~0.54 — and the gate targets the degenerate tail:
+# ~2.4% of sf0.01 docs fail at these settings). Production corpora
+# would use Gopher's published operating points instead.
+_REP_MAX_DUP_WORD = 0.7
+_REP_MAX_TOP_BIGRAM = 0.12
+_REP_MAX_DUP_TRIGRAM = 0.05
 
 
 def q_corpus_prep_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1025,15 +1033,49 @@ def q_corpus_curation_pipeline(
     gated = prof.filter(
         (F.col("quality") >= _QUALITY_KEEP) & (F.col("lang") != "unknown")
     )
+    # PII scrub FIRST (map-only regex over the gate's survivors): every
+    # downstream stage — the repetition gate, dedup hashing, shingling,
+    # token counting, the packed sequences themselves — operates on the
+    # text that would actually be trained on, and two docs differing
+    # only in redacted PII correctly collapse in the exact-dedup stage.
+    # Persisted: it feeds the repetition-stats subplan, the gate join,
+    # and the dedup hash — and the barrier keeps the 3-regex chain out
+    # of the downstream n-gram transform lambdas (project collapsing
+    # would re-run it per array element)
+    scrub = stage_cb(
+        "2_pii_scrub",
+        lambda: tracked_persist(
+            gated.select(
+                "doc_id", tx.scrubbed_text("text").alias("text"), "lang"
+            )
+        ),
+    )
+    # Gopher-style repetition gate over the scrubbed survivors: the
+    # tagged n-gram explode + two map-side-combined shuffles of
+    # repetition_signals run on gate survivors only (the cheap map-only
+    # quality/lang gate prunes first); thresholds are corpus-calibrated
+    # (see _REP_MAX_* note). Not a separate persist: its one consumer is
+    # the exact-dedup stage below, so the gate join rides that
+    # materialization (and that stage's profiler clock)
+    repgate = scrub.join(
+        tx.repetition_signals(scrub)
+        .filter(
+            (F.col("dup_word_frac") <= _REP_MAX_DUP_WORD)
+            & (F.col("top_bigram_frac") <= _REP_MAX_TOP_BIGRAM)
+            & (F.col("dup_trigram_frac") <= _REP_MAX_DUP_TRIGRAM)
+        )
+        .select("doc_id"),
+        "doc_id",
+    )
     # n_tokens is computed HERE, once, so every later stage carries the
     # 3 narrow columns (doc_id, lang, n_tokens) instead of the text —
     # the packer consumes the precomputed count (token_col) and the
     # contamination shingles derive from the persisted sets below, so no
     # stage after this one touches the text column at all
     kept1 = stage_cb(
-        "2_gate_exact_dedup",
+        "3_repetition_gate_exact_dedup",
         lambda: tracked_persist(
-            dd.dedup_exact(gated)
+            dd.dedup_exact(repgate)
             .filter(F.col("is_canonical"))
             .select(
                 "doc_id",
@@ -1044,7 +1086,7 @@ def q_corpus_curation_pipeline(
         ),
     )
     sh = stage_cb(
-        "3_shingles",
+        "4_shingles",
         lambda: tracked_persist(
             dd.shingles(kept1, n=_SHINGLE_N, distinct=False)
         ),
@@ -1056,7 +1098,7 @@ def q_corpus_curation_pipeline(
     # verify join alone fell 6.1 s -> 0.7 s at sf0.1 once the candidate
     # derivation stopped being replayed inline)
     cands = stage_cb(
-        "4_lsh_candidates",
+        "5_lsh_candidates",
         lambda: tracked_persist(
             dd.minhash_lsh_pairs(
                 kept1,
@@ -1072,7 +1114,7 @@ def q_corpus_curation_pipeline(
     # contamination screen (which explodes the arrays back to rows) —
     # previously each stage re-derived its own distinct-shingle frame
     sets = stage_cb(
-        "5_shingle_sets",
+        "6_shingle_sets",
         lambda: tracked_persist(
             sh.groupBy("doc_id").agg(
                 F.collect_set("shingle").alias("sh_set")
@@ -1080,7 +1122,7 @@ def q_corpus_curation_pipeline(
         ),
     )
     pairs = stage_cb(
-        "6_jaccard_verify",
+        "7_jaccard_verify",
         # persisted (tiny verified-pair frame): its one production
         # consumer is connected_components' EAGER initial checkpoint, so
         # production cost is unchanged — but without the persist the
@@ -1097,7 +1139,7 @@ def q_corpus_curation_pipeline(
         ),
     )
     cc = stage_cb(
-        "7_connected_components",
+        "8_connected_components",
         lambda: dd.connected_components(pairs, "id_a", "id_b"),
     )
     non_reps = cc.filter(F.col("node") != F.col("component")).select(
@@ -1106,7 +1148,7 @@ def q_corpus_curation_pipeline(
     # narrow survivor frame (no text): the contamination screen, the
     # sample, and the packer all read it repeatedly
     kept2 = stage_cb(
-        "8_drop_dup_members",
+        "9_drop_dup_members",
         lambda: tracked_persist(
             kept1.select("doc_id", "lang", "n_tokens").join(
                 non_reps, "doc_id", "left_anti"
@@ -1135,7 +1177,7 @@ def q_corpus_curation_pipeline(
     # separately made the profiler re-run the inverted-index subplan
     # inside the next stage and double-count ~1.7 s.
     dirty = stage_cb(
-        "9_contamination_screen",
+        "10_contamination_screen",
         lambda: tracked_persist(
             dd.ngram_overlap_pairs(
                 probe,
@@ -1156,7 +1198,7 @@ def q_corpus_curation_pipeline(
         dirty, "doc_id", "left_anti"
     )
     return stage_cb(
-        "10_sample_pack",
+        "11_sample_pack",
         lambda: pk.pack_manifest(
             kept4, ctx_len=_PACK_CTX, token_col="n_tokens"
         ),
@@ -1203,11 +1245,20 @@ def _sql_curation_pipeline() -> str:
                  FROM train),
         gated AS MATERIALIZED (SELECT doc_id, text, lang FROM prof
                   WHERE quality >= {_QUALITY_KEEP} AND lang <> 'unknown'),
+        scrub AS MATERIALIZED (SELECT doc_id, {_sql_scrubbed_text()} AS text,
+                        lang
+                 FROM gated),
+        rep AS MATERIALIZED ({_sql_doc_repetition("scrub")}),
+        repgate AS MATERIALIZED (SELECT s.doc_id, s.text, s.lang
+                    FROM scrub s JOIN rep USING (doc_id)
+                    WHERE dup_word_frac <= {_REP_MAX_DUP_WORD}
+                      AND top_bigram_frac <= {_REP_MAX_TOP_BIGRAM}
+                      AND dup_trigram_frac <= {_REP_MAX_DUP_TRIGRAM}),
         exact AS MATERIALIZED (SELECT doc_id, text, lang FROM (
                       SELECT doc_id, text, lang,
                              doc_id = MIN(doc_id) OVER (
                                  PARTITION BY md5({_NORM})) AS is_canon
-                      FROM gated) WHERE is_canon),
+                      FROM repgate) WHERE is_canon),
         sh1 AS MATERIALIZED ({shingles_of("exact")}),
         sig AS MATERIALIZED (SELECT doc_id, {mins} FROM sh1 GROUP BY doc_id),
         bands AS MATERIALIZED (SELECT * FROM ({band_selects})
@@ -1718,8 +1769,21 @@ def _sql_norm_words_cte() -> str:
             FROM documents)"""
 
 
-def _sql_doc_repetition() -> str:
-    return f"""WITH {_sql_norm_words_cte()},
+def _sql_scrubbed_text() -> str:
+    """The PII replacement chain as a SQL expression over ``text`` —
+    mirrors tx.scrubbed_text (same PII_PATTERNS, same order)."""
+    repl = "text"
+    for _kind, (pat, token) in tx.PII_PATTERNS.items():
+        repl = f"regexp_replace({repl}, '{pat}', '{token}', 'g')"
+    return repl
+
+
+def _sql_doc_repetition(src: str = "documents") -> str:
+    # ``src`` retargets the shared normalized-words CTE (textual FROM
+    # substitution, the shingles_of pattern) so the curation pipeline
+    # can replay the repetition gate over its scrubbed survivors
+    return f"""WITH {_sql_norm_words_cte().replace(
+        "FROM documents", f"FROM {src}")},
         g AS (
             SELECT doc_id, words,
                    CASE WHEN len(words) >= 2 THEN
