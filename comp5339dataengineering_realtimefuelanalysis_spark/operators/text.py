@@ -531,20 +531,100 @@ PII_PATTERNS: dict[str, tuple[str, str]] = {
     "ip": (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
 }
 
+# Payment-card candidates: a separator-tolerant digit run. The regex is
+# only the CANDIDATE generator — a match scrubs ONLY if its stripped
+# digits are 13-19 long AND pass the Luhn checksum (card_matches), so
+# ISBNs, order numbers, and page spans survive. 19-digit cards written
+# WITH separators exceed the 19-char span and are not matched — the
+# documented precision-over-recall trade.
+CARD_CANDIDATE = r"[0-9][0-9 -]{11,17}[0-9]"
+CARD_TOKEN = "<CARD>"
+# Secret-looking candidates: one long unbroken token of base64ish
+# characters ('/' excluded so URL paths split into segments). A match
+# scrubs ONLY if it mixes upper+lower+digit AND has >= _SECRET_MIN_DISTINCT
+# distinct characters (the entropy proxy) — hex hashes in prose (no
+# uppercase) and repeated-pattern IDs survive.
+SECRET_CANDIDATE = r"[A-Za-z0-9+_=-]{24,}"
+SECRET_TOKEN = "<SECRET>"
+_SECRET_MIN_DISTINCT = 12
+
+
+def luhn_valid(col: Column) -> Column:
+    """Luhn checksum over a digits-only string column, as a pure
+    engine-portable expression (aggregate over 1..len, doubling every
+    2nd digit from the right) — runs per CANDIDATE match, and card
+    candidates are <= 19 chars, so the interpreted HOF path is noise."""
+    n = F.length(col)
+
+    def term(i: Column) -> Column:
+        v = F.substring(col, i, F.lit(1)).cast("int")
+        return F.when(
+            ((n - i) % 2) == 1,
+            F.when(v * 2 > 9, v * 2 - 9).otherwise(v * 2),
+        ).otherwise(v)
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0), lambda acc, i: acc + term(i)
+    )
+    return (total % 10) == 0
+
+
+def card_matches(col: Column) -> Column:
+    """Array of Luhn-valid card-shaped matches in the text (the
+    candidate regex filtered by stripped-digit length 13-19 + Luhn)."""
+    return F.filter(
+        F.regexp_extract_all(col, F.lit(CARD_CANDIDATE), F.lit(0)),
+        lambda m: _stripped_card_valid(m),
+    )
+
+
+def _stripped_card_valid(m: Column) -> Column:
+    d = F.regexp_replace(m, "[ -]", "")
+    return F.length(d).between(13, 19) & luhn_valid(d)
+
+
+def secret_matches(col: Column) -> Column:
+    """Array of secret-looking matches: long base64ish tokens mixing
+    upper+lower+digit with enough distinct characters."""
+    return F.filter(
+        F.regexp_extract_all(col, F.lit(SECRET_CANDIDATE), F.lit(0)),
+        lambda t: t.rlike("[a-z]")
+        & t.rlike("[A-Z]")
+        & t.rlike("[0-9]")
+        & (
+            F.size(F.array_distinct(F.split(t, "")))
+            >= _SECRET_MIN_DISTINCT
+        ),
+    )
+
+
+def _replace_each(acc: Column, matches: Column, token: str) -> Column:
+    """Replace every distinct match string (sorted — a deterministic,
+    engine-identical replacement order) with ``token`` in ``acc``."""
+    return F.aggregate(
+        F.array_sort(F.array_distinct(matches)),
+        acc,
+        lambda t, m: F.replace(t, m, F.lit(token)),
+    )
+
 
 def scrub_pii(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """PII redaction for training corpora: emails, phone-like number
-    runs, and IPv4 addresses replaced with typed placeholder tokens,
-    with per-kind match counts kept for auditing (a scrub you cannot
-    measure is a scrub you cannot trust). Purely map-side regex work —
-    scan speed at any corpus size; patterns are deliberately
-    conservative (precision over recall: a placeholder in clean text is
-    worse than a missed digit run for most training uses).
+    """PII redaction for training corpora: emails, Luhn-valid payment
+    cards, phone-like number runs, IPv4 addresses, and high-entropy
+    secret-looking tokens replaced with typed placeholder tokens, with
+    per-kind match counts kept for auditing (a scrub you cannot measure
+    is a scrub you cannot trust). Purely map-side regex + tiny-array
+    expression work — scan speed at any corpus size; patterns are
+    deliberately conservative (precision over recall: a placeholder in
+    clean text is worse than a missed digit run for most training
+    uses).
 
-    Replacement order is email -> phone -> ip, counted BEFORE any
-    replacement so counts refer to the original text.
+    Replacement order is email -> card -> phone -> ip -> secret (cards
+    BEFORE phones: a card's digit groups are phone-shaped and must not
+    be half-eaten by the phone scrub), counted BEFORE any replacement
+    so counts refer to the original text.
     """
     c = F.col(text_col)
     counts = [
@@ -554,15 +634,25 @@ def scrub_pii(
         for kind, (pat, _) in PII_PATTERNS.items()
     ]
     return df.select(
-        id_col, scrubbed_text(c).alias("clean_text"), *counts
+        id_col,
+        scrubbed_text(c).alias("clean_text"),
+        counts[0],
+        F.size(card_matches(c)).cast("long").alias("n_card"),
+        *counts[1:],
+        F.size(secret_matches(c)).cast("long").alias("n_secret"),
     )
 
 
 def scrubbed_text(col: Column | str) -> Column:
-    """The PII replacement chain (PII_PATTERNS, declaration order) as a
-    pure column expression — the composable form for pipelines that
-    scrub in place without the audit counts (scrub_pii wraps this)."""
+    """The full PII replacement chain (email -> Luhn-valid card ->
+    phone -> ip -> high-entropy secret) as a pure column expression —
+    the composable form for pipelines that scrub in place without the
+    audit counts (scrub_pii wraps this)."""
     c = F.col(col) if isinstance(col, str) else col
-    for _kind, (pat, token) in PII_PATTERNS.items():
+    email_pat, email_tok = PII_PATTERNS["email"]
+    c = F.regexp_replace(c, email_pat, email_tok)
+    c = _replace_each(c, card_matches(c), CARD_TOKEN)
+    for kind in ("phone", "ip"):
+        pat, token = PII_PATTERNS[kind]
         c = F.regexp_replace(c, pat, token)
-    return c
+    return _replace_each(c, secret_matches(c), SECRET_TOKEN)

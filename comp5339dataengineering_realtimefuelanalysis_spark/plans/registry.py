@@ -1113,6 +1113,9 @@ FORCE_ATTEST: dict[str, int] = {
     # between the quality gate and exact dedup (oracle extended with the
     # scrub/rep/repgate CTEs).
     "corpus_curation_pipeline": 8,
+    # round-8 PII growth: Luhn-valid card + high-entropy secret scrubs
+    # added (new n_card/n_secret audit columns).
+    "doc_pii_scrub": 8,
 }
 
 

@@ -1769,13 +1769,63 @@ def _sql_norm_words_cte() -> str:
             FROM documents)"""
 
 
-def _sql_scrubbed_text() -> str:
-    """The PII replacement chain as a SQL expression over ``text`` —
-    mirrors tx.scrubbed_text (same PII_PATTERNS, same order)."""
-    repl = "text"
-    for _kind, (pat, token) in tx.PII_PATTERNS.items():
-        repl = f"regexp_replace({repl}, '{pat}', '{token}', 'g')"
-    return repl
+def _sql_luhn_valid(d: str) -> str:
+    """Luhn checksum + 13-19 digit length over the digits-only
+    expression ``d`` — mirrors tx.luhn_valid/_stripped_card_valid.
+    ``d`` is textually inlined (DuckDB lambdas bind only their own
+    parameter), so pass a cheap expression."""
+    v = f"CAST(substring({d}, CAST(i AS INT), 1) AS INT)"
+    return (
+        f"len({d}) BETWEEN 13 AND 19 AND "
+        f"list_sum(list_transform(range(1, len({d}) + 1), i -> "
+        f"CASE WHEN (len({d}) - i) % 2 = 1 THEN "
+        f"CASE WHEN {v} * 2 > 9 THEN {v} * 2 - 9 ELSE {v} * 2 END "
+        f"ELSE {v} END)) % 10 = 0"
+    )
+
+
+def _sql_card_matches(src: str) -> str:
+    d = "regexp_replace(m, '[ -]', '', 'g')"
+    return (
+        f"list_filter(regexp_extract_all({src}, "
+        f"'{tx.CARD_CANDIDATE}'), m -> {_sql_luhn_valid(d)})"
+    )
+
+
+def _sql_secret_matches(src: str) -> str:
+    return (
+        f"list_filter(regexp_extract_all({src}, "
+        f"'{tx.SECRET_CANDIDATE}'), t -> "
+        "regexp_matches(t, '[a-z]') AND regexp_matches(t, '[A-Z]') "
+        "AND regexp_matches(t, '[0-9]') AND "
+        "len(list_distinct(string_split(t, ''))) >= "
+        f"{tx._SECRET_MIN_DISTINCT})"
+    )
+
+
+def _sql_replace_each(acc: str, matches: str, token: str) -> str:
+    """Replace every distinct match (sorted, engine-identical order)
+    with ``token`` — mirrors tx._replace_each; list_prepend seeds the
+    reduce with the accumulator text (reduce of a 1-element list is the
+    element itself, so no matches -> text unchanged)."""
+    return (
+        f"list_reduce(list_prepend({acc}, "
+        f"list_sort(list_distinct({matches}))), "
+        f"(acc, x) -> replace(acc, x, '{token}'))"
+    )
+
+
+def _sql_scrubbed_text(expr: str = "text") -> str:
+    """The full PII replacement chain (email -> Luhn card -> phone ->
+    ip -> secret) as one SQL expression over ``expr`` — mirrors
+    tx.scrubbed_text exactly."""
+    email_pat, email_tok = tx.PII_PATTERNS["email"]
+    s = f"regexp_replace({expr}, '{email_pat}', '{email_tok}', 'g')"
+    s = _sql_replace_each(s, _sql_card_matches(s), tx.CARD_TOKEN)
+    for kind in ("phone", "ip"):
+        pat, token = tx.PII_PATTERNS[kind]
+        s = f"regexp_replace({s}, '{pat}', '{token}', 'g')"
+    return _sql_replace_each(s, _sql_secret_matches(s), tx.SECRET_TOKEN)
 
 
 def _sql_doc_repetition(src: str = "documents") -> str:
@@ -1823,15 +1873,17 @@ def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_doc_pii_scrub() -> str:
-    repl = "text"
-    counts = []
-    for kind, (pat, token) in tx.PII_PATTERNS.items():
-        repl = f"regexp_replace({repl}, '{pat}', '{token}', 'g')"
-        counts.append(
-            f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
-        )
-    return f"""SELECT doc_id, {repl} AS clean_text,
-               {', '.join(counts)}
+    # counts refer to the ORIGINAL text (the scrub_pii contract); the
+    # replacement chain is the shared _sql_scrubbed_text builder
+    n = {
+        kind: f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
+        for kind, (pat, _) in tx.PII_PATTERNS.items()
+    }
+    return f"""SELECT doc_id, {_sql_scrubbed_text()} AS clean_text,
+               {n['email']},
+               len({_sql_card_matches('text')}) AS n_card,
+               {n['phone']}, {n['ip']},
+               len({_sql_secret_matches('text')}) AS n_secret
         FROM documents"""
 
 

@@ -281,3 +281,83 @@ def test_scrub_pii_leaves_year_ranges_alone(spark):
     assert got[1].clean_text == rows[0][1] and got[1].n_phone == 0
     assert got[2].clean_text == rows[1][1] and got[2].n_phone == 0
     assert got[3].n_phone == 1  # three separated groups IS phone-shaped
+
+
+def test_scrub_pii_cards_luhn_gated(spark):
+    """Card scrub requires BOTH shape and Luhn validity: real card
+    numbers (with or without separators) are replaced, while ISBNs,
+    order numbers, and Luhn-invalid digit runs survive untouched —
+    and a card's digit groups are not half-eaten by the phone scrub."""
+    rows = [
+        (1, "pay with 4111 1111 1111 1111 today"),
+        (2, "card 4242-4242-4242-4242 and 5500005555555559 both valid"),
+        (3, "ISBN 978-0-306-40615-7 and order 1234567890123 stay"),
+        (4, "not a card: 1234 5678 9012 3456"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.scrub_pii(df).collect()}
+    assert got[1].clean_text == "pay with <CARD> today"
+    assert got[1].n_card == 1 and got[1].n_phone == 1  # counts = original
+    assert got[2].clean_text.count("<CARD>") == 2 and got[2].n_card == 2
+    # ISBN-13 fails Luhn; 13-digit order number fails Luhn: untouched
+    assert "978-0-306-40615-7" in got[3].clean_text
+    assert "1234567890123" in got[3].clean_text
+    assert got[3].n_card == 0
+    # card-shaped but Luhn-invalid: the digit run survives the card
+    # scrub; the phone pattern still sees its separator groups (the
+    # documented precision trade of counts/patterns on raw digit runs)
+    assert got[4].n_card == 0 and "<CARD>" not in got[4].clean_text
+
+
+def test_scrub_pii_secrets_entropy_gated(spark):
+    """Secret scrub requires length, mixed character classes, and
+    enough distinct characters: API-key-shaped tokens are replaced,
+    while lowercase hex digests, repeated-pattern IDs, and ordinary
+    long words survive."""
+    key = "sk_Live_9aB3xQ7mK2pR5tY8wZ4v"
+    rows = [
+        (1, f"export API_KEY={key} before running"),
+        (2, "digest 0123456789abcdef0123456789abcdef unchanged"),
+        (3, "id AAAA1111AAAA1111AAAA1111AAAA stays (low entropy)"),
+        (4, "antidisestablishmentarianism is just a word"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in tx.scrub_pii(df).collect()}
+    assert "<SECRET>" in got[1].clean_text and key not in got[1].clean_text
+    assert got[1].n_secret == 1
+    assert got[2].clean_text == rows[1][1] and got[2].n_secret == 0
+    assert got[3].clean_text == rows[2][1] and got[3].n_secret == 0
+    assert got[4].clean_text == rows[3][1] and got[4].n_secret == 0
+
+
+def test_scrub_pii_cross_engine_parity(spark):
+    """The full five-kind scrub chain (email -> Luhn card -> phone ->
+    ip -> secret) replays bit-identically in DuckDB via
+    _sql_doc_pii_scrub on PII-rich docs the shipped testdata lacks —
+    the parity evidence for the card/secret branches' oracle."""
+    import duckdb
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry_llm import (
+        _sql_doc_pii_scrub,
+    )
+
+    rows = [
+        (1, "jane@ex.io pays 4111 1111 1111 1111 from 10.0.0.1"),
+        (2, "cards 4242-4242-4242-4242 5500005555555559; fake 1234 5678 9012 3456"),
+        (3, "ISBN 978-0-306-40615-7, order 1234567890123, call +61 2 9385 1234"),
+        (4, "token sk_Live_9aB3xQ7mK2pR5tY8wZ4v and hex 0123456789abcdef0123456789abcdef"),
+        (5, "the war of 1914 - 1918 and server 192.168.0.1"),
+        (6, "duplicate card twice: 4111 1111 1111 1111 then 4111 1111 1111 1111"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, tx.scrub_pii(df).collect()))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(map(tuple, con.execute(_sql_doc_pii_scrub()).fetchall()))
+    assert got == want
+    # and the scrub actually fired on each kind at least once
+    by_id = {t[0]: t for t in got}
+    assert "<CARD>" in by_id[1][1] and "<EMAIL>" in by_id[1][1]
+    assert by_id[6][1].count("<CARD>") == 2
+    assert "<SECRET>" in by_id[4][1] and "abcdef" in by_id[4][1]
