@@ -494,6 +494,16 @@ def main() -> None:
             scale_res["gen_sec"] = round(time.perf_counter() - t0, 2)
             print(f"[x{mult}] generated {scale_res.get('n_docs')} docs "
                   f"in {scale_res['gen_sec']}s", file=sys.stderr)
+        elif not args.skip_emb and not os.path.isdir(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ):
+            # docs reused, vectors never generated at this scale (the
+            # round-7 sweep stopped emb corpora at 10x) — fill just the
+            # embeddings; generation is seed-stable so the doc side is
+            # untouched and earlier doc timings stay comparable
+            scale_res["n_vecs"] = build_embeddings(spark, sf_dir, mult)
+            print(f"[x{mult}] generated {scale_res['n_vecs']} vectors "
+                  "(docs reused)", file=sys.stderr)
         for name in queries:
             try:
                 runs, best = time_query(
