@@ -11,6 +11,12 @@ Each micro-batch is screened, in order, against
   4. the accumulated corpus,   (asymmetric banded LSH join — batch ×
      near-dup                   touched corpus buckets, NEVER a corpus
                                 self-join — + exact-Jaccard verify)
+  5. semantic, optional        (embedding-space screen, ``sem_index_path``:
+     (within-batch + corpus)    rephrased dups whose shingle Jaccard is
+                                low but whose hashing-trick cosine is
+                                high; k-means-cell blocked against an
+                                at-rest (cell, epoch)-partitioned index
+                                with centroids pinned at first use)
 
 and the survivors are appended to the silver corpus. Generalizes the
 reference's incremental high-watermark publish (main.py:44-51) from
@@ -45,15 +51,19 @@ retrospective clustering.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 from pyspark.errors import AnalysisException
 
 from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
 
 
 def _key_prefix():
@@ -86,7 +96,29 @@ class StreamingIncrementalDedup:
     # partitioned by (kp, ingest_epoch), a replayed epoch overwrites
     # its own partitions and reads exclude the in-flight epoch.
     band_index_path: str | None = None
+    # Optional embedding-space (SEMANTIC) screen: catches rephrased
+    # duplicates whose shingle Jaccard is low but whose hashing-trick
+    # cosine is high (word-order edits, clause shuffles). Architecture
+    # mirrors the band index: an at-rest index of each admitted doc's
+    # scaled embedding + k-means cell id, partitioned by
+    # (cell, ingest_epoch); per batch, docs probe their ``sem_probes``
+    # nearest cells and only those cell partitions of the index are
+    # scanned (broadcast probe join -> dynamic partition pruning — the
+    # corpus index is NEVER shuffled or re-embedded). Centroids are
+    # trained ONCE (deterministic fixed-iteration Lloyd on the first
+    # batch, quantized) and pinned on disk: a growing corpus must not
+    # re-cell already-admitted docs, and epoch replay must see the
+    # identical blocking. Same exactly-once story as silver.
+    sem_index_path: str | None = None
+    sem_threshold: float = 0.9
+    sem_k: int = 8
+    sem_probes: int = 2
+    sem_dim: int = 64
+    sem_seed: str = "emb"
     _index_coverage_checked: bool = field(
+        default=False, init=False, repr=False
+    )
+    _sem_coverage_checked: bool = field(
         default=False, init=False, repr=False
     )
 
@@ -230,6 +262,335 @@ class StreamingIncrementalDedup:
             )
         return len(missing)
 
+    # -- semantic (embedding-space) screen --------------------------------
+
+    def _sem_rows_path(self) -> str:
+        return os.path.join(self.sem_index_path, "index")
+
+    def _sem_cents_path(self) -> str:
+        return os.path.join(self.sem_index_path, "centroids")
+
+    def _id_type(self) -> str:
+        return self.schema[self.id_col].dataType.simpleString()
+
+    def _sem_read_schema(self) -> str:
+        """Pinned read schema for the at-rest semantic index; id and
+        cell types derive from the landing schema (cell ids are seed
+        doc ids), epoch pinned long — same inference guard rationale as
+        _index_read_schema."""
+        t = self._id_type()
+        return (
+            f"{self.id_col} {t}, svec array<bigint>, norm double, "
+            f"cell {t}, ingest_epoch long"
+        )
+
+    def _sem_centroids(
+        self, spark: SparkSession, emb: DataFrame
+    ) -> DataFrame:
+        """The pinned blocking centroids (cid, c_svec): read from disk,
+        or — first use only — train deterministically on ``emb`` (one
+        quantized Lloyd iteration from lowest-id seeds) and pin. A
+        replayed first epoch retrains on the identical batch and
+        produces byte-identical centroids, so the overwrite converges."""
+        cpath = self._sem_cents_path()
+        schema = f"cid {self._id_type()}, c_svec array<bigint>"
+        try:
+            cents = spark.read.schema(schema).parquet(cpath)
+            # AnalysisException surfaces lazily; an empty frame means a
+            # torn first-epoch write — fall through and retrain (the
+            # deterministic training makes the overwrite convergent)
+            if cents.first() is not None:
+                return cents
+        except AnalysisException:
+            pass
+        trained = sim.kmeans_train_centroids(
+            emb,
+            k=self.sem_k,
+            iters=1,
+            id_col=self.id_col,
+            vec_col="embedding",
+            dim=self.sem_dim,
+            unit_norm=True,
+        )
+        trained.write.mode("overwrite").parquet(cpath)
+        return spark.read.schema(schema).parquet(cpath)
+
+    def _embed_scaled(self, docs: DataFrame) -> DataFrame:
+        """(id, q_svec, q_norm) for ``docs`` — hashing-trick embedding
+        scaled to the int64 grid with the norm precomputed per VECTOR
+        (never per pair)."""
+        emb = tx.embed_text(
+            docs,
+            self.text_col,
+            self.id_col,
+            dim=self.sem_dim,
+            seed=self.sem_seed,
+        )
+        return sim.attach_scaled(emb, "embedding", "q_").select(
+            self.id_col, "q_svec", "q_norm"
+        )
+
+    def _nearest_cells(
+        self, scaled: DataFrame, cents: DataFrame, probes: int
+    ) -> DataFrame:
+        """Each (id, q_svec, q_norm) row replicated to its ``probes``
+        nearest centroid cells (exact integer L2 against the broadcast
+        k-row centroid frame; unrolled int64 under the unit-norm bound;
+        cid tiebreak). cell_rank=1 is the doc's OWN cell."""
+        dist = sim._dim_guard(
+            F.col("q_svec"),
+            self.sem_dim,
+            sim.l2sq_scaled_unrolled(
+                F.col("q_svec"), F.col("c_svec"), self.sem_dim,
+                long_acc=True,
+            ),
+        )
+        w = Window.partitionBy(self.id_col).orderBy("dist", "cid")
+        return (
+            scaled.crossJoin(F.broadcast(cents))
+            .withColumn("dist", dist)
+            .withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= probes)
+            .select(
+                self.id_col,
+                "q_svec",
+                "q_norm",
+                F.col("cid").alias("cell"),
+                "cell_rank",
+            )
+        )
+
+    def _cosine(self, sa, na, sb, nb):
+        # embed_text L2-normalizes, so |x| <= 1e9 on the grid and the
+        # dim-unrolled int64 dot applies (codegen; Cauchy-Schwarz bound)
+        return sim._dim_guard(
+            sa,
+            self.sem_dim,
+            sim.dot_scaled_unrolled(
+                sa, sb, self.sem_dim, long_acc=True
+            ).cast("double")
+            / (na * nb),
+        )
+
+    def _read_sem_index(
+        self, spark: SparkSession, exclude_epoch: int
+    ) -> DataFrame | None:
+        if self.sem_index_path is None:
+            return None
+        try:
+            idx = spark.read.schema(self._sem_read_schema()).parquet(
+                self._sem_rows_path()
+            )
+        except AnalysisException:
+            return None
+        return idx.filter(
+            F.col("ingest_epoch") != F.lit(exclude_epoch)
+        ).select(self.id_col, "svec", "norm", "cell")
+
+    def _check_sem_coverage(
+        self, spark: SparkSession, corpus: DataFrame, exclude_epoch: int
+    ) -> None:
+        """Refuse to screen against a semantic index missing admitted
+        silver epochs — same contract as _check_index_coverage."""
+        if self._sem_coverage_checked:
+            return
+        idx = spark.read.schema(self._sem_read_schema()).parquet(
+            self._sem_rows_path()
+        )
+        idx_epochs = {
+            r[0]
+            for r in idx.filter(
+                F.col("ingest_epoch") != F.lit(exclude_epoch)
+            ).select("ingest_epoch").distinct().collect()
+        }
+        silver_epochs = {
+            r[0]
+            for r in corpus.select("ingest_epoch").distinct().collect()
+        }
+        missing = silver_epochs - idx_epochs
+        if missing:
+            raise RuntimeError(
+                f"semantic index {self.sem_index_path} is missing epochs "
+                f"{sorted(missing)} that exist in silver — screening "
+                "against it would skip those docs' embeddings. Run "
+                "backfill_sem_index(spark) once before streaming."
+            )
+        self._sem_coverage_checked = True
+
+    def backfill_sem_index(self, spark: SparkSession) -> int:
+        """Build semantic-index rows for every silver epoch missing
+        from it — the one-time migration when enabling
+        ``sem_index_path`` over a corpus admitted without it. Trains
+        and pins centroids from the FULL silver corpus if none exist
+        yet (deterministic). Returns the number of epochs backfilled."""
+        if self.sem_index_path is None:
+            raise ValueError("sem_index_path is not configured")
+        try:
+            silver = spark.read.parquet(self.silver_path)
+        except AnalysisException:
+            return 0
+        have: set[int] = set()
+        try:
+            idx = spark.read.schema(self._sem_read_schema()).parquet(
+                self._sem_rows_path()
+            )
+            have = {
+                r[0]
+                for r in idx.select("ingest_epoch").distinct().collect()
+            }
+        except AnalysisException:
+            pass
+        missing = [
+            r[0]
+            for r in silver.select("ingest_epoch").distinct().collect()
+            if r[0] not in have
+        ]
+        if not missing:
+            return 0
+        docs = silver.filter(F.col("ingest_epoch").isin(missing))
+        scaled = self._embed_scaled(docs)
+        cents = self._sem_centroids(
+            spark,
+            tx.embed_text(
+                docs,
+                self.text_col,
+                self.id_col,
+                dim=self.sem_dim,
+                seed=self.sem_seed,
+            ),
+        )
+        own = self._nearest_cells(scaled, cents, probes=1)
+        (
+            own.join(
+                docs.select(self.id_col, "ingest_epoch"), self.id_col
+            )
+            .select(
+                self.id_col,
+                F.col("q_svec").alias("svec"),
+                F.col("q_norm").alias("norm"),
+                "cell",
+                "ingest_epoch",
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "ingest_epoch")
+            .parquet(self._sem_rows_path())
+        )
+        return len(missing)
+
+    def _semantic_screen(
+        self,
+        spark: SparkSession,
+        survivors: DataFrame,
+        corpus: DataFrame | None,
+        epoch_id: int,
+    ) -> DataFrame:
+        """Screen shingle-stage survivors in embedding space; returns
+        the semantically-novel survivors AND writes their index rows
+        (the admitted set's cells must land atomically with the epoch,
+        exactly like band keys). Within-batch: same rank-1 cell, drop
+        the larger id. Vs corpus: each doc probes its sem_probes
+        nearest cells; the index side is a partition-pruned scan joined
+        against the BROADCAST probe frame — zero corpus shuffle, zero
+        corpus re-embedding."""
+        did = self.id_col
+        scaled = self._embed_scaled(survivors).persist()
+        try:
+            emb_for_train = tx.embed_text(
+                survivors, self.text_col, did,
+                dim=self.sem_dim, seed=self.sem_seed,
+            )
+            cents = self._sem_centroids(spark, emb_for_train)
+            probed = self._nearest_cells(
+                scaled, cents, probes=self.sem_probes
+            ).persist()
+            try:
+                own = probed.filter(F.col("cell_rank") == 1)
+                xa = own.select(
+                    F.col(did).alias("id_a"),
+                    F.col("q_svec").alias("sa"),
+                    F.col("q_norm").alias("na"),
+                    "cell",
+                )
+                xb = own.select(
+                    F.col(did).alias("id_b"),
+                    F.col("q_svec").alias("sb"),
+                    F.col("q_norm").alias("nb"),
+                    "cell",
+                )
+                wb_drop = (
+                    xa.join(xb, "cell")
+                    .filter(F.col("id_a") > F.col("id_b"))
+                    .filter(
+                        self._cosine(
+                            F.col("sa"), F.col("na"),
+                            F.col("sb"), F.col("nb"),
+                        )
+                        >= F.lit(self.sem_threshold)
+                    )
+                    .select(F.col("id_a").alias(did))
+                    .distinct()
+                )
+                drops = wb_drop
+                idx = self._read_sem_index(spark, epoch_id)
+                if corpus is not None and idx is not None:
+                    self._check_sem_coverage(spark, corpus, epoch_id)
+                elif corpus is not None and idx is None:
+                    raise RuntimeError(
+                        f"semantic index {self.sem_index_path} is empty "
+                        "but silver has admitted epochs — run "
+                        "backfill_sem_index(spark) once before streaming."
+                    )
+                if idx is not None:
+                    probe_side = F.broadcast(
+                        probed.select(
+                            F.col(did).alias("probe_id"),
+                            "q_svec",
+                            "q_norm",
+                            "cell",
+                        )
+                    )
+                    corp_drop = (
+                        idx.join(probe_side, "cell")
+                        .filter(
+                            self._cosine(
+                                F.col("q_svec"), F.col("q_norm"),
+                                F.col("svec"), F.col("norm"),
+                            )
+                            >= F.lit(self.sem_threshold)
+                        )
+                        .select(F.col("probe_id").alias(did))
+                        .distinct()
+                    )
+                    drops = drops.unionByName(corp_drop).distinct()
+                kept = survivors.join(
+                    F.broadcast(drops), did, "left_anti"
+                )
+                # index rows for the ADMITTED docs only (rank-1 cell);
+                # a replayed epoch recomputes identical rows and the
+                # dynamic overwrite replaces its own partitions
+                (
+                    own.join(
+                        F.broadcast(kept.select(did)), did, "semi"
+                    )
+                    .select(
+                        did,
+                        F.col("q_svec").alias("svec"),
+                        F.col("q_norm").alias("norm"),
+                        "cell",
+                    )
+                    .withColumn("ingest_epoch", F.lit(int(epoch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("cell", "ingest_epoch")
+                    .parquet(self._sem_rows_path())
+                )
+                return kept
+            finally:
+                probed.unpersist()
+        finally:
+            scaled.unpersist()
+
     # -- per-batch screening ----------------------------------------------
 
     def _sink(self, batch: DataFrame, epoch_id: int) -> None:
@@ -355,6 +716,14 @@ class StreamingIncrementalDedup:
                     F.col("id_a").alias(did)
                 ).distinct()
                 survivors = b.join(drop_ids, did, "left_anti")
+                if self.sem_index_path is not None:
+                    # embedding-space screen over the shingle-stage
+                    # survivors (rephrased dups have low Jaccard, so
+                    # they reach here); also writes the admitted docs'
+                    # semantic-index rows for this epoch
+                    survivors = self._semantic_screen(
+                        spark, survivors, corpus, epoch_id
+                    )
                 # dynamic overwrite is scoped to these writers (the
                 # option), NOT set on the session conf — a session-wide
                 # flip would silently change overwrite semantics for

@@ -406,3 +406,161 @@ def test_band_index_with_string_id_column(spark, tmp_path):
         .collect()
     }
     assert ids == {"a-1", "a-2", "b-2"}
+
+
+# rephrasings: same topic/vocabulary core with synonym swaps + clause
+# reorder — char-5-gram Jaccard BELOW the 0.6 shingle threshold (the
+# LSH+verify screen passes them) while hashing-trick cosine stays high
+# (the semantic screen's territory). Each test asserts this geometry
+# before relying on it.
+SEM_REPH = (
+    "seventeen startled pheasants dash across the icy meadow "
+    "while the swift brown fox leaps over the sleepy dog toward the "
+    "old rock bridge at the border of the village"
+)
+NEWT = (
+    "the committee approved the annual budget for the coastal railway "
+    "extension after a long debate over funding priorities and "
+    "construction timelines in the northern district"
+)
+NEWT_REPH = (
+    "after a lengthy debate over funding priorities the committee "
+    "endorsed the yearly budget for the coastal railway expansion and "
+    "construction schedules in the northern region"
+)
+SEM_THRESHOLD = 0.6
+
+
+def _geometry(spark, a, b):
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import dedup as dd
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import text as tx
+
+    df = spark.createDataFrame([(1, a), (2, b)], SCHEMA)
+    vecs = {r.doc_id: r.embedding for r in tx.embed_text(df).collect()}
+    cos = sum(x * y for x, y in zip(vecs[1], vecs[2]))
+    sh = {}
+    for r in dd.shingles(df, n=5, distinct=True).collect():
+        sh.setdefault(r.doc_id, set()).add(r.shingle)
+    jac = len(sh[1] & sh[2]) / len(sh[1] | sh[2])
+    return cos, jac
+
+
+def _sem_dedup(spark, root, with_sem=True):
+    return StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=str(root / "landing"),
+        silver_path=str(root / "silver"),
+        checkpoint_dir=str(root / "chk"),
+        schema=SCHEMA,
+        sem_index_path=(str(root / "semidx") if with_sem else None),
+        sem_threshold=SEM_THRESHOLD,
+    )
+
+
+def test_semantic_screen_rejects_rephrased_dups(spark, tmp_path):
+    """Three batches + restarts: a REPHRASED duplicate (below the
+    shingle threshold, above the cosine threshold) must be rejected by
+    the semantic screen vs the corpus, a same-batch rephrase pair keeps
+    its min id, and a replayed epoch converges. A parallel shingle-only
+    topology ADMITS the rephrase — proving the semantic screen, not the
+    LSH screen, is what caught it."""
+    cos, jac = _geometry(spark, BASE, SEM_REPH)
+    assert cos >= SEM_THRESHOLD and jac < 0.6, (cos, jac)
+    cos2, jac2 = _geometry(spark, NEWT, NEWT_REPH)
+    assert cos2 >= SEM_THRESHOLD and jac2 < 0.6, (cos2, jac2)
+
+    d = _sem_dedup(spark, tmp_path)
+    batches = [
+        [(1, BASE), (2, OTHER)],            # trains + pins centroids
+        [(10, SEM_REPH), (11, THIRD)],      # 10 = rephrase of corpus 1
+        [(20, NEWT), (21, NEWT_REPH)],      # within-batch rephrase pair
+    ]
+    for rows in batches:
+        _land(spark, d, rows)
+        _run(d)
+    assert _silver_ids(spark, d) == {1, 2, 11, 20}
+
+    # the semantic index covers exactly the admitted docs (rows
+    # materialized NOW — the replay below rewrites the files and a lazy
+    # frame would hold a stale listing)
+    idx_rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(tmp_path / "semidx" / "index")).collect(),
+        )
+    )
+    assert {t[0] for t in idx_rows} == {1, 2, 11, 20}
+
+    # replay of the last epoch converges byte-identically
+    silver = spark.read.parquet(str(tmp_path / "silver"))
+    last_epoch = silver.agg(F.max("ingest_epoch")).first()[0]
+    d2 = _sem_dedup(spark, tmp_path)
+    d2._sink(spark.createDataFrame(batches[-1], SCHEMA), epoch_id=last_epoch)
+    assert _silver_ids(spark, d2) == {1, 2, 11, 20}
+    idx2_rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(tmp_path / "semidx" / "index")).collect(),
+        )
+    )
+    assert idx2_rows == idx_rows
+
+    # control: shingle-only topology admits both rephrases
+    plain = _sem_dedup(spark, tmp_path / "plain", with_sem=False)
+    for rows in batches:
+        _land(spark, plain, rows)
+        _run(plain)
+    assert _silver_ids(spark, plain) == {1, 2, 10, 11, 20, 21}
+
+
+def test_semantic_screen_plan_prunes_and_broadcasts(spark, tmp_path):
+    """Scale contract of the semantic corpus screen, pinned at the plan
+    level: the at-rest index joins against the BROADCAST probe frame
+    (no Exchange of index rows) and the scan is dynamically partition-
+    pruned to the probed cells."""
+    d = _sem_dedup(spark, tmp_path)
+    _land(spark, d, [(1, BASE), (2, OTHER), (3, THIRD)])
+    _run(d)
+
+    batch = spark.createDataFrame([(100, NEWT)], SCHEMA)
+    scaled = d._embed_scaled(batch)
+    cents = d._sem_centroids(
+        spark, batch.sparkSession.read.parquet(
+            str(tmp_path / "semidx" / "centroids")
+        ).limit(0)  # never retrains: pinned file exists
+    )
+    probed = d._nearest_cells(scaled, cents, probes=d.sem_probes)
+    idx = d._read_sem_index(spark, exclude_epoch=999)
+    joined = idx.join(
+        F.broadcast(
+            probed.select(
+                F.col("doc_id").alias("probe_id"), "q_svec", "q_norm", "cell"
+            )
+        ),
+        "cell",
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_semantic_coverage_guard_and_backfill(spark, tmp_path):
+    """Enabling sem_index_path over a corpus admitted WITHOUT it must
+    refuse to screen until backfill_sem_index builds the missing
+    epochs — after which rephrases of PRE-INDEX admissions are caught."""
+    plain = _sem_dedup(spark, tmp_path, with_sem=False)
+    _land(spark, plain, [(1, BASE), (2, OTHER)])
+    _run(plain)
+    assert _silver_ids(spark, plain) == {1, 2}
+
+    sem = _sem_dedup(spark, tmp_path)
+    later = spark.createDataFrame([(10, SEM_REPH)], SCHEMA)
+    with pytest.raises(RuntimeError, match="backfill_sem_index"):
+        sem._sink(later, epoch_id=7)
+
+    n = sem.backfill_sem_index(spark)
+    assert n >= 1
+    sem._sink(later, epoch_id=7)
+    # 10 is a rephrase of pre-index doc 1: rejected via backfilled index
+    assert _silver_ids(spark, sem) == {1, 2}
