@@ -992,17 +992,21 @@ def q_corpus_curation_pipeline(
     (each operates on the previous stage's survivors, not independent
     filters over the raw corpus):
 
-      held-out split -> profile -> quality/lang gate -> exact dedup ->
+      held-out split -> profile -> quality/lang gate -> PII scrub ->
+      Gopher repetition gate -> exact dedup ->
       LSH(+cap)+Jaccard-verify near-dup clusters (keep representatives) ->
+      SEMANTIC dedup (k-means-cell-blocked cosine over the survivors) ->
       contamination screen vs the held-out probes -> stratified sample ->
       pack manifest (the training sequences a shard writer would emit).
 
-    Scale shape: profile/gate map-only; exact dedup ONE hash shuffle;
-    near-dup the capped banded composition (never all-pairs); screens are
-    anti-joins on distinct id sets; sampling map-only; the prefix sum in
-    packing is bucketed. The reference analog is the cleaned->analyzed
-    flow of DataCleaning.py:15-209 -> DataAnalysis.py:16-165, generalized
-    to corpus curation.
+    Scale shape: profile/gate/scrub map-only; the repetition gate one
+    tagged explode + two combined shuffles; exact dedup ONE hash
+    shuffle; near-dup the capped banded composition (never all-pairs);
+    semantic dedup the sqrt(n)-cell flat blocking (n^1.5 by design);
+    screens are anti-joins on distinct id sets; sampling map-only; the
+    prefix sum in packing is bucketed. The reference analog is the
+    cleaned->analyzed flow of DataCleaning.py:15-209 ->
+    DataAnalysis.py:16-165, generalized to corpus curation.
 
     ``stage_cb(name, thunk) -> thunk()`` is a seam for
     tools/profile_curation.py: each named stage builds through it, so the
@@ -1155,12 +1159,52 @@ def q_corpus_curation_pipeline(
             )
         ),
     )
+
+    # SEMANTIC dedup stage (round 8): the shingle stages catch copy-
+    # edits; this catches REPHRASINGS — the q_doc_semantic_dedup
+    # composition (hashing-trick embed -> k=floor(sqrt(n)) k-means-cell
+    # blocking -> int64-unrolled exact cosine -> hybrid CC) applied to
+    # the shingle-dedup survivors, keeping each semantic cluster's
+    # min-id representative. The stage materializes only the TINY
+    # non-representative id set; text comes from persisted kept1.
+    def _sem_drop() -> DataFrame:
+        sem_docs = kept1.select("doc_id", "text").join(
+            non_reps, "doc_id", "left_anti"
+        )
+        emb = tracked_persist(
+            tx.embed_text(
+                sem_docs, dim=_TEXT_EMB_DIM, seed=_TEXT_EMB_SEED
+            ).withColumnRenamed("doc_id", "vec_id")
+        )
+        k = _sem_k(emb.count())
+        cents = sim.kmeans_train_centroids(
+            emb, k=k, iters=_SEM_ITERS, unit_norm=True
+        )
+        assigned = tracked_persist(
+            sim.kmeans_assign(emb, cents, unit_norm=True)
+        )
+        spairs = sim.embedding_near_dup_pairs(
+            assigned,
+            threshold=_SEM_THRESHOLD,
+            dim=_TEXT_EMB_DIM,
+            block_col="cluster_id",
+            unit_norm=True,
+        )
+        scc = dd.connected_components(spairs, "id_a", "id_b")
+        return tracked_persist(
+            scc.filter(F.col("node") != F.col("component")).select(
+                F.col("node").alias("doc_id")
+            )
+        )
+
+    sem_drop = stage_cb("10_semantic_dedup", _sem_drop)
+    kept3 = kept2.join(F.broadcast(sem_drop), "doc_id", "left_anti")
     # corpus-side shingles for the screen: explode the persisted sets
     # (already distinct per doc) filtered to survivors — map-only over
     # cached arrays, replacing a full re-shingle + distinct shuffle of
     # the survivor text
     csh = (
-        sets.join(kept2.select("doc_id"), "doc_id", "semi")
+        sets.join(kept3.select("doc_id"), "doc_id", "semi")
         .select("doc_id", F.explode("sh_set").alias("shingle"))
     )
     # persist the TINY dirty-id set (not the wide survivor frame): the
@@ -1177,11 +1221,11 @@ def q_corpus_curation_pipeline(
     # separately made the profiler re-run the inverted-index subplan
     # inside the next stage and double-count ~1.7 s.
     dirty = stage_cb(
-        "10_contamination_screen",
+        "11_contamination_screen",
         lambda: tracked_persist(
             dd.ngram_overlap_pairs(
                 probe,
-                kept2,
+                kept3,
                 n=_SHINGLE_N,
                 min_frac=_CONTAM_MIN_FRAC,
                 max_df=_JACCARD_MAX_DF,
@@ -1192,17 +1236,66 @@ def q_corpus_curation_pipeline(
         ),
     )
     samp = sel.stratified_sample(
-        kept2.select("doc_id", "lang"), "lang", _SAMPLE_RATES
+        kept3.select("doc_id", "lang"), "lang", _SAMPLE_RATES
     )
-    kept4 = kept2.join(samp.select("doc_id"), "doc_id").join(
+    kept4 = kept3.join(samp.select("doc_id"), "doc_id").join(
         dirty, "doc_id", "left_anti"
     )
     return stage_cb(
-        "11_sample_pack",
+        "12_sample_pack",
         lambda: pk.pack_manifest(
             kept4, ctx_len=_PACK_CTX, token_col="n_tokens"
         ),
     )
+
+
+def _sql_sem_stage_ctes(src: str) -> str:
+    """The semantic-dedup stage as a CTE chunk over ``src`` (doc_id,
+    text, lang): the q_doc_semantic_dedup oracle chain — embed ->
+    k-means chain with count-derived k -> cell-blocked exact-cosine
+    pairs -> recursive closure — ending in ``semkept`` = src minus the
+    semantic non-representatives. Built from the same shared builders
+    as the standalone query, so the two cannot drift."""
+    asg = f"asg{_SEM_ITERS + 1}"
+    sq = "CAST({0}.svec[CAST(i AS INT)] AS HUGEINT)"
+    k_sql = (
+        "(SELECT GREATEST(8, CAST(floor(sqrt(COUNT(*))) AS BIGINT))"
+        f" FROM {src})"
+    )
+    emb_ctes = _sql_doc_embed_ctes().replace(
+        "FROM documents", f"FROM {src}"
+    )
+    return f"""{emb_ctes},
+        {_sql_kmeans_chain(_SEM_ITERS + 1, src="emb", id_col="doc_id",
+                           dim=_TEXT_EMB_DIM, k=k_sql)},
+        sempairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   SUM({sq.format('a')} * {sq.format('b')}) AS dot,
+                   SUM({sq.format('a')} * {sq.format('a')}) AS an,
+                   SUM({sq.format('b')} * {sq.format('b')}) AS bn
+            FROM {asg} a JOIN {asg} b
+                 ON a.cid = b.cid AND a.vec_id < b.vec_id,
+                 range(1, {_TEXT_EMB_DIM + 1}) r(i)
+            GROUP BY a.vec_id, b.vec_id),
+        semsel AS (
+            SELECT id_a, id_b FROM sempairs
+            WHERE CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(an AS DOUBLE))
+                         * sqrt(CAST(bn AS DOUBLE)))
+                  >= {_SEM_THRESHOLD}),
+        semedges AS (SELECT id_a AS u, id_b AS v FROM semsel
+                     UNION SELECT id_b, id_a FROM semsel),
+        semwalk(node, root) AS (
+            SELECT u, u FROM semedges
+            UNION
+            SELECT e.v, sw.root FROM semwalk sw
+            JOIN semedges e ON e.u = sw.node),
+        semcomp AS (SELECT node, MIN(root) AS root FROM semwalk
+                    GROUP BY node),
+        semkept AS MATERIALIZED (
+            SELECT nd.doc_id, nd.text, nd.lang FROM {src} nd
+            LEFT JOIN semcomp sc ON sc.node = nd.doc_id
+            WHERE sc.node IS NULL OR sc.root = nd.doc_id)"""
 
 
 def _sql_curation_pipeline() -> str:
@@ -1285,10 +1378,11 @@ def _sql_curation_pipeline() -> str:
         nondup AS MATERIALIZED (SELECT e.doc_id, e.text, e.lang FROM exact e
                    LEFT JOIN comp ON e.doc_id = comp.node
                    WHERE comp.node IS NULL OR comp.component = e.doc_id),
+        {_sql_sem_stage_ctes("nondup")},
         probe AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
         psh_all AS MATERIALIZED ({shingles_of("probe")}),
         csh_all AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh1 s
-                    JOIN nondup nd ON s.doc_id = nd.doc_id),
+                    JOIN semkept nd ON s.doc_id = nd.doc_id),
         rare AS MATERIALIZED (SELECT shingle FROM csh_all GROUP BY shingle
                  HAVING COUNT(*) <= {_JACCARD_MAX_DF}),
         p AS MATERIALIZED (SELECT psh_all.doc_id, psh_all.shingle FROM psh_all
@@ -1303,7 +1397,7 @@ def _sql_curation_pipeline() -> str:
                   JOIN sizes ON sizes.doc_id = probe_id
                   WHERE CAST(n_shared AS DOUBLE) / sz
                         >= {_CONTAM_MIN_FRAC}),
-        clean AS MATERIALIZED (SELECT * FROM nondup
+        clean AS MATERIALIZED (SELECT * FROM semkept
                   WHERE doc_id NOT IN (SELECT corpus_id FROM dirty)),
         sampled AS MATERIALIZED (SELECT doc_id, text FROM clean
                     WHERE {bucket} < CASE lang {cases} ELSE 0 END),
