@@ -2110,10 +2110,15 @@ def q_doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan keeps the decoded vectors hot across seeding, assignment,
     # and both self-join sides.
     docs = _docs_parallel(spark, sf_dir)
+    # repartition the materialized-embedding scan before persisting: the
+    # parquet is one small file (ONE input partition), and the n x k
+    # assignment loop plus both self-join sides would otherwise run on a
+    # single core — measured 36.5 s vs 7.7 s at the 1x scale corpus, the
+    # same single-split trap _docs_parallel documents
     emb = tracked_persist(
-        _text_emb_for(spark, sf_dir).withColumnRenamed(
-            "doc_id", "vec_id"
-        )
+        _text_emb_for(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumnRenamed("doc_id", "vec_id")
     )
     # one metadata-cheap count to size k with the corpus (the sqrt
     # balance point, see _sem_k) — parameter selection, not row data.
