@@ -130,6 +130,24 @@ def _dim_guard(arr: Column, dim: int, expr: Column) -> Column:
     )
 
 
+def _pair_guard(a: Column, b: Column, expr: Column) -> Column:
+    """Make a PAIRWISE length mismatch LOUD on the dynamic-dim HOF
+    paths: zip_with silently truncates to the shorter array, so a
+    corpus/centroid (or query/index) length skew would underestimate
+    every dot product instead of failing. Unlike ``_dim_guard`` this
+    imposes no static dim — equal-length pairs of ANY width pass, so
+    dim-agnostic callers keep working."""
+    return F.when(F.size(a) == F.size(b), expr).otherwise(
+        F.raise_error(
+            F.format_string(
+                "paired vector lengths %s and %s differ",
+                F.size(a),
+                F.size(b),
+            )
+        )
+    )
+
+
 def attach_scaled(df: DataFrame, vec_col: str, prefix: str = "") -> DataFrame:
     """Add ``{prefix}svec`` (int64-scaled vector) and ``{prefix}norm``
     (double L2 norm on the scaled grid) — the per-vector precomputation
@@ -564,21 +582,30 @@ def _lloyd_assign(
         c.crossJoin(F.broadcast(cents))
         .withColumn(
             "dist",
+            # unrolled path hard-indexes 1..dim: BOTH sides must match
+            # the static dim (a longer c_svec would silently truncate)
             _dim_guard(
                 F.col("svec"),
                 dim,
-                l2sq_scaled_unrolled(
-                    F.col("svec"), F.col("c_svec"), dim, long_acc=True
+                _dim_guard(
+                    F.col("c_svec"),
+                    dim,
+                    l2sq_scaled_unrolled(
+                        F.col("svec"), F.col("c_svec"), dim,
+                        long_acc=True,
+                    ),
                 ),
             )
             if unit_norm
             # generic path: HOF decimal — unrolled decimal is slower
             # (BigDecimal per term); see dot_scaled_unrolled docstring.
-            # The dim guard still applies: zip_with would silently
-            # truncate a corpus/dim mismatch to the shorter length
-            else _dim_guard(
+            # Guarded PAIRWISE (not against the static dim): zip_with
+            # silently truncates a corpus/centroid length skew, but
+            # equal-length vectors of any width are fine — dim-agnostic
+            # callers with non-default widths keep working
+            else _pair_guard(
                 F.col("svec"),
-                dim,
+                F.col("c_svec"),
                 F.aggregate(
                     F.zip_with(
                         F.col("svec"),
@@ -791,15 +818,22 @@ def ivf_kmeans_topk(
         query_id, "qid_"
     )
     q = q.withColumn("q_svec", _dim_guard(F.col("q_svec"), dim, F.col("q_svec")))
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("q_svec"),
-            F.col("c_svec"),
-            lambda x, y: (x.cast(_ACC) - y.cast(_ACC))
-            * (x.cast(_ACC) - y.cast(_ACC)),
+    # pairwise guard on top of the static query-side check: an index or
+    # centroid frame written at a different dim must fail loudly, not
+    # zip_with-truncate to the shorter side
+    dist = _pair_guard(
+        F.col("q_svec"),
+        F.col("c_svec"),
+        F.aggregate(
+            F.zip_with(
+                F.col("q_svec"),
+                F.col("c_svec"),
+                lambda x, y: (x.cast(_ACC) - y.cast(_ACC))
+                * (x.cast(_ACC) - y.cast(_ACC)),
+            ),
+            F.lit(0).cast(_ACC),
+            lambda acc, x: acc + x,
         ),
-        F.lit(0).cast(_ACC),
-        lambda acc, x: acc + x,
     )
     w = Window.partitionBy("qid_").orderBy("dist", "cid")
     probed = (
@@ -817,9 +851,11 @@ def ivf_kmeans_topk(
     scored = index.join(F.broadcast(probed), "cluster_id").select(
         F.col(query_id),
         F.col(corpus_id),
-        (
+        _pair_guard(
+            F.col("q_svec"),
+            F.col("c_svec"),
             dot_scaled(F.col("q_svec"), F.col("c_svec")).cast("double")
-            / (F.col("q_norm") * F.col("c_norm"))
+            / (F.col("q_norm") * F.col("c_norm")),
         ).alias("cosine"),
     )
     wr = Window.partitionBy(query_id).orderBy(

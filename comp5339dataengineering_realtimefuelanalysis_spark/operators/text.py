@@ -598,14 +598,41 @@ def secret_matches(col: Column) -> Column:
     )
 
 
-def _replace_each(acc: Column, matches: Column, token: str) -> Column:
+def _replace_each(
+    acc: Column, matches: Column, token: str, boundary: str
+) -> Column:
     """Replace every distinct match string (sorted — a deterministic,
-    engine-identical replacement order) with ``token`` in ``acc``."""
-    return F.aggregate(
-        F.array_sort(F.array_distinct(matches)),
-        acc,
-        lambda t, m: F.replace(t, m, F.lit(token)),
-    )
+    engine-identical replacement order) with ``token`` in ``acc``,
+    ONLY where the occurrence is a standalone run: each match is
+    anchored between ``boundary`` characters (a negated char class for
+    the kind's charset) or string edges, so a valid card's digits
+    embedded inside a LONGER run the Luhn gate rejected are NOT
+    rewritten (a bare literal replace over-redacted there and made the
+    audit count disagree with the replacements made). The anchored
+    regex consumes its boundary characters, so back-to-back
+    occurrences sharing a separator alternate misses within one pass —
+    the whole fold runs TWICE; after pass one every remaining
+    occurrence borders a replacement token (a boundary char), so pass
+    two is always sufficient. Match literals are regex-escaped with
+    java.util.regex.Pattern quoting (\\Q...\\E, RE2-compatible)."""
+    repl = F.lit(f"$1{token}$2")
+
+    def one_pass(t: Column) -> Column:
+        return F.aggregate(
+            F.array_sort(F.array_distinct(matches)),
+            t,
+            lambda a, m_: F.regexp_replace(
+                a,
+                F.concat(
+                    F.lit(f"(^|{boundary})\\Q"),
+                    m_,
+                    F.lit(f"\\E({boundary}|$)"),
+                ),
+                repl,
+            ),
+        )
+
+    return one_pass(one_pass(acc))
 
 
 def scrub_pii(
@@ -651,8 +678,10 @@ def scrubbed_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     email_pat, email_tok = PII_PATTERNS["email"]
     c = F.regexp_replace(c, email_pat, email_tok)
-    c = _replace_each(c, card_matches(c), CARD_TOKEN)
+    c = _replace_each(c, card_matches(c), CARD_TOKEN, "[^0-9]")
     for kind in ("phone", "ip"):
         pat, token = PII_PATTERNS[kind]
         c = F.regexp_replace(c, pat, token)
-    return _replace_each(c, secret_matches(c), SECRET_TOKEN)
+    return _replace_each(
+        c, secret_matches(c), SECRET_TOKEN, "[^A-Za-z0-9+_=-]"
+    )

@@ -1897,16 +1897,28 @@ def _sql_secret_matches(src: str) -> str:
     )
 
 
-def _sql_replace_each(acc: str, matches: str, token: str) -> str:
+def _sql_replace_each(
+    acc: str, matches: str, token: str, boundary: str
+) -> str:
     """Replace every distinct match (sorted, engine-identical order)
-    with ``token`` — mirrors tx._replace_each; list_prepend seeds the
-    reduce with the accumulator text (reduce of a 1-element list is the
-    element itself, so no matches -> text unchanged)."""
-    return (
-        f"list_reduce(list_prepend({acc}, "
-        f"list_sort(list_distinct({matches}))), "
-        f"(acc, x) -> replace(acc, x, '{token}'))"
-    )
+    with ``token`` — mirrors tx._replace_each exactly: each literal is
+    \\Q-quoted and anchored between ``boundary`` chars or string edges
+    (so digits embedded in longer rejected runs are not rewritten),
+    and the whole fold runs twice (anchors consume boundary chars, so
+    back-to-back occurrences alternate misses in one pass).
+    list_prepend seeds the reduce with the accumulator text (reduce of
+    a 1-element list is the element itself — no matches, no change)."""
+
+    def one(a: str) -> str:
+        return (
+            f"list_reduce(list_prepend({a}, "
+            f"list_sort(list_distinct({matches}))), "
+            f"(acc, x) -> regexp_replace(acc, "
+            f"'(^|{boundary})\\Q' || x || '\\E({boundary}|$)', "
+            f"'\\1{token}\\2', 'g'))"
+        )
+
+    return one(one(acc))
 
 
 def _sql_scrubbed_text(expr: str = "text") -> str:
@@ -1915,11 +1927,15 @@ def _sql_scrubbed_text(expr: str = "text") -> str:
     tx.scrubbed_text exactly."""
     email_pat, email_tok = tx.PII_PATTERNS["email"]
     s = f"regexp_replace({expr}, '{email_pat}', '{email_tok}', 'g')"
-    s = _sql_replace_each(s, _sql_card_matches(s), tx.CARD_TOKEN)
+    s = _sql_replace_each(
+        s, _sql_card_matches(s), tx.CARD_TOKEN, "[^0-9]"
+    )
     for kind in ("phone", "ip"):
         pat, token = tx.PII_PATTERNS[kind]
         s = f"regexp_replace({s}, '{pat}', '{token}', 'g')"
-    return _sql_replace_each(s, _sql_secret_matches(s), tx.SECRET_TOKEN)
+    return _sql_replace_each(
+        s, _sql_secret_matches(s), tx.SECRET_TOKEN, "[^A-Za-z0-9+_=-]"
+    )
 
 
 def _sql_doc_repetition(src: str = "documents") -> str:
@@ -1959,10 +1975,12 @@ def _sql_doc_repetition(src: str = "documents") -> str:
 
 
 def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII redaction with per-kind audit counts (emails / phone-like
-    runs / IPv4), map-only regex work at scan speed. Patterns compile
-    identically under Java regex and RE2, so the oracle replays the
-    exact replacement."""
+    """PII redaction with per-kind audit counts (emails / Luhn-valid
+    payment cards / phone-like runs / IPv4 / high-entropy secret
+    tokens), map-only regex + tiny-array expression work at scan
+    speed. Patterns and the Luhn/entropy gates compile identically
+    under Java regex and RE2, so the oracle replays the exact
+    replacement chain."""
     return tx.scrub_pii(_docs_parallel(spark, sf_dir))
 
 

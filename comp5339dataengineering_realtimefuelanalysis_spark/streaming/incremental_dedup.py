@@ -316,9 +316,11 @@ class StreamingIncrementalDedup:
         return spark.read.schema(schema).parquet(cpath)
 
     def _embed_scaled(self, docs: DataFrame) -> DataFrame:
-        """(id, q_svec, q_norm) for ``docs`` — hashing-trick embedding
-        scaled to the int64 grid with the norm precomputed per VECTOR
-        (never per pair)."""
+        """(id, embedding, q_svec, q_norm) for ``docs`` — hashing-trick
+        embedding scaled to the int64 grid with the norm precomputed
+        per VECTOR (never per pair). The raw embedding column rides
+        along so the first-epoch centroid training consumes THIS frame
+        instead of re-running the embed plan."""
         emb = tx.embed_text(
             docs,
             self.text_col,
@@ -327,7 +329,7 @@ class StreamingIncrementalDedup:
             seed=self.sem_seed,
         )
         return sim.attach_scaled(emb, "embedding", "q_").select(
-            self.id_col, "q_svec", "q_norm"
+            self.id_col, "embedding", "q_svec", "q_norm"
         )
 
     def _nearest_cells(
@@ -337,12 +339,20 @@ class StreamingIncrementalDedup:
         nearest centroid cells (exact integer L2 against the broadcast
         k-row centroid frame; unrolled int64 under the unit-norm bound;
         cid tiebreak). cell_rank=1 is the doc's OWN cell."""
+        # BOTH sides guarded against the configured sem_dim: a stream
+        # restarted with a different sem_dim must fail loudly against
+        # its own pinned centroids (the unrolled kernel would otherwise
+        # silently truncate to the shorter array and probe wrong cells)
         dist = sim._dim_guard(
             F.col("q_svec"),
             self.sem_dim,
-            sim.l2sq_scaled_unrolled(
-                F.col("q_svec"), F.col("c_svec"), self.sem_dim,
-                long_acc=True,
+            sim._dim_guard(
+                F.col("c_svec"),
+                self.sem_dim,
+                sim.l2sq_scaled_unrolled(
+                    F.col("q_svec"), F.col("c_svec"), self.sem_dim,
+                    long_acc=True,
+                ),
             ),
         )
         w = Window.partitionBy(self.id_col).orderBy("dist", "cid")
@@ -362,14 +372,20 @@ class StreamingIncrementalDedup:
 
     def _cosine(self, sa, na, sb, nb):
         # embed_text L2-normalizes, so |x| <= 1e9 on the grid and the
-        # dim-unrolled int64 dot applies (codegen; Cauchy-Schwarz bound)
+        # dim-unrolled int64 dot applies (codegen; Cauchy-Schwarz
+        # bound). Both sides guarded: an at-rest index written under a
+        # different sem_dim must fail loudly, not truncate silently
         return sim._dim_guard(
             sa,
             self.sem_dim,
-            sim.dot_scaled_unrolled(
-                sa, sb, self.sem_dim, long_acc=True
-            ).cast("double")
-            / (na * nb),
+            sim._dim_guard(
+                sb,
+                self.sem_dim,
+                sim.dot_scaled_unrolled(
+                    sa, sb, self.sem_dim, long_acc=True
+                ).cast("double")
+                / (na * nb),
+            ),
         )
 
     def _read_sem_index(
@@ -450,14 +466,7 @@ class StreamingIncrementalDedup:
         docs = silver.filter(F.col("ingest_epoch").isin(missing))
         scaled = self._embed_scaled(docs)
         cents = self._sem_centroids(
-            spark,
-            tx.embed_text(
-                docs,
-                self.text_col,
-                self.id_col,
-                dim=self.sem_dim,
-                seed=self.sem_seed,
-            ),
+            spark, scaled.select(self.id_col, "embedding")
         )
         own = self._nearest_cells(scaled, cents, probes=1)
         (
@@ -496,11 +505,11 @@ class StreamingIncrementalDedup:
         did = self.id_col
         scaled = self._embed_scaled(survivors).persist()
         try:
-            emb_for_train = tx.embed_text(
-                survivors, self.text_col, did,
-                dim=self.sem_dim, seed=self.sem_seed,
+            # first-epoch training reads the SAME persisted frame the
+            # screen uses — no second embed plan
+            cents = self._sem_centroids(
+                spark, scaled.select(did, "embedding")
             )
-            cents = self._sem_centroids(spark, emb_for_train)
             probed = self._nearest_cells(
                 scaled, cents, probes=self.sem_probes
             ).persist()

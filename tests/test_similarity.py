@@ -300,3 +300,43 @@ def test_kmeans_degenerate_identical_corpus(spark, tmp_path):
     assert all(abs(r.cosine - 1.0) < 1e-12 for r in rows)
     # deterministic id tiebreak on equal cosine
     assert [r.vec_id for r in rows] == [0, 1, 2, 3, 4]
+
+
+def test_pair_and_dim_guards_are_loud_but_dim_agnostic(spark):
+    """Length-skew handling after the round-8 guard audit: the
+    dynamic-dim HOF paths accept equal-width vectors of ANY dim
+    (no forced dim parameter) but raise loudly on a pairwise mismatch
+    instead of zip_with-truncating; the unrolled unit-norm path
+    validates BOTH sides against the static dim."""
+    import pytest
+
+    # 2-d corpus through kmeans_step WITHOUT passing dim: works (the
+    # generic path must stay dim-agnostic for consistent widths)
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.kmeans_step(df, k=2).collect()
+    assert {r.dim for r in out} == {0, 1}
+
+    # pairwise mismatch (2-d corpus vs 3-d centroid) raises
+    cents = spark.createDataFrame(
+        [(1, [0, 0, 0])], "cid long, c_svec array<long>"
+    )
+    c = df.select("vec_id", sim.scaled_vec(F.col("embedding")).alias("svec"))
+    with pytest.raises(Exception, match="lengths .* differ"):
+        sim._lloyd_assign(c, cents, "vec_id").collect()
+
+    # unrolled unit-norm path: a centroid longer than dim raises (it
+    # would silently truncate otherwise)
+    cents64 = spark.createDataFrame(
+        [(1, [0] * 65)], "cid long, c_svec array<long>"
+    )
+    df64 = spark.createDataFrame(
+        [(1, [0.01] * 64)], "vec_id long, embedding array<float>"
+    )
+    c64 = df64.select(
+        "vec_id", sim.scaled_vec(F.col("embedding")).alias("svec")
+    )
+    with pytest.raises(Exception, match="does not match unrolled dim"):
+        sim._lloyd_assign(c64, cents64, "vec_id", unit_norm=True).collect()

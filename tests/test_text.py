@@ -348,6 +348,14 @@ def test_scrub_pii_cross_engine_parity(spark):
         (4, "token sk_Live_9aB3xQ7mK2pR5tY8wZ4v and hex 0123456789abcdef0123456789abcdef"),
         (5, "the war of 1914 - 1918 and server 192.168.0.1"),
         (6, "duplicate card twice: 4111 1111 1111 1111 then 4111 1111 1111 1111"),
+        # a valid card's digits EMBEDDED in a longer Luhn-rejected run
+        # must not be rewritten (the pre-anchor literal replace did)
+        (7, "card 4111111111111111 ok and run 41111111111111119999999 end"),
+        # back-to-back same-literal occurrences: the anchored replace
+        # consumes boundary chars, so one pass alternates misses — the
+        # double-pass fold must still catch all three
+        (8, "chain 4111 1111 1111 1111 4111 1111 1111 1111 "
+            "4111 1111 1111 1111 end"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(map(tuple, tx.scrub_pii(df).collect()))
@@ -361,3 +369,8 @@ def test_scrub_pii_cross_engine_parity(spark):
     assert "<CARD>" in by_id[1][1] and "<EMAIL>" in by_id[1][1]
     assert by_id[6][1].count("<CARD>") == 2
     assert "<SECRET>" in by_id[4][1] and "abcdef" in by_id[4][1]
+    # precision: the 23-digit run survives intact, count == replacements
+    assert by_id[7][1] == "card <CARD> ok and run 41111111111111119999999 end"
+    assert by_id[7][3] == 1  # n_card
+    assert by_id[8][1] == "chain <CARD> <CARD> <CARD> end"
+    assert by_id[8][3] == 3
