@@ -890,6 +890,37 @@ def _sql_stratified_sample() -> str:
         WHERE {bucket} < CASE lang {cases} ELSE 0 END"""
 
 
+def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling at alpha=0.5
+    (operators/selection.py:temperature_mix): per-language keep rates
+    (n_min/n_s)^0.5 flatten the language distribution toward the
+    rarest stratum; sqrt is correctly rounded in IEEE 754, so the
+    oracle replays the exact keep decision. One tiny count aggregate +
+    broadcast rates join + map-only hash filter."""
+    docs = _docs_parallel(spark, sf_dir)
+    return sel.temperature_mix(
+        docs.select("doc_id", "lang"), "lang"
+    ).select("doc_id", "lang", "keep_rate", "bucket")
+
+
+def _sql_temperature_mix() -> str:
+    bucket = (
+        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 1000000 AS INT)"
+    )
+    return f"""WITH counts AS (
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        mn AS (SELECT MIN(n) AS n_min FROM counts),
+        rates AS (
+            SELECT lang,
+                   sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))
+                       AS keep_rate
+            FROM counts, mn)
+        SELECT d.doc_id, d.lang, r.keep_rate, {bucket} AS bucket
+        FROM documents d JOIN rates r ON r.lang = d.lang
+        WHERE CAST({bucket} AS DOUBLE) < r.keep_rate * 1000000.0"""
+
+
 _PACK_CTX = 2048
 
 
@@ -2575,6 +2606,14 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_stratified_sample(),
         ("documents",),
         "deterministic hash-stratified sampling at per-language rates",
+    ),
+    "doc_temperature_mix": QueryDef(
+        q_doc_temperature_mix,
+        _sql_temperature_mix(),
+        ("documents",),
+        "temperature mixture sampling (alpha=0.5): rates "
+        "(n_min/n)^0.5 flatten strata toward the rarest; count agg + "
+        "broadcast rates + map-only hash filter",
     ),
     "doc_mix_report": QueryDef(
         q_doc_mix_report,

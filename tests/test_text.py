@@ -374,3 +374,38 @@ def test_scrub_pii_cross_engine_parity(spark):
     assert by_id[7][3] == 1  # n_card
     assert by_id[8][1] == "chain <CARD> <CARD> <CARD> end"
     assert by_id[8][3] == 3
+
+
+def test_temperature_mix_flattens_and_nests(spark):
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        temperature_mix,
+    )
+
+    rows = [(i, "big" if i < 1600 else ("mid" if i < 1900 else "rare"))
+            for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_mix(df, "lang").collect()
+    kept = {}
+    rate = {}
+    for r in out:
+        kept[r.lang] = kept.get(r.lang, 0) + 1
+        rate[r.lang] = r.keep_rate
+    # the rarest stratum is kept in full at rate exactly 1.0
+    assert rate["rare"] == 1.0 and kept["rare"] == 100
+    # rates follow (n_min/n)^0.5 exactly
+    import math
+
+    assert rate["big"] == math.sqrt(100 / 1600)
+    assert rate["mid"] == math.sqrt(100 / 300)
+    # flattening: kept counts ~ sqrt(n_s * n_min) (hash sampling is
+    # approximate at finite n — generous tolerance)
+    assert abs(kept["big"] - math.sqrt(1600 * 100)) < 120
+    assert abs(kept["mid"] - math.sqrt(300 * 100)) < 60
+    # nesting: a hotter mix (alpha closer to 1) is a superset per
+    # stratum of the colder one
+    cold = {r.doc_id for r in out}
+    hot = {r.doc_id for r in temperature_mix(df, "lang", alpha=0.8).collect()}
+    assert cold <= hot
+    # determinism
+    again = {r.doc_id for r in temperature_mix(df, "lang").collect()}
+    assert again == cold
