@@ -547,11 +547,21 @@ def kmeans_step(
 
 
 def _kmeans_seeds(
-    corpus: DataFrame, k: int, id_col: str, vec_col: str
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    seed_order: str = "asc",
 ) -> DataFrame:
-    """Deterministic seeds: the k lowest-id vectors (no RNG)."""
+    """Deterministic seeds: the k lowest-id vectors (no RNG).
+    ``seed_order="desc"`` seeds from the HIGHEST ids instead — the
+    cheap way to get a second, independent-enough clustering of the
+    same corpus for product (two-level) blocking."""
+    order = (
+        F.col(id_col) if seed_order == "asc" else F.col(id_col).desc()
+    )
     return (
-        corpus.orderBy(id_col)
+        corpus.orderBy(order)
         .limit(k)
         .select(
             F.col(id_col).alias("cid"),
@@ -659,9 +669,12 @@ def kmeans_train_centroids(
     vec_col: str = "embedding",
     dim: int = 64,
     unit_norm: bool = False,
+    seed_order: str = "asc",
 ) -> DataFrame:
     """Centroids (cid, c_svec) after ``iters`` exact Lloyd updates from
-    the deterministic lowest-id seeds (``iters=0`` returns the seeds).
+    the deterministic lowest-id seeds (``iters=0`` returns the seeds;
+    ``seed_order="desc"`` seeds from the highest ids — see
+    _kmeans_seeds).
 
     Each update re-quantizes the new centroid to the int64 grid with
     MATHEMATICAL FLOOR division, spelled ``(s - ((s % n + n) % n)) / n``
@@ -685,7 +698,7 @@ def kmeans_train_centroids(
     c = corpus.select(
         F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
     )
-    cents = _kmeans_seeds(corpus, k, id_col, vec_col)
+    cents = _kmeans_seeds(corpus, k, id_col, vec_col, seed_order)
     for _ in range(iters):
         sums = _lloyd_sums(
             _lloyd_assign(c, cents, id_col, dim, unit_norm)

@@ -2256,6 +2256,136 @@ def _sql_doc_semantic_dedup() -> str:
         FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id"""
 
 
+def _icbrt(n: int) -> int:
+    """Largest j with j**3 <= n — EXACT integer cube root (library
+    pow/cbrt are libm-dependent; the oracle replays this as a MAX over
+    an integer range, so both sides must use exact arithmetic)."""
+    j = max(1, round(n ** (1.0 / 3.0)))
+    while j * j * j > n:
+        j -= 1
+    while (j + 1) ** 3 <= n:
+        j += 1
+    return j
+
+
+def _sem2_k(n: int) -> int:
+    return max(4, _icbrt(n))
+
+
+def q_doc_semantic_dedup_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL (product-blocked) semantic dedup — the sub-n^1.5 scale
+    path the single-level curve motivated (SCALE.md: the sqrt(n)-cell
+    flat blocking is measured n^1.5-dominant beyond ~50k docs): two
+    INDEPENDENT k-means clusterings (k = max(4, cbrt(n)) each; lowest-
+    id and highest-id seeds) and candidate pairs must share BOTH cells.
+    Expected block size n/k^2 ~ n^(1/3), so assignment (2nk) and
+    within-block pairs (n*n^(1/3)) are BOTH O(n^(4/3)) — asymptotically
+    under the flat design's n^1.5. The trade is recall at cell
+    boundaries: a near-dup pair must survive two independent
+    partitionings (~2x the single-level boundary miss rate); measured
+    against doc_semantic_dedup in SCALE.md. Same output contract as the
+    single-level query."""
+    docs = _docs_parallel(spark, sf_dir)
+    emb = tracked_persist(
+        _text_emb_for(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumnRenamed("doc_id", "vec_id")
+    )
+    k = _sem2_k(docs.count())
+    ca = sim.kmeans_train_centroids(
+        emb, k=k, iters=_SEM_ITERS, unit_norm=True
+    )
+    cb = sim.kmeans_train_centroids(
+        emb, k=k, iters=_SEM_ITERS, unit_norm=True, seed_order="desc"
+    )
+    aa = sim.kmeans_assign(emb, ca, unit_norm=True).select(
+        "vec_id", F.col("cluster_id").alias("cell_a")
+    )
+    ab = sim.kmeans_assign(emb, cb, unit_norm=True).select(
+        "vec_id", F.col("cluster_id").alias("cell_b")
+    )
+    # product block key: pairs must collide in BOTH partitionings
+    # (concat of two ints with a separator is collision-free)
+    assigned = tracked_persist(
+        emb.join(aa, "vec_id")
+        .join(ab, "vec_id")
+        .withColumn("block", F.concat_ws("_", "cell_a", "cell_b"))
+    )
+    pairs = sim.embedding_near_dup_pairs(
+        assigned,
+        threshold=_SEM_THRESHOLD,
+        dim=_TEXT_EMB_DIM,
+        block_col="block",
+        unit_norm=True,
+    )
+    cc = dd.connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("cluster_id") == F.col("doc_id"))
+    )
+
+
+def _sql_doc_semantic_dedup_2l() -> str:
+    n1 = _SEM_ITERS + 1
+    sq = "CAST({0}.svec[CAST(i AS INT)] AS HUGEINT)"
+    # exact integer cube root replayed as MAX over an integer range —
+    # engine-exact where pow()/cbrt() are libm-dependent
+    k_sql = (
+        "(SELECT GREATEST(4, MAX(j)) FROM range(1, 10001) r(j) "
+        "WHERE j*j*j <= (SELECT COUNT(*) FROM documents))"
+    )
+    chain_a = _sql_kmeans_chain(
+        n1, src="emb", id_col="doc_id", dim=_TEXT_EMB_DIM, k=k_sql,
+        prefix="ta",
+    )
+    chain_b = _sql_kmeans_chain(
+        n1, src="emb", id_col="doc_id", dim=_TEXT_EMB_DIM, k=k_sql,
+        prefix="tb", seed_order="desc",
+    )
+    return f"""WITH RECURSIVE {_sql_doc_embed_ctes()},
+        {chain_a},
+        {chain_b},
+        blocks AS (
+            SELECT a.vec_id, a.svec, a.cid AS ca, b.cid AS cb
+            FROM taasg{n1} a JOIN tbasg{n1} b USING (vec_id)),
+        bpairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   SUM({sq.format('a')} * {sq.format('b')}) AS dot,
+                   SUM({sq.format('a')} * {sq.format('a')}) AS an,
+                   SUM({sq.format('b')} * {sq.format('b')}) AS bn
+            FROM blocks a JOIN blocks b
+                 ON a.ca = b.ca AND a.cb = b.cb AND a.vec_id < b.vec_id,
+                 range(1, {_TEXT_EMB_DIM + 1}) r(i)
+            GROUP BY a.vec_id, b.vec_id),
+        bsel AS (
+            SELECT id_a, id_b FROM bpairs
+            WHERE CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(an AS DOUBLE))
+                         * sqrt(CAST(bn AS DOUBLE)))
+                  >= {_SEM_THRESHOLD}),
+        bedges AS (SELECT id_a AS u, id_b AS v FROM bsel
+                   UNION SELECT id_b, id_a FROM bsel),
+        bwalk(node, root) AS (
+            SELECT u, u FROM bedges
+            UNION
+            SELECT e.v, w2.root FROM bwalk w2
+            JOIN bedges e ON e.u = w2.node),
+        bcomp AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+                  FROM bwalk GROUP BY node)
+        SELECT d.doc_id,
+               COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+               (COALESCE(c.cluster_id, d.doc_id) = d.doc_id) AS keep
+        FROM documents d LEFT JOIN bcomp c ON c.doc_id = d.doc_id"""
+
+
 def q_emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF training: _KMEANS_ITERS exact Lloyd iterations
     (operators/similarity.py:kmeans_train). Every update re-quantizes
@@ -2273,6 +2403,8 @@ def _sql_kmeans_chain(
     id_col: str = "vec_id",
     dim: int = _EMB_DIM,
     k: int | str = _KMEANS_K,
+    prefix: str = "",
+    seed_order: str = "asc",
 ) -> str:
     """CTE chain replaying kmeans_train_centroids: c (scaled corpus),
     cents0 (lowest-id seeds), then per iteration i: pairs{i} (integer L2
@@ -2281,43 +2413,47 @@ def _sql_kmeans_chain(
     Floor division is spelled (s - ((s % n + n) % n)) / n — exact and
     engine-portable where round() is not (HALF_UP vs half-even ties).
     ``src`` is any table/CTE with (id_col, embedding); ``k`` may be SQL
-    text (e.g. a LIMIT subquery) when the cell count is data-derived."""
+    text (e.g. a LIMIT subquery) when the cell count is data-derived.
+    ``prefix`` namespaces every CTE (two chains can share one WITH);
+    ``seed_order="desc"`` mirrors the highest-id seed variant."""
     sv = (
         "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
         f" * {_SCALE}) AS BIGINT))"
     )
+    p = prefix
+    desc = " DESC" if seed_order == "desc" else ""
     parts = [
-        f"c AS (SELECT {id_col} AS vec_id, {sv} AS svec FROM {src})",
-        f"""cents0 AS (
+        f"{p}c AS (SELECT {id_col} AS vec_id, {sv} AS svec FROM {src})",
+        f"""{p}cents0 AS (
             SELECT {id_col} AS cid, {sv} AS c_svec
-            FROM {src} ORDER BY {id_col} LIMIT {k})""",
+            FROM {src} ORDER BY {id_col}{desc} LIMIT {k})""",
     ]
     for i in range(1, iters + 1):
-        parts.append(f"""pairs{i} AS (
+        parts.append(f"""{p}pairs{i} AS (
             SELECT c.vec_id, s.cid, c.svec,
                    list_sum(list_transform(list_zip(c.svec, s.c_svec),
                        p -> (CAST(p[1] AS HUGEINT) - CAST(p[2] AS HUGEINT))
                             * (CAST(p[1] AS HUGEINT)
                                - CAST(p[2] AS HUGEINT)))) AS dist
-            FROM c CROSS JOIN cents{i - 1} s)""")
-        parts.append(f"""asg{i} AS (
-            SELECT vec_id, svec, cid FROM pairs{i}
+            FROM {p}c c CROSS JOIN {p}cents{i - 1} s)""")
+        parts.append(f"""{p}asg{i} AS (
+            SELECT vec_id, svec, cid FROM {p}pairs{i}
             QUALIFY ROW_NUMBER() OVER (
                 PARTITION BY vec_id ORDER BY dist, cid) = 1)""")
-        parts.append(f"""sums{i} AS (
+        parts.append(f"""{p}sums{i} AS (
             SELECT cid, CAST(r.range AS INT) AS dim, COUNT(*) AS n,
                    SUM(CAST(svec[CAST(r.range AS INT) + 1] AS HUGEINT))
                        AS s
-            FROM asg{i} CROSS JOIN range({dim}) r GROUP BY 1, 2)""")
+            FROM {p}asg{i} CROSS JOIN range({dim}) r GROUP BY 1, 2)""")
         # `//` (not `/`): DuckDB's `/` coerces HUGEINT operands to
         # DOUBLE, losing exactness above 2^53; `//` stays HUGEINT, and
         # with the residue subtracted the numerator divides exactly, so
         # its truncation-vs-floor semantics never engage
-        parts.append(f"""cents{i} AS (
+        parts.append(f"""{p}cents{i} AS (
             SELECT cid,
                    list(CAST((s - ((s % n + n) % n)) // n AS BIGINT)
                         ORDER BY dim) AS c_svec
-            FROM sums{i} GROUP BY cid)""")
+            FROM {p}sums{i} GROUP BY cid)""")
     return ",\n        ".join(parts)
 
 
@@ -2720,6 +2856,14 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         ("documents",),
         "semantic dedup end-to-end: hash embedding -> cosine near-dup "
         "(theta=0.9) -> connected components -> representatives",
+    ),
+    "doc_semantic_dedup_2l": QueryDef(
+        q_doc_semantic_dedup_2l,
+        _sql_doc_semantic_dedup_2l(),
+        ("documents",),
+        "two-level (product-blocked) semantic dedup: two independent "
+        "cbrt(n)-cell clusterings, pairs must share BOTH cells — "
+        "O(n^4/3), the sub-n^1.5 scale path",
     ),
     "doc_repetition": QueryDef(
         q_doc_repetition,

@@ -73,6 +73,7 @@ DOC_QUERIES = [
     "doc_embed_hash",
     "doc_pii_scrub",
     "doc_semantic_dedup",
+    "doc_semantic_dedup_2l",
     "corpus_curation_pipeline",
 ]
 EMB_QUERIES = [
@@ -371,6 +372,41 @@ def lsh_bucket_stats(spark, sf_dir: str) -> dict:
     }
 
 
+def sem2_overlap(spark, sf_dir: str) -> dict:
+    """Duplicate-detection agreement between single-level (sqrt(n)-cell)
+    and two-level (product-blocked, cbrt(n)^2-cell) semantic dedup over
+    the same corpus: |dups| per variant, overlap, and 2L's recall of
+    the 1L dup set — the recall side of the O(n^1.5) -> O(n^4/3)
+    blocking trade."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
+        REGISTRY,
+    )
+    from comp5339dataengineering_realtimefuelanalysis_spark.functions.caching import (
+        release_tracked,
+    )
+
+    d1 = {
+        r.doc_id
+        for r in REGISTRY["doc_semantic_dedup"].fn(spark, sf_dir)
+        .filter("NOT keep").collect()
+    }
+    release_tracked()
+    d2 = {
+        r.doc_id
+        for r in REGISTRY["doc_semantic_dedup_2l"].fn(spark, sf_dir)
+        .filter("NOT keep").collect()
+    }
+    release_tracked()
+    inter = len(d1 & d2)
+    return {
+        "dups_1l": len(d1),
+        "dups_2l": len(d2),
+        "overlap": inter,
+        "recall_2l_of_1l": round(inter / max(1, len(d1)), 4),
+        "only_2l": len(d2 - d1),
+    }
+
+
 def emb_near_dup_production(spark, sf_dir: str, passes: int) -> dict:
     """The registry's theta=0.30 is tuned to the driver corpus's label
     structure; at that threshold pair COUNT necessarily densifies
@@ -450,6 +486,8 @@ def main() -> None:
                  lambda: lsh_bucket_stats(spark, sf_dir)),
                 ("emb_near_dup_t60",
                  lambda: emb_near_dup_production(spark, sf_dir, args.passes)),
+                ("sem2_overlap",
+                 lambda: sem2_overlap(spark, sf_dir)),
             ):
                 try:
                     scale_res[key] = thunk()
