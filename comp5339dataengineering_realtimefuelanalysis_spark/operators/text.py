@@ -635,6 +635,12 @@ def _replace_each(
     return one_pass(one_pass(acc))
 
 
+def _count_matches(c: Column, pat: str) -> Column:
+    return F.size(
+        F.regexp_extract_all(c, F.lit(pat), F.lit(0))
+    ).cast("long")
+
+
 def scrub_pii(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -650,23 +656,60 @@ def scrub_pii(
 
     Replacement order is email -> card -> phone -> ip -> secret (cards
     BEFORE phones: a card's digit groups are phone-shaped and must not
-    be half-eaten by the phone scrub), counted BEFORE any replacement
-    so counts refer to the original text.
+    be half-eaten by the phone scrub). Each count is computed on the
+    text the corresponding replacement STAGE actually ran over (email
+    on the original; cards on the post-email text; phones post-card;
+    IPs post-phone; secrets post-ip) — so a Luhn-valid card's
+    separator groups are not double-counted as a phone the scrub never
+    replaced, and every count reconciles against the replacements its
+    stage performed. The chain is built as SEPARATE projections whose
+    intermediate text columns are referenced more than once, so
+    CollapseProject leaves each stage evaluated once per row instead of
+    re-inlining the (interpreted-HOF) fold into every consumer.
     """
+    email_pat, email_tok = PII_PATTERNS["email"]
+    phone_pat, phone_tok = PII_PATTERNS["phone"]
+    ip_pat, ip_tok = PII_PATTERNS["ip"]
     c = F.col(text_col)
-    counts = [
-        F.size(
-            F.regexp_extract_all(c, F.lit(pat), F.lit(0))
-        ).cast("long").alias(f"n_{kind}")
-        for kind, (pat, _) in PII_PATTERNS.items()
-    ]
-    return df.select(
+    s = df.select(
         id_col,
-        scrubbed_text(c).alias("clean_text"),
-        counts[0],
-        F.size(card_matches(c)).cast("long").alias("n_card"),
-        *counts[1:],
-        F.size(secret_matches(c)).cast("long").alias("n_secret"),
+        _count_matches(c, email_pat).alias("n_email"),
+        F.regexp_replace(c, email_pat, email_tok).alias("_t1"),
+    )
+    s = s.select(
+        id_col, "n_email", "_t1",
+        card_matches(F.col("_t1")).alias("_cards"),
+    )
+    s = s.select(
+        id_col,
+        "n_email",
+        F.size("_cards").cast("long").alias("n_card"),
+        _replace_each(
+            F.col("_t1"), F.col("_cards"), CARD_TOKEN, "[^0-9]"
+        ).alias("_t2"),
+    )
+    s = s.select(
+        id_col, "n_email", "n_card",
+        _count_matches(F.col("_t2"), phone_pat).alias("n_phone"),
+        F.regexp_replace(F.col("_t2"), phone_pat, phone_tok).alias("_t2p"),
+    )
+    s = s.select(
+        id_col, "n_email", "n_card", "n_phone",
+        _count_matches(F.col("_t2p"), ip_pat).alias("n_ip"),
+        F.regexp_replace(F.col("_t2p"), ip_pat, ip_tok).alias("_t3"),
+    )
+    s = s.select(
+        id_col, "n_email", "n_card", "n_phone", "n_ip", "_t3",
+        secret_matches(F.col("_t3")).alias("_secrets"),
+    )
+    return s.select(
+        id_col,
+        _replace_each(
+            F.col("_t3"), F.col("_secrets"), SECRET_TOKEN,
+            "[^A-Za-z0-9+_=-]",
+        ).alias("clean_text"),
+        "n_email", "n_card", "n_phone", "n_ip",
+        F.size("_secrets").cast("long").alias("n_secret"),
     )
 
 

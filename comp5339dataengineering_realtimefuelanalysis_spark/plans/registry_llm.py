@@ -2016,18 +2016,47 @@ def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_doc_pii_scrub() -> str:
-    # counts refer to the ORIGINAL text (the scrub_pii contract); the
-    # replacement chain is the shared _sql_scrubbed_text builder
-    n = {
-        kind: f"len(regexp_extract_all(text, '{pat}')) AS n_{kind}"
-        for kind, (pat, _) in tx.PII_PATTERNS.items()
-    }
-    return f"""SELECT doc_id, {_sql_scrubbed_text()} AS clean_text,
-               {n['email']},
-               len({_sql_card_matches('text')}) AS n_card,
-               {n['phone']}, {n['ip']},
-               len({_sql_secret_matches('text')}) AS n_secret
-        FROM documents"""
+    # staged CTE chain mirroring scrub_pii: each count is computed on
+    # the text its replacement stage actually ran over (email on the
+    # original, cards post-email, phones post-card, IPs post-phone,
+    # secrets post-ip) — the reconcilable-audit contract
+    email_pat, email_tok = tx.PII_PATTERNS["email"]
+    phone_pat, phone_tok = tx.PII_PATTERNS["phone"]
+    ip_pat, ip_tok = tx.PII_PATTERNS["ip"]
+    t2 = _sql_replace_each("t1", "cards", tx.CARD_TOKEN, "[^0-9]")
+    clean = _sql_replace_each(
+        "t3", "secrets", tx.SECRET_TOKEN, "[^A-Za-z0-9+_=-]"
+    )
+    return f"""WITH s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{email_pat}'))
+                       AS n_email,
+                   regexp_replace(text, '{email_pat}', '{email_tok}',
+                       'g') AS t1
+            FROM documents),
+        s2 AS (SELECT *, {_sql_card_matches('t1')} AS cards FROM s1),
+        s3 AS (
+            SELECT doc_id, n_email, len(cards) AS n_card, {t2} AS t2
+            FROM s2),
+        s4 AS (
+            SELECT doc_id, n_email, n_card,
+                   len(regexp_extract_all(t2, '{phone_pat}'))
+                       AS n_phone,
+                   regexp_replace(t2, '{phone_pat}', '{phone_tok}',
+                       'g') AS t2p
+            FROM s3),
+        s5 AS (
+            SELECT doc_id, n_email, n_card, n_phone,
+                   len(regexp_extract_all(t2p, '{ip_pat}')) AS n_ip,
+                   regexp_replace(t2p, '{ip_pat}', '{ip_tok}', 'g')
+                       AS t3
+            FROM s4),
+        s6 AS (SELECT *, {_sql_secret_matches('t3')} AS secrets
+               FROM s5)
+        SELECT doc_id, {clean} AS clean_text,
+               n_email, n_card, n_phone, n_ip,
+               len(secrets) AS n_secret
+        FROM s6"""
 
 
 _TEXT_EMB_DIM = 64
@@ -2053,6 +2082,27 @@ def _sem_k(n: int) -> int:
 _TEXT_EMB_PATHS: dict[str, str] = {}
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Cheap fingerprint of the documents table at sf_dir (mtime_ns +
+    size over the parquet file, or every part file if a directory) —
+    part of the embedding-cache key, so a scale dir regenerated
+    IN-PROCESS invalidates the cached vectors instead of silently
+    serving stale embeddings to doc_embed_hash / doc_semantic_dedup."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            tot_m = tot_s = 0
+            for name in os.listdir(path):
+                s = os.stat(os.path.join(path, name))
+                tot_m = max(tot_m, s.st_mtime_ns)
+                tot_s += s.st_size
+            return f"{tot_m}:{tot_s}"
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "absent"
+
+
 def _text_emb_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hashing-trick document-embedding frame (doc_id, embedding)
     for sf_dir, materialized ONCE to parquet under the managed temp root
@@ -2060,8 +2110,13 @@ def _text_emb_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_semantic_dedup both consume the same vectors, and without the
     shared materialization each registry pass recomputed the full
     explode+shuffle twice. Parquet round-trips float32 bit-exactly, so
-    oracle parity is unaffected; release_ivf_indexes() drops it."""
-    key = f"{sf_dir}:textemb:{_TEXT_EMB_DIM}:{_TEXT_EMB_SEED}"
+    oracle parity is unaffected; release_ivf_indexes() drops it. The
+    key carries a source-corpus fingerprint (_corpus_fingerprint), so
+    regenerating a scale dir in-process invalidates the cache."""
+    key = (
+        f"{sf_dir}:textemb:{_TEXT_EMB_DIM}:{_TEXT_EMB_SEED}"
+        f":{_corpus_fingerprint(sf_dir)}"
+    )
     path = _TEXT_EMB_PATHS.get(key)
     if path is None or not os.path.isdir(path):
         path = _ivf_index_dir(key)
@@ -2272,6 +2327,26 @@ def _sem2_k(n: int) -> int:
     return max(4, _icbrt(n))
 
 
+def _sql_icbrt_k(src: str) -> str:
+    """_sem2_k replayed in SQL, exact for ANY corpus size (the former
+    MAX over range(1, 10001) was exact only to 1e12 docs, and DuckDB's
+    range() table function cannot take a count-derived bound — table
+    functions reject subqueries): start from the libm cube root rounded
+    to integer, then correct over a ±2 window with the EXACT integer
+    predicate j^3 <= n. Double-precision cbrt is within ~1 ulp, so the
+    true integer root always lies inside the window for any n < 2^63;
+    libm variance moves only the window center, never the corrected
+    MAX."""
+    cnt = f"(SELECT COUNT(*) FROM {src})"
+    j0 = f"CAST(round(pow(CAST({cnt} AS DOUBLE), 1.0/3.0)) AS BIGINT)"
+    return (
+        f"(SELECT GREATEST(4, MAX(jj)) FROM ("
+        f"SELECT {j0} + d AS jj "
+        f"FROM (VALUES (-2), (-1), (0), (1), (2)) t(d)) s "
+        f"WHERE jj >= 1 AND jj*jj*jj <= {cnt})"
+    )
+
+
 def q_doc_semantic_dedup_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-LEVEL (product-blocked) semantic dedup — the sub-n^1.5 scale
     path the single-level curve motivated (SCALE.md: the sqrt(n)-cell
@@ -2337,11 +2412,9 @@ def _sql_doc_semantic_dedup_2l() -> str:
     n1 = _SEM_ITERS + 1
     sq = "CAST({0}.svec[CAST(i AS INT)] AS HUGEINT)"
     # exact integer cube root replayed as MAX over an integer range —
-    # engine-exact where pow()/cbrt() are libm-dependent
-    k_sql = (
-        "(SELECT GREATEST(4, MAX(j)) FROM range(1, 10001) r(j) "
-        "WHERE j*j*j <= (SELECT COUNT(*) FROM documents))"
-    )
+    # engine-exact where pow()/cbrt() are libm-dependent; the range
+    # bound derives from the count (_sql_icbrt_k), exact at any n
+    k_sql = _sql_icbrt_k("documents")
     chain_a = _sql_kmeans_chain(
         n1, src="emb", id_col="doc_id", dim=_TEXT_EMB_DIM, k=k_sql,
         prefix="ta",

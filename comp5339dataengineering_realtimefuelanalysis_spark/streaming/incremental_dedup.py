@@ -284,6 +284,18 @@ class StreamingIncrementalDedup:
             f"cell {t}, ingest_epoch long"
         )
 
+    def _sem_index_has_rows(self, spark: SparkSession) -> bool:
+        """True when the at-rest semantic index holds ANY admitted
+        rows — the precondition under which retraining centroids is
+        forbidden (see _sem_centroids)."""
+        try:
+            idx = spark.read.schema(self._sem_read_schema()).parquet(
+                self._sem_rows_path()
+            )
+            return idx.first() is not None
+        except AnalysisException:
+            return False
+
     def _sem_centroids(
         self, spark: SparkSession, emb: DataFrame
     ) -> DataFrame:
@@ -291,7 +303,18 @@ class StreamingIncrementalDedup:
         or — first use only — train deterministically on ``emb`` (one
         quantized Lloyd iteration from lowest-id seeds) and pin. A
         replayed first epoch retrains on the identical batch and
-        produces byte-identical centroids, so the overwrite converges."""
+        produces byte-identical centroids, so the overwrite converges.
+
+        Retraining is ONLY legal while the at-rest cell index is empty:
+        the index's (cell=...) partitions were written under the pinned
+        centroids, and centroids trained on a LATER batch would produce
+        different cell ids — the corpus screen's join on 'cell' would
+        silently miss and re-admit rephrased near-duplicates. So a
+        missing/torn centroid file with a non-empty index RAISES
+        (restore the file, or rebuild index + centroids together via
+        backfill_sem_index after clearing both) instead of falling
+        through to the convergent-overwrite path, which is sound for a
+        replayed FIRST epoch only."""
         cpath = self._sem_cents_path()
         schema = f"cid {self._id_type()}, c_svec array<bigint>"
         try:
@@ -303,6 +326,15 @@ class StreamingIncrementalDedup:
                 return cents
         except AnalysisException:
             pass
+        if self._sem_index_has_rows(spark):
+            raise RuntimeError(
+                f"semantic index at {self.sem_index_path} has admitted "
+                "rows but its pinned centroids are missing or empty — "
+                "retraining on the current batch would re-cell the "
+                "blocking and silently mis-join the existing index. "
+                "Restore the centroids parquet, or delete the index "
+                "rows and rebuild both via backfill_sem_index(spark)."
+            )
         trained = sim.kmeans_train_centroids(
             emb,
             k=self.sem_k,

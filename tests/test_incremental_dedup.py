@@ -564,3 +564,26 @@ def test_semantic_coverage_guard_and_backfill(spark, tmp_path):
     sem._sink(later, epoch_id=7)
     # 10 is a rephrase of pre-index doc 1: rejected via backfilled index
     assert _silver_ids(spark, sem) == {1, 2}
+
+
+def test_sem_centroid_loss_with_populated_index_raises(spark, tmp_path):
+    """A missing/torn centroid file while the at-rest cell index holds
+    admitted rows must RAISE, never retrain: centroids trained on a
+    later batch re-cell the blocking, so the screen's join on 'cell'
+    would silently miss the existing index and re-admit rephrases. The
+    convergent-retrain path is only sound while the index is empty."""
+    import shutil
+
+    d = _sem_dedup(spark, tmp_path)
+    _land(spark, d, [(1, BASE), (2, OTHER)])
+    _run(d)
+    assert _silver_ids(spark, d) == {1, 2}
+
+    shutil.rmtree(str(tmp_path / "semidx" / "centroids"))
+    d2 = _sem_dedup(spark, tmp_path)
+    with pytest.raises(RuntimeError, match="centroids are missing"):
+        d2._sink(
+            spark.createDataFrame([(10, SEM_REPH)], SCHEMA), epoch_id=9
+        )
+    # silver unchanged: the guard fired before any admission
+    assert _silver_ids(spark, d2) == {1, 2}

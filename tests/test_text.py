@@ -297,7 +297,9 @@ def test_scrub_pii_cards_luhn_gated(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in tx.scrub_pii(df).collect()}
     assert got[1].clean_text == "pay with <CARD> today"
-    assert got[1].n_card == 1 and got[1].n_phone == 1  # counts = original
+    # phones counted on the POST-card text: the card's separator groups
+    # are no longer double-reported as a phone the scrub never replaced
+    assert got[1].n_card == 1 and got[1].n_phone == 0
     assert got[2].clean_text.count("<CARD>") == 2 and got[2].n_card == 2
     # ISBN-13 fails Luhn; 13-digit order number fails Luhn: untouched
     assert "978-0-306-40615-7" in got[3].clean_text
