@@ -570,6 +570,49 @@ def _kmeans_seeds(
     )
 
 
+def _assign_dist(dim: int, unit_norm: bool) -> Column:
+    """The centroid-assignment distance expression over columns
+    ``svec`` / ``c_svec``: exact integer squared-L2, on the
+    dim-unrolled int64 path under the unit-norm bound, else the
+    dim-agnostic HOF decimal path (see _lloyd_assign for the full
+    trade discussion)."""
+    if unit_norm:
+        # unrolled path hard-indexes 1..dim: BOTH sides must match
+        # the static dim (a longer c_svec would silently truncate)
+        return _dim_guard(
+            F.col("svec"),
+            dim,
+            _dim_guard(
+                F.col("c_svec"),
+                dim,
+                l2sq_scaled_unrolled(
+                    F.col("svec"), F.col("c_svec"), dim,
+                    long_acc=True,
+                ),
+            ),
+        )
+    # generic path: HOF decimal — unrolled decimal is slower
+    # (BigDecimal per term); see dot_scaled_unrolled docstring.
+    # Guarded PAIRWISE (not against the static dim): zip_with
+    # silently truncates a corpus/centroid length skew, but
+    # equal-length vectors of any width are fine — dim-agnostic
+    # callers with non-default widths keep working
+    return _pair_guard(
+        F.col("svec"),
+        F.col("c_svec"),
+        F.aggregate(
+            F.zip_with(
+                F.col("svec"),
+                F.col("c_svec"),
+                lambda x, y: (x.cast(_ACC) - y.cast(_ACC))
+                * (x.cast(_ACC) - y.cast(_ACC)),
+            ),
+            F.lit(0).cast(_ACC),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def _lloyd_assign(
     c: DataFrame,
     cents: DataFrame,
@@ -590,44 +633,7 @@ def _lloyd_assign(
     (a BigDecimal allocation per term — see dot_scaled_unrolled)."""
     return (
         c.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "dist",
-            # unrolled path hard-indexes 1..dim: BOTH sides must match
-            # the static dim (a longer c_svec would silently truncate)
-            _dim_guard(
-                F.col("svec"),
-                dim,
-                _dim_guard(
-                    F.col("c_svec"),
-                    dim,
-                    l2sq_scaled_unrolled(
-                        F.col("svec"), F.col("c_svec"), dim,
-                        long_acc=True,
-                    ),
-                ),
-            )
-            if unit_norm
-            # generic path: HOF decimal — unrolled decimal is slower
-            # (BigDecimal per term); see dot_scaled_unrolled docstring.
-            # Guarded PAIRWISE (not against the static dim): zip_with
-            # silently truncates a corpus/centroid length skew, but
-            # equal-length vectors of any width are fine — dim-agnostic
-            # callers with non-default widths keep working
-            else _pair_guard(
-                F.col("svec"),
-                F.col("c_svec"),
-                F.aggregate(
-                    F.zip_with(
-                        F.col("svec"),
-                        F.col("c_svec"),
-                        lambda x, y: (x.cast(_ACC) - y.cast(_ACC))
-                        * (x.cast(_ACC) - y.cast(_ACC)),
-                    ),
-                    F.lit(0).cast(_ACC),
-                    lambda acc, x: acc + x,
-                ),
-            ),
-        )
+        .withColumn("dist", _assign_dist(dim, unit_norm))
         .groupBy(id_col)
         .agg(
             F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
@@ -776,6 +782,73 @@ def kmeans_assign(
         ),
         id_col,
     )
+
+
+def kmeans_assign_probes(
+    corpus: DataFrame,
+    cents: DataFrame,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    unit_norm: bool = False,
+) -> DataFrame:
+    """Each vector's ``probes`` NEAREST trained centroids — the
+    multi-probe blocking assignment (one row per (vector, probe):
+    ``(id_col, cluster_id, cell_rank)``, cell_rank 1..probes by exact
+    integer L2, lowest-cid tiebreak). Rank r here is identical to
+    ``ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) = r`` —
+    the oracle-replayable contract.
+
+    Scale shape: NOT a window over the n x k distance fan-out (a
+    window has no partial aggregation, so the full fan-out would cross
+    the exchange). Instead ``probes`` successive min_by passes, each a
+    broadcast k-row fan-out collapsed MAP-SIDE to one row per vector
+    (the _lloyd_assign shape), with earlier picks excluded inside the
+    map via an array column the row itself carries — per pass the
+    shuffle moves n rows, never n x k. probes is a small constant
+    (2 in practice), so the total cost is ~probes assignment passes.
+    """
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
+    cur = corpus.select(
+        F.col(id_col),
+        scaled_vec(F.col(vec_col)).alias("svec"),
+        # empty array typed like the id column (cids are seed ids, so
+        # they share its type): slice(.., 1, 0) of a 1-element array
+        F.slice(F.array(F.col(id_col)), 1, 0).alias("taken"),
+    )
+    picked = []
+    for r in range(1, probes + 1):
+        fan = (
+            cur.crossJoin(F.broadcast(cents))
+            .filter(~F.array_contains(F.col("taken"), F.col("cid")))
+            .withColumn("dist", _assign_dist(dim, unit_norm))
+        )
+        step = fan.groupBy(id_col).agg(
+            F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
+            F.first("svec").alias("svec"),
+            F.first("taken").alias("taken"),
+        )
+        picked.append(
+            step.select(
+                id_col,
+                F.col("cid").alias("cluster_id"),
+                F.lit(r).alias("cell_rank"),
+            )
+        )
+        if r < probes:
+            cur = step.select(
+                id_col,
+                "svec",
+                F.array_append(F.col("taken"), F.col("cid")).alias(
+                    "taken"
+                ),
+            )
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def ivf_write_kmeans(

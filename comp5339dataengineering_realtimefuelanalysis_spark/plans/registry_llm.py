@@ -890,6 +890,22 @@ def _sql_stratified_sample() -> str:
         WHERE {bucket} < CASE lang {cases} ELSE 0 END"""
 
 
+def _oracle_safe_alpha(alpha: float) -> float:
+    """Loud guard at the registry seam: oracle-gated temperature_mix
+    queries must pin alpha=0.5. sqrt is CORRECTLY ROUNDED in IEEE 754,
+    so the DuckDB oracle replays the exact keep decision; any other
+    alpha goes through pow(), whose result may differ across engines'
+    libm by an ulp — enough to flip a keep decision when rate*buckets
+    straddles an integer, failing the hash gate non-deterministically."""
+    if alpha != 0.5:
+        raise ValueError(
+            f"registry temperature_mix must pin alpha=0.5, got {alpha}:"
+            " non-sqrt exponents are libm-dependent and cannot be"
+            " replayed bit-exactly by the DuckDB oracle"
+        )
+    return alpha
+
+
 def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture sampling at alpha=0.5
     (operators/selection.py:temperature_mix): per-language keep rates
@@ -899,7 +915,9 @@ def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast rates join + map-only hash filter."""
     docs = _docs_parallel(spark, sf_dir)
     return sel.temperature_mix(
-        docs.select("doc_id", "lang"), "lang"
+        docs.select("doc_id", "lang"),
+        "lang",
+        alpha=_oracle_safe_alpha(0.5),
     ).select("doc_id", "lang", "keep_rate", "bucket")
 
 
@@ -1016,8 +1034,15 @@ def _sql_contamination() -> str:
         WHERE CAST(n_shared AS DOUBLE) / sz >= {_CONTAM_MIN_FRAC}"""
 
 
+# Survivor count above which the pipeline's semantic stage switches
+# from single-level (k=sqrt(n), n^1.5) to two-level product blocking
+# (O(n^(4/3))) in sem_mode="auto" — SCALE.md's measured crossover: the
+# flat blocking is n^1.5-dominant beyond ~50k docs per partition-set.
+_SEM_MODE_CROSSOVER = 50_000
+
+
 def q_corpus_curation_pipeline(
-    spark: SparkSession, sf_dir: str, stage_cb=None
+    spark: SparkSession, sf_dir: str, stage_cb=None, sem_mode: str = "auto"
 ) -> DataFrame:
     """The END-TO-END curation pipeline, every stage sequentially composed
     (each operates on the previous stage's survivors, not independent
@@ -1043,7 +1068,16 @@ def q_corpus_curation_pipeline(
     tools/profile_curation.py: each named stage builds through it, so the
     profiler times (and materializes) EXACTLY the production frames —
     the default identity hook leaves the production plan untouched.
+
+    ``sem_mode`` selects the semantic stage's blocking: ``"1l"`` =
+    single-level k=sqrt(n) cells (n^1.5 — fine below the crossover),
+    ``"2l"`` = two-level product blocking with multi-probe level A
+    (O(n^(4/3)) — the measured scale path), ``"auto"`` (default) =
+    pick by the stage's survivor count vs _SEM_MODE_CROSSOVER. The
+    oracle replays all three (auto as count-guarded branches).
     """
+    if sem_mode not in ("auto", "1l", "2l"):
+        raise ValueError(f"sem_mode must be auto|1l|2l, got {sem_mode!r}")
     if stage_cb is None:
         stage_cb = lambda _name, thunk: thunk()  # noqa: E731
     docs = _docs_parallel(spark, sf_dir)
@@ -1191,13 +1225,17 @@ def q_corpus_curation_pipeline(
         ),
     )
 
-    # SEMANTIC dedup stage (round 8): the shingle stages catch copy-
-    # edits; this catches REPHRASINGS — the q_doc_semantic_dedup
-    # composition (hashing-trick embed -> k=floor(sqrt(n)) k-means-cell
-    # blocking -> int64-unrolled exact cosine -> hybrid CC) applied to
-    # the shingle-dedup survivors, keeping each semantic cluster's
-    # min-id representative. The stage materializes only the TINY
-    # non-representative id set; text comes from persisted kept1.
+    # SEMANTIC dedup stage (round 8, scale-adaptive round 9): the
+    # shingle stages catch copy-edits; this catches REPHRASINGS —
+    # hashing-trick embed -> cell-blocked int64-unrolled exact cosine
+    # -> hybrid CC over the shingle-dedup survivors, keeping each
+    # semantic cluster's min-id representative. Blocking follows
+    # sem_mode: single-level k=sqrt(n) cells below the measured
+    # crossover, two-level product blocking (multi-probe level A)
+    # above it — the pipeline no longer hardcodes the n^1.5 path its
+    # own SCALE curves proved dominant past ~50k survivors. The stage
+    # materializes only the TINY non-representative id set; text comes
+    # from persisted kept1.
     def _sem_drop() -> DataFrame:
         sem_docs = kept1.select("doc_id", "text").join(
             non_reps, "doc_id", "left_anti"
@@ -1207,18 +1245,46 @@ def q_corpus_curation_pipeline(
                 sem_docs, dim=_TEXT_EMB_DIM, seed=_TEXT_EMB_SEED
             ).withColumnRenamed("doc_id", "vec_id")
         )
-        k = _sem_k(emb.count())
-        cents = sim.kmeans_train_centroids(
-            emb, k=k, iters=_SEM_ITERS, unit_norm=True
-        )
-        assigned = tracked_persist(
-            sim.kmeans_assign(emb, cents, unit_norm=True)
-        )
+        n = emb.count()
+        mode = sem_mode
+        if mode == "auto":
+            mode = "2l" if n > _SEM_MODE_CROSSOVER else "1l"
+        if mode == "1l":
+            cents = sim.kmeans_train_centroids(
+                emb, k=_sem_k(n), iters=_SEM_ITERS, unit_norm=True
+            )
+            assigned = tracked_persist(
+                sim.kmeans_assign(emb, cents, unit_norm=True)
+            )
+            block_col = "cluster_id"
+        else:
+            k2 = _sem2_k(n)
+            ca = sim.kmeans_train_centroids(
+                emb, k=k2, iters=_SEM_ITERS, unit_norm=True
+            )
+            cb = sim.kmeans_train_centroids(
+                emb, k=k2, iters=_SEM_ITERS, unit_norm=True,
+                seed_order="desc",
+            )
+            aa = sim.kmeans_assign_probes(
+                emb, ca, probes=_SEM2_PROBES, unit_norm=True
+            ).select("vec_id", F.col("cluster_id").alias("cell_a"))
+            ab = sim.kmeans_assign(emb, cb, unit_norm=True).select(
+                "vec_id", F.col("cluster_id").alias("cell_b")
+            )
+            assigned = tracked_persist(
+                emb.join(aa, "vec_id")
+                .join(ab, "vec_id")
+                .withColumn(
+                    "block", F.concat_ws("_", "cell_a", "cell_b")
+                )
+            )
+            block_col = "block"
         spairs = sim.embedding_near_dup_pairs(
             assigned,
             threshold=_SEM_THRESHOLD,
             dim=_TEXT_EMB_DIM,
-            block_col="cluster_id",
+            block_col=block_col,
             unit_norm=True,
         )
         scc = dd.connected_components(spairs, "id_a", "id_b")
@@ -1242,11 +1308,13 @@ def q_corpus_curation_pipeline(
     # packer references its input several times, and each reference
     # re-evaluates only cached-kept2 + hash filter + this broadcast
     # anti-join — the contamination inverted-index subplan runs once.
-    # The sample moved BEFORE the decontamination anti-join: membership
-    # is a pure per-row predicate (bucket = md5-hash of doc_id alone;
-    # lang only selects the per-stratum rate threshold), so sampling
-    # survivors then dropping dirty ids selects the identical rows, and
-    # the two screens no longer serialize against each other.
+    # The sample stays BEFORE the decontamination anti-join: the
+    # temperature rates are PINNED to the post-semantic-dedup survivor
+    # counts (kept3 — the curated corpus the mix policy is defined
+    # over), so per-row membership is a pure predicate (bucket from
+    # doc_id; lang selects a rate that is a kept3-derived constant) and
+    # sampling survivors then dropping dirty ids selects the identical
+    # rows — the two screens don't serialize against each other.
     # stage_cb wraps the PERSISTED dirty frame (what production actually
     # consumes), not the raw contam pairs — materializing the pairs
     # separately made the profiler re-run the inverted-index subplan
@@ -1266,8 +1334,18 @@ def q_corpus_curation_pipeline(
             .distinct()
         ),
     )
-    samp = sel.stratified_sample(
-        kept3.select("doc_id", "lang"), "lang", _SAMPLE_RATES
+    # Sampling stage = TEMPERATURE mixture (round 9): per-language keep
+    # rates (n_min/n_s)^0.5 flatten abundant languages toward the
+    # rarest — the knob an LLM-data pipeline actually ships, replacing
+    # the fixed per-language percentage table. alpha is pinned 0.5
+    # through the loud registry guard (sqrt is correctly rounded in
+    # IEEE 754; any other alpha's pow() is libm-dependent and breaks
+    # bit-exact oracle replay). One tiny count agg over the narrow
+    # persisted kept3 + a broadcast rates join + map-only filter.
+    samp = sel.temperature_mix(
+        kept3.select("doc_id", "lang"),
+        "lang",
+        alpha=_oracle_safe_alpha(0.5),
     )
     kept4 = kept3.join(samp.select("doc_id"), "doc_id").join(
         dirty, "doc_id", "left_anti"
@@ -1280,24 +1358,40 @@ def q_corpus_curation_pipeline(
     )
 
 
-def _sql_sem_stage_ctes(src: str) -> str:
-    """The semantic-dedup stage as a CTE chunk over ``src`` (doc_id,
-    text, lang): the q_doc_semantic_dedup oracle chain — embed ->
-    k-means chain with count-derived k -> cell-blocked exact-cosine
-    pairs -> recursive closure — ending in ``semkept`` = src minus the
-    semantic non-representatives. Built from the same shared builders
-    as the standalone query, so the two cannot drift."""
+_SQL_COS_GATE = (
+    "CAST(dot AS DOUBLE) / (sqrt(CAST(an AS DOUBLE))"
+    " * sqrt(CAST(bn AS DOUBLE)))"
+)
+
+
+def _sql_sem_cc_ctes(pfx: str, sel: str) -> str:
+    """Symmetric edges + recursive walk + per-node min-root closure
+    over the verified-pair CTE ``sel``; ends in ``{pfx}comp`` (node,
+    root)."""
+    return f"""{pfx}edges AS (SELECT id_a AS u, id_b AS v FROM {sel}
+                     UNION SELECT id_b, id_a FROM {sel}),
+        {pfx}walk(node, root) AS (
+            SELECT u, u FROM {pfx}edges
+            UNION
+            SELECT e.v, sw.root FROM {pfx}walk sw
+            JOIN {pfx}edges e ON e.u = sw.node),
+        {pfx}comp AS (SELECT node, MIN(root) AS root FROM {pfx}walk
+                      GROUP BY node)"""
+
+
+def _sql_sem_sel_1l(src: str, emb_src: str) -> str:
+    """Single-level semantic pair selection over ``emb_src`` (doc_id,
+    embedding) with k = max(8, floor(sqrt(|src|))): the
+    q_doc_semantic_dedup chain — ends in ``semsel`` (verified cosine
+    pairs)."""
     asg = f"asg{_SEM_ITERS + 1}"
     sq = "CAST({0}.svec[CAST(i AS INT)] AS HUGEINT)"
     k_sql = (
         "(SELECT GREATEST(8, CAST(floor(sqrt(COUNT(*))) AS BIGINT))"
         f" FROM {src})"
     )
-    emb_ctes = _sql_doc_embed_ctes().replace(
-        "FROM documents", f"FROM {src}"
-    )
-    return f"""{emb_ctes},
-        {_sql_kmeans_chain(_SEM_ITERS + 1, src="emb", id_col="doc_id",
+    return f"""{_sql_kmeans_chain(_SEM_ITERS + 1, src=emb_src,
+                           id_col="doc_id",
                            dim=_TEXT_EMB_DIM, k=k_sql)},
         sempairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1310,30 +1404,129 @@ def _sql_sem_stage_ctes(src: str) -> str:
             GROUP BY a.vec_id, b.vec_id),
         semsel AS (
             SELECT id_a, id_b FROM sempairs
-            WHERE CAST(dot AS DOUBLE)
-                      / (sqrt(CAST(an AS DOUBLE))
-                         * sqrt(CAST(bn AS DOUBLE)))
-                  >= {_SEM_THRESHOLD}),
-        semedges AS (SELECT id_a AS u, id_b AS v FROM semsel
-                     UNION SELECT id_b, id_a FROM semsel),
-        semwalk(node, root) AS (
-            SELECT u, u FROM semedges
-            UNION
-            SELECT e.v, sw.root FROM semwalk sw
-            JOIN semedges e ON e.u = sw.node),
-        semcomp AS (SELECT node, MIN(root) AS root FROM semwalk
-                    GROUP BY node),
+            WHERE {_SQL_COS_GATE} >= {_SEM_THRESHOLD})"""
+
+
+def _sql_sem_sel_2l(src: str, emb_src: str) -> str:
+    """Two-level product-blocked pair selection over ``emb_src`` with
+    k = max(4, icbrt(|src|)) per level, multi-probe on both levels —
+    the q_doc_semantic_dedup_2l chain, namespaced ``t2``; ends in
+    ``t2sel`` (verified cosine pairs)."""
+    n1 = _SEM_ITERS + 1
+    sq = "CAST({0}.svec[CAST(i AS INT)] AS HUGEINT)"
+    k_sql = _sql_icbrt_k(src)
+    chain_a = _sql_kmeans_chain(
+        n1, src=emb_src, id_col="doc_id", dim=_TEXT_EMB_DIM, k=k_sql,
+        prefix="ta",
+    )
+    chain_b = _sql_kmeans_chain(
+        n1, src=emb_src, id_col="doc_id", dim=_TEXT_EMB_DIM, k=k_sql,
+        prefix="tb", seed_order="desc",
+    )
+    return f"""{chain_a},
+        {chain_b},
+        t2probea AS (
+            SELECT vec_id, cid AS ca FROM tapairs{n1}
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid)
+                <= {_SEM2_PROBES}),
+        t2probeb AS (
+            SELECT vec_id, cid AS cb FROM tbpairs{n1}
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid)
+                <= {_SEM2_PROBES}),
+        t2blocks AS (
+            SELECT a.vec_id, a.ca, b.cb
+            FROM t2probea a JOIN t2probeb b USING (vec_id)),
+        t2cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM t2blocks a JOIN t2blocks b
+                 ON a.ca = b.ca AND a.cb = b.cb
+                    AND a.vec_id < b.vec_id),
+        t2pairs AS (
+            SELECT cd.id_a, cd.id_b,
+                   SUM({sq.format('a')} * {sq.format('b')}) AS dot,
+                   SUM({sq.format('a')} * {sq.format('a')}) AS an,
+                   SUM({sq.format('b')} * {sq.format('b')}) AS bn
+            FROM t2cand cd
+            JOIN tac a ON a.vec_id = cd.id_a
+            JOIN tac b ON b.vec_id = cd.id_b,
+                 range(1, {_TEXT_EMB_DIM + 1}) r(i)
+            GROUP BY cd.id_a, cd.id_b),
+        t2sel AS (
+            SELECT id_a, id_b FROM t2pairs
+            WHERE {_SQL_COS_GATE} >= {_SEM_THRESHOLD})"""
+
+
+def _sql_semkept_select(src: str, comp: str) -> str:
+    return (
+        f"SELECT nd.doc_id, nd.text, nd.lang FROM {src} nd "
+        f"LEFT JOIN {comp} sc ON sc.node = nd.doc_id "
+        f"WHERE sc.node IS NULL OR sc.root = nd.doc_id"
+    )
+
+
+def q_corpus_curation_pipeline_2l(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The curation pipeline with the semantic stage PINNED to the
+    two-level product-blocked path — the composition a 100 TB run
+    would execute (auto picks it above _SEM_MODE_CROSSOVER survivors,
+    but driver corpora sit below the crossover, so this pinned variant
+    is what keeps the 2l pipeline branch oracle-attested)."""
+    return q_corpus_curation_pipeline(spark, sf_dir, sem_mode="2l")
+
+
+def _sql_sem_stage_ctes(src: str, sem_mode: str = "auto") -> str:
+    """The semantic-dedup stage as a CTE chunk over ``src`` (doc_id,
+    text, lang), ending in ``semkept`` = src minus the semantic
+    non-representatives. ``sem_mode`` mirrors
+    q_corpus_curation_pipeline: '1l' replays the single-level chain,
+    '2l' the two-level product-blocked chain, and 'auto' replays the
+    runtime decision itself — both chains are present, each fed by a
+    COUNT-guarded copy of the input (the untaken branch's source is
+    empty, so its chain computes nothing), and semkept is the union.
+    Built from the same shared builders as the standalone queries, so
+    the modes cannot drift."""
+    emb_ctes = _sql_doc_embed_ctes().replace(
+        "FROM documents", f"FROM {src}"
+    )
+    if sem_mode == "1l":
+        return f"""{emb_ctes},
+        {_sql_sem_sel_1l(src, "emb")},
+        {_sql_sem_cc_ctes("sem", "semsel")},
         semkept AS MATERIALIZED (
-            SELECT nd.doc_id, nd.text, nd.lang FROM {src} nd
-            LEFT JOIN semcomp sc ON sc.node = nd.doc_id
-            WHERE sc.node IS NULL OR sc.root = nd.doc_id)"""
+            {_sql_semkept_select(src, "semcomp")})"""
+    if sem_mode == "2l":
+        return f"""{emb_ctes},
+        {_sql_sem_sel_2l(src, "emb")},
+        {_sql_sem_cc_ctes("t2", "t2sel")},
+        semkept AS MATERIALIZED (
+            {_sql_semkept_select(src, "t2comp")})"""
+    cnt = f"(SELECT COUNT(*) FROM {src})"
+    x = _SEM_MODE_CROSSOVER
+    return f"""{emb_ctes},
+        semsrc1 AS (SELECT * FROM {src} WHERE {cnt} <= {x}),
+        semsrc2 AS (SELECT * FROM {src} WHERE {cnt} > {x}),
+        sememb1 AS (SELECT * FROM emb WHERE {cnt} <= {x}),
+        sememb2 AS (SELECT * FROM emb WHERE {cnt} > {x}),
+        {_sql_sem_sel_1l("semsrc1", "sememb1")},
+        {_sql_sem_cc_ctes("sem", "semsel")},
+        {_sql_sem_sel_2l("semsrc2", "sememb2")},
+        {_sql_sem_cc_ctes("t2", "t2sel")},
+        semkept AS MATERIALIZED (
+            {_sql_semkept_select("semsrc1", "semcomp")}
+            UNION ALL
+            {_sql_semkept_select("semsrc2", "t2comp")})"""
 
 
-def _sql_curation_pipeline() -> str:
+def _sql_curation_pipeline(sem_mode: str = "auto") -> str:
     """CTE-for-CTE replay of q_corpus_curation_pipeline. Component SQL is
     re-targeted from `documents` to the previous stage's CTE by textual
     substitution of the builders' FROM clause (the builders are this
-    module's own format strings, so the substitution is exact)."""
+    module's own format strings, so the substitution is exact).
+    ``sem_mode`` selects the semantic stage's replay — see
+    _sql_sem_stage_ctes."""
     rows = _NUM_HASHES // _BANDS
     mins = ", ".join(
         f"MIN(({_SQL_H32} * {a} + {b}) % {dd.MINHASH_PRIME}) AS mh_{i}"
@@ -1354,12 +1547,11 @@ def _sql_curation_pipeline() -> str:
         " / (len(sa.sh_set) + len(sb.sh_set)"
         " - len(list_intersect(sa.sh_set, sb.sh_set)))"
     )
-    cases = " ".join(
-        f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items())
-    )
-    bucket = (
-        "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
-        "::BIGINT % 100 AS INT)"
+    # temperature-mix bucket (1e6 buckets; rates pinned to semkept =
+    # the post-semantic-dedup survivors, matching the Spark policy)
+    tmbucket = (
+        "CAST(('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)), 1, 8))"
+        "::BIGINT % 1000000 AS INT)"
     )
     c = _PACK_CTX
     return f"""WITH RECURSIVE
@@ -1409,7 +1601,7 @@ def _sql_curation_pipeline() -> str:
         nondup AS MATERIALIZED (SELECT e.doc_id, e.text, e.lang FROM exact e
                    LEFT JOIN comp ON e.doc_id = comp.node
                    WHERE comp.node IS NULL OR comp.component = e.doc_id),
-        {_sql_sem_stage_ctes("nondup")},
+        {_sql_sem_stage_ctes("nondup", sem_mode)},
         probe AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
         psh_all AS MATERIALIZED ({shingles_of("probe")}),
         csh_all AS MATERIALIZED (SELECT s.doc_id, s.shingle FROM sh1 s
@@ -1430,8 +1622,18 @@ def _sql_curation_pipeline() -> str:
                         >= {_CONTAM_MIN_FRAC}),
         clean AS MATERIALIZED (SELECT * FROM semkept
                   WHERE doc_id NOT IN (SELECT corpus_id FROM dirty)),
-        sampled AS MATERIALIZED (SELECT doc_id, text FROM clean
-                    WHERE {bucket} < CASE lang {cases} ELSE 0 END),
+        tmcounts AS (SELECT lang, COUNT(*) AS n FROM semkept
+                     GROUP BY lang),
+        tmmn AS (SELECT MIN(n) AS n_min FROM tmcounts),
+        tmrates AS (SELECT lang,
+                           sqrt(CAST(n_min AS DOUBLE)
+                                / CAST(n AS DOUBLE)) AS keep_rate
+                    FROM tmcounts, tmmn),
+        sampled AS MATERIALIZED (
+            SELECT c.doc_id, c.text FROM clean c
+            JOIN tmrates r ON r.lang = c.lang
+            WHERE CAST({tmbucket} AS DOUBLE)
+                  < r.keep_rate * 1000000.0),
         toks AS MATERIALIZED (SELECT doc_id, {_SQL_N_TOKENS_WS} AS n_tokens
                  FROM sampled),
         cum AS MATERIALIZED (SELECT doc_id, n_tokens,
@@ -2347,18 +2549,33 @@ def _sql_icbrt_k(src: str) -> str:
     )
 
 
+# Multi-probe width for the product blocking, applied to BOTH levels:
+# each vector joins the blocks of its _SEM2_PROBES nearest cells per
+# level (probes^2 block keys per vector). Closes the boundary-miss
+# recall gap of single-assignment product blocking — a near-boundary
+# pair is lost only if the two sides' top-2 cell sets are disjoint on
+# EITHER level — at ~probes^2 x candidate volume, still O(n^(4/3)).
+# Measured (SCALE_MEASURED.json sem2_overlap): recall of the 1L dup
+# set 0.83 -> 0.88 (x1) / 0.79 -> 0.86 (x10) probing level A alone;
+# both levels lift it further (see SCALE.md).
+_SEM2_PROBES = 2
+
+
 def q_doc_semantic_dedup_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-LEVEL (product-blocked) semantic dedup — the sub-n^1.5 scale
     path the single-level curve motivated (SCALE.md: the sqrt(n)-cell
     flat blocking is measured n^1.5-dominant beyond ~50k docs): two
     INDEPENDENT k-means clusterings (k = max(4, cbrt(n)) each; lowest-
-    id and highest-id seeds) and candidate pairs must share BOTH cells.
-    Expected block size n/k^2 ~ n^(1/3), so assignment (2nk) and
-    within-block pairs (n*n^(1/3)) are BOTH O(n^(4/3)) — asymptotically
-    under the flat design's n^1.5. The trade is recall at cell
-    boundaries: a near-dup pair must survive two independent
-    partitionings (~2x the single-level boundary miss rate); measured
-    against doc_semantic_dedup in SCALE.md. Same output contract as the
+    id and highest-id seeds) and candidate pairs must share a PROBED
+    cell on BOTH levels. Each level is multi-probe (_SEM2_PROBES
+    nearest cells per vector, kmeans_assign_probes), so a pair split
+    by either level's partition boundary still collides via a
+    second-nearest cell — the standard multi-probe mitigation of
+    product blocking's double boundary-miss rate (measured:
+    sem2_overlap in SCALE_MEASURED.json). Expected block size
+    ~n/k^2 ~ n^(1/3), so assignment (probes*nk) and within-block
+    pairs (probes^4 * n * n^(1/3)) stay O(n^(4/3)) — asymptotically
+    under the flat design's n^1.5. Same output contract as the
     single-level query."""
     docs = _docs_parallel(spark, sf_dir)
     emb = tracked_persist(
@@ -2373,14 +2590,18 @@ def q_doc_semantic_dedup_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = sim.kmeans_train_centroids(
         emb, k=k, iters=_SEM_ITERS, unit_norm=True, seed_order="desc"
     )
-    aa = sim.kmeans_assign(emb, ca, unit_norm=True).select(
-        "vec_id", F.col("cluster_id").alias("cell_a")
-    )
-    ab = sim.kmeans_assign(emb, cb, unit_norm=True).select(
-        "vec_id", F.col("cluster_id").alias("cell_b")
-    )
-    # product block key: pairs must collide in BOTH partitionings
-    # (concat of two ints with a separator is collision-free)
+    # _SEM2_PROBES rows per vector PER LEVEL (multi-probe both levels)
+    aa = sim.kmeans_assign_probes(
+        emb, ca, probes=_SEM2_PROBES, unit_norm=True
+    ).select("vec_id", F.col("cluster_id").alias("cell_a"))
+    ab = sim.kmeans_assign_probes(
+        emb, cb, probes=_SEM2_PROBES, unit_norm=True
+    ).select("vec_id", F.col("cluster_id").alias("cell_b"))
+    # product block key: pairs must collide in a probed A-cell AND a
+    # probed B-cell (concat of two ints with a separator is
+    # collision-free). A pair sharing several probed cell combinations
+    # is scored in each shared block and collapsed by the pair
+    # generator's distinct — same verified set.
     assigned = tracked_persist(
         emb.join(aa, "vec_id")
         .join(ab, "vec_id")
@@ -2426,18 +2647,34 @@ def _sql_doc_semantic_dedup_2l() -> str:
     return f"""WITH RECURSIVE {_sql_doc_embed_ctes()},
         {chain_a},
         {chain_b},
+        taprobe AS (
+            SELECT vec_id, cid AS ca FROM tapairs{n1}
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid)
+                <= {_SEM2_PROBES}),
+        tbprobe AS (
+            SELECT vec_id, cid AS cb FROM tbpairs{n1}
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid)
+                <= {_SEM2_PROBES}),
         blocks AS (
-            SELECT a.vec_id, a.svec, a.cid AS ca, b.cid AS cb
-            FROM taasg{n1} a JOIN tbasg{n1} b USING (vec_id)),
+            SELECT a.vec_id, a.ca, b.cb
+            FROM taprobe a JOIN tbprobe b USING (vec_id)),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM blocks a JOIN blocks b
+                 ON a.ca = b.ca AND a.cb = b.cb
+                    AND a.vec_id < b.vec_id),
         bpairs AS (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            SELECT cd.id_a, cd.id_b,
                    SUM({sq.format('a')} * {sq.format('b')}) AS dot,
                    SUM({sq.format('a')} * {sq.format('a')}) AS an,
                    SUM({sq.format('b')} * {sq.format('b')}) AS bn
-            FROM blocks a JOIN blocks b
-                 ON a.ca = b.ca AND a.cb = b.cb AND a.vec_id < b.vec_id,
+            FROM cand cd
+            JOIN tac a ON a.vec_id = cd.id_a
+            JOIN tac b ON b.vec_id = cd.id_b,
                  range(1, {_TEXT_EMB_DIM + 1}) r(i)
-            GROUP BY a.vec_id, b.vec_id),
+            GROUP BY cd.id_a, cd.id_b),
         bsel AS (
             SELECT id_a, id_b FROM bpairs
             WHERE CAST(dot AS DOUBLE)
@@ -2730,8 +2967,15 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         q_corpus_curation_pipeline,
         _sql_curation_pipeline(),
         ("documents",),
-        "sequential curation: gate -> dedup -> clusters -> decontam -> "
-        "sample -> pack manifest",
+        "sequential curation: gate -> dedup -> clusters -> semantic "
+        "(auto 1l/2l by survivor count) -> decontam -> sample -> pack",
+    ),
+    "corpus_curation_pipeline_2l": QueryDef(
+        q_corpus_curation_pipeline_2l,
+        _sql_curation_pipeline("2l"),
+        ("documents",),
+        "curation pipeline with the semantic stage pinned to two-level "
+        "product blocking (the above-crossover scale path)",
     ),
     "doc_dedup_exact": QueryDef(
         q_doc_dedup_exact,

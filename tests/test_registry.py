@@ -63,6 +63,31 @@ def test_attestation_rotation_keeps_window_fresh():
     )
 
 
+def test_curation_pipeline_sem_mode_auto_switches(spark, monkeypatch):
+    """sem_mode='auto' picks single-level below the crossover and the
+    two-level product blocking above it: with the crossover forced to
+    0, auto must reproduce the pinned-2l pipeline exactly; at real
+    corpus sizes (below 50k survivors) it must reproduce pinned-1l."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans import (
+        registry_llm as rl,
+    )
+
+    def run(**kw):
+        return sorted(
+            map(
+                tuple,
+                rl.q_corpus_curation_pipeline(
+                    spark, SF_SMOKE, **kw
+                ).collect(),
+            )
+        )
+
+    auto_small = run(sem_mode="auto")
+    assert auto_small == run(sem_mode="1l")
+    monkeypatch.setattr(rl, "_SEM_MODE_CROSSOVER", 0)
+    assert run(sem_mode="auto") == run(sem_mode="2l")
+
+
 def test_every_query_runs_at_smoke_sf(spark):
     for name, qd in REGISTRY.items():
         df = qd.fn(spark, SF_SMOKE)

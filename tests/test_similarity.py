@@ -173,6 +173,56 @@ def test_ivf_registry_index_lifecycle(spark):
     assert rl._IVF_ROOT is None and not rl._IVF_INDEX_PATHS
 
 
+def test_kmeans_assign_probes_matches_window_rank(spark):
+    """kmeans_assign_probes' iterated min_by passes (the map-side-
+    combine shape) must equal the declarative top-``probes`` by
+    (dist, cid) — the ROW_NUMBER contract the oracle replays — and
+    rank 1 must equal kmeans_assign."""
+    from pyspark.sql import Window
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.base import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(
+        200
+    )
+    cents = sim.kmeans_train_centroids(emb, k=6, iters=1)
+    got = sorted(
+        map(
+            tuple,
+            sim.kmeans_assign_probes(emb, cents, probes=2).collect(),
+        )
+    )
+    # reference: explicit window rank over the full distance fan-out
+    c = emb.select("vec_id", sim.scaled_vec(F.col("embedding")).alias("svec"))
+    fan = c.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", sim._assign_dist(64, False)
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    want = sorted(
+        map(
+            tuple,
+            fan.withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= 2)
+            .select("vec_id", F.col("cid").alias("cluster_id"), "cell_rank")
+            .collect(),
+        )
+    )
+    assert got == want
+    rank1 = {t[0]: t[1] for t in got if t[2] == 1}
+    top1 = {
+        r.vec_id: r.cluster_id
+        for r in sim.kmeans_assign(emb, cents).collect()
+    }
+    assert rank1 == top1
+    # the two probed cells are distinct per vector
+    by_vec: dict = {}
+    for vid, cell, _ in got:
+        by_vec.setdefault(vid, set()).add(cell)
+    assert all(len(cells) == 2 for cells in by_vec.values())
+
+
 def test_kmeans_train_one_iter_is_kmeans_step(spark):
     """kmeans_train(iters=1) is DEFINED to equal kmeans_step (same seeds,
     one assignment, same mean presentation)."""
