@@ -121,6 +121,11 @@ class StreamingIncrementalDedup:
     _sem_coverage_checked: bool = field(
         default=False, init=False, repr=False
     )
+    # memoized pinned training-epoch median assignment distance (the
+    # staleness reference) — re-read from disk once per instance
+    _sem_train_q50: float | None = field(
+        default=None, init=False, repr=False
+    )
 
     def _index_read_schema(self) -> str:
         """Explicit read schema for the at-rest band index. The id
@@ -270,6 +275,32 @@ class StreamingIncrementalDedup:
     def _sem_cents_path(self) -> str:
         return os.path.join(self.sem_index_path, "centroids")
 
+    def _sem_stats_path(self) -> str:
+        return os.path.join(self.sem_index_path, "train_stats")
+
+    def _sem_drift_path(self) -> str:
+        return os.path.join(self.sem_index_path, "drift")
+
+    def _sem_marker_path(self) -> str:
+        return os.path.join(self.sem_index_path, "RETRAIN_IN_PROGRESS")
+
+    def _check_retrain_marker(self) -> None:
+        """A torn retrain_sem_index leaves centroids/stats/index rows in
+        a mixed generation — screening against that state would silently
+        mis-join cells. The marker file makes the tear LOUD: it is
+        written before the first overwrite and removed after the last,
+        so its presence means 'some artifacts are new-generation, some
+        old'. Recovery is re-running retrain_sem_index (every retrain
+        output is deterministic from silver, so the re-run converges)."""
+        if self.sem_index_path and os.path.exists(self._sem_marker_path()):
+            raise RuntimeError(
+                f"semantic index at {self.sem_index_path} has an "
+                "unfinished retrain (RETRAIN_IN_PROGRESS marker present) "
+                "— centroids, train stats and cell partitions may be "
+                "from mixed generations. Re-run retrain_sem_index(spark) "
+                "to completion before screening."
+            )
+
     def _id_type(self) -> str:
         return self.schema[self.id_col].dataType.simpleString()
 
@@ -370,7 +401,9 @@ class StreamingIncrementalDedup:
         """Each (id, q_svec, q_norm) row replicated to its ``probes``
         nearest centroid cells (exact integer L2 against the broadcast
         k-row centroid frame; unrolled int64 under the unit-norm bound;
-        cid tiebreak). cell_rank=1 is the doc's OWN cell."""
+        cid tiebreak). cell_rank=1 is the doc's OWN cell; ``dist`` (the
+        squared L2 on the int64 grid) rides along so the staleness
+        signal can read assignment quality without a second pass."""
         # BOTH sides guarded against the configured sem_dim: a stream
         # restarted with a different sem_dim must fail loudly against
         # its own pinned centroids (the unrolled kernel would otherwise
@@ -399,6 +432,7 @@ class StreamingIncrementalDedup:
                 "q_norm",
                 F.col("cid").alias("cell"),
                 "cell_rank",
+                "dist",
             )
         )
 
@@ -473,6 +507,7 @@ class StreamingIncrementalDedup:
         yet (deterministic). Returns the number of epochs backfilled."""
         if self.sem_index_path is None:
             raise ValueError("sem_index_path is not configured")
+        self._check_retrain_marker()
         try:
             silver = spark.read.parquet(self.silver_path)
         except AnalysisException:
@@ -517,7 +552,194 @@ class StreamingIncrementalDedup:
             .partitionBy("cell", "ingest_epoch")
             .parquet(self._sem_rows_path())
         )
+        self._sem_train_stats(spark, own)
         return len(missing)
+
+    # -- centroid staleness: measured drift signal + explicit retrain -----
+
+    _SEM_STATS_SCHEMA = "train_q50 double, n long"
+    _SEM_DRIFT_SCHEMA = (
+        "n long, q50 double, train_q50 double, ratio double, "
+        "ingest_epoch long"
+    )
+
+    def _sem_train_stats(self, spark: SparkSession, own: DataFrame):
+        """The pinned training-epoch assignment-quality reference:
+        median rank-1 squared L2 (int64 grid) of the docs the centroids
+        were trained over. Loaded from disk, or — first use — computed
+        from ``own`` (the training epoch's rank-1 assignment, exactly
+        the frame the index rows come from) and pinned. Deterministic
+        from the batch, so a replayed training epoch overwrites
+        convergently — the same story as the centroids themselves."""
+        if self._sem_train_q50 is not None:
+            return self._sem_train_q50
+        path = self._sem_stats_path()
+        try:
+            row = spark.read.schema(self._SEM_STATS_SCHEMA).parquet(
+                path
+            ).first()
+            if row is not None:
+                self._sem_train_q50 = float(row["train_q50"])
+                return self._sem_train_q50
+        except AnalysisException:
+            pass
+        agg = own.filter(F.col("cell_rank") == 1).agg(
+            F.median("dist").cast("double").alias("train_q50"),
+            F.count("*").alias("n"),
+        )
+        agg.write.mode("overwrite").parquet(path)
+        row = spark.read.schema(self._SEM_STATS_SCHEMA).parquet(
+            path
+        ).first()
+        self._sem_train_q50 = float(row["train_q50"])
+        return self._sem_train_q50
+
+    def _record_sem_drift(
+        self, spark: SparkSession, own: DataFrame, epoch_id: int
+    ) -> None:
+        """The staleness signal, logged to the index: per batch, the
+        median rank-1 assignment distance vs the pinned training
+        epoch's — a drifting corpus lands farther from every trained
+        centroid, so the ratio climbs as cell quality degrades (vectors
+        pile into few cells; boundary misses rise). Epoch-partitioned
+        with dynamic overwrite: a replayed epoch rewrites its own row.
+        Each row carries the train_q50 it was measured AGAINST, so rows
+        straddling a retrain stay self-describing."""
+        train_q50 = self._sem_train_stats(spark, own)
+        row = own.filter(F.col("cell_rank") == 1).agg(
+            F.count("*").alias("n"),
+            F.median("dist").cast("double").alias("q50"),
+        ).first()
+        if row is None or row["n"] == 0 or row["q50"] is None:
+            return
+        ratio = (
+            round(float(row["q50"]) / train_q50, 6)
+            if train_q50
+            else None
+        )
+        (
+            spark.createDataFrame(
+                [
+                    (
+                        int(row["n"]),
+                        float(row["q50"]),
+                        float(train_q50),
+                        ratio,
+                        int(epoch_id),
+                    )
+                ],
+                self._SEM_DRIFT_SCHEMA,
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_epoch")
+            .parquet(self._sem_drift_path())
+        )
+
+    def sem_drift_report(self, spark: SparkSession) -> DataFrame:
+        """The logged per-epoch staleness signal (ingest_epoch, n, q50,
+        train_q50, ratio), epoch-ordered. ratio ~ 1 means batches land
+        as close to the pinned centroids as the training corpus did;
+        a sustained climb says the corpus has drifted off the trained
+        cells — run retrain_sem_index."""
+        if self.sem_index_path is None:
+            raise ValueError("sem_index_path is not configured")
+        return (
+            spark.read.schema(self._SEM_DRIFT_SCHEMA)
+            .parquet(self._sem_drift_path())
+            .select("ingest_epoch", "n", "q50", "train_q50", "ratio")
+            .orderBy("ingest_epoch")
+        )
+
+    def retrain_sem_index(
+        self, spark: SparkSession, iters: int = 3
+    ) -> int:
+        """Maintenance op for a drifted corpus: retrain the blocking
+        centroids on the FULL silver corpus, re-pin the training stats,
+        and REMAP every at-rest index row to the new cells — the only
+        legal way to change pinned centroids once the index holds rows
+        (see _sem_centroids). Run it with the stream stopped, when
+        sem_drift_report shows a sustained ratio climb.
+
+        Crash safety: every output is deterministic from silver, and
+        the RETRAIN_IN_PROGRESS marker brackets the overwrites — a torn
+        retrain fails every subsequent screen loudly until the retrain
+        is re-run to completion (which converges byte-identically).
+        The index rewrite is a FULL (static) overwrite: remapping moves
+        rows BETWEEN cell partitions, so dynamic overwrite would leave
+        stale old-cell partitions behind. Returns the number of silver
+        docs remapped."""
+        if self.sem_index_path is None:
+            raise ValueError("sem_index_path is not configured")
+        silver = spark.read.parquet(self.silver_path)
+        os.makedirs(self.sem_index_path, exist_ok=True)
+        with open(self._sem_marker_path(), "w") as f:
+            f.write(
+                "retrain started; re-run retrain_sem_index(spark) "
+                "to completion before screening\n"
+            )
+        scaled = self._embed_scaled(
+            silver.select(self.id_col, self.text_col)
+        ).persist()
+        try:
+            # more Lloyd iterations than the in-band first-epoch pin
+            # (iters=1, priced inside a micro-batch): retrain is offline
+            # maintenance, and a drifted mass needs >1 reassignment
+            # round to migrate a centroid off the id-ordered seeds
+            trained = sim.kmeans_train_centroids(
+                scaled.select(self.id_col, "embedding"),
+                k=self.sem_k,
+                iters=iters,
+                id_col=self.id_col,
+                vec_col="embedding",
+                dim=self.sem_dim,
+                unit_norm=True,
+            )
+            trained.write.mode("overwrite").parquet(
+                self._sem_cents_path()
+            )
+            cents = spark.read.schema(
+                f"cid {self._id_type()}, c_svec array<bigint>"
+            ).parquet(self._sem_cents_path())
+            own = self._nearest_cells(scaled, cents, probes=1).persist()
+            try:
+                agg = own.agg(
+                    F.median("dist").cast("double").alias("train_q50"),
+                    F.count("*").alias("n"),
+                )
+                agg.write.mode("overwrite").parquet(
+                    self._sem_stats_path()
+                )
+                self._sem_train_q50 = float(
+                    spark.read.schema(self._SEM_STATS_SCHEMA)
+                    .parquet(self._sem_stats_path())
+                    .first()["train_q50"]
+                )
+                n = (
+                    own.join(
+                        silver.select(self.id_col, "ingest_epoch"),
+                        self.id_col,
+                    )
+                    .select(
+                        self.id_col,
+                        F.col("q_svec").alias("svec"),
+                        F.col("q_norm").alias("norm"),
+                        "cell",
+                        "ingest_epoch",
+                    )
+                )
+                n.write.mode("overwrite").partitionBy(
+                    "cell", "ingest_epoch"
+                ).parquet(self._sem_rows_path())
+                remapped = own.count()
+            finally:
+                own.unpersist()
+        finally:
+            scaled.unpersist()
+        self._sem_coverage_checked = False
+        os.remove(self._sem_marker_path())
+        return remapped
 
     def _semantic_screen(
         self,
@@ -535,6 +757,7 @@ class StreamingIncrementalDedup:
         against the BROADCAST probe frame — zero corpus shuffle, zero
         corpus re-embedding."""
         did = self.id_col
+        self._check_retrain_marker()
         scaled = self._embed_scaled(survivors).persist()
         try:
             # first-epoch training reads the SAME persisted frame the
@@ -547,6 +770,10 @@ class StreamingIncrementalDedup:
             ).persist()
             try:
                 own = probed.filter(F.col("cell_rank") == 1)
+                # staleness signal: this batch's rank-1 assignment
+                # quality vs the pinned training epoch's, logged to the
+                # index (one tiny agg over the persisted batch frame)
+                self._record_sem_drift(spark, own, epoch_id)
                 xa = own.select(
                     F.col(did).alias("id_a"),
                     F.col("q_svec").alias("sa"),

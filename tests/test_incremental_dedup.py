@@ -587,3 +587,157 @@ def test_sem_centroid_loss_with_populated_index_raises(spark, tmp_path):
         )
     # silver unchanged: the guard fired before any admission
     assert _silver_ids(spark, d2) == {1, 2}
+
+# deliberately OUT-OF-DISTRIBUTION text: tokens drawn from a fixed
+# 150-word md5-hex vocabulary no English document shares, so
+# hashing-trick embeddings land far from centroids trained on English
+# batches — the drift the staleness signal exists to catch. Docs
+# overlap ~6/30 tokens pairwise (cosine ~0.2, well under the 0.6
+# screen), so they are mutually novel yet form ONE coherent drifted
+# distribution a retrain can re-cell. Deterministic throughout.
+_DRIFT_VOCAB = [
+    __import__("hashlib").md5(f"dv-{i}".encode()).hexdigest()[:8]
+    for i in range(150)
+]
+
+
+def _drifted_doc(seed: int, n_words: int = 30) -> str:
+    import hashlib
+
+    return " ".join(
+        _DRIFT_VOCAB[
+            int(hashlib.md5(f"{seed}-{j}".encode()).hexdigest()[:6], 16)
+            % 150
+        ]
+        for j in range(n_words)
+    )
+
+
+# novel-but-English batches for the in-distribution control: new
+# content words, shared function-word mass with the training batch
+INDIST_A = (
+    "a gentle rain settled over the harbor as fishermen hauled their "
+    "nets past the lighthouse and the market stalls opened along the "
+    "cobbled quay before sunrise"
+)
+INDIST_B = (
+    "the orchestra rehearsed the second movement slowly while the "
+    "conductor marked tempo changes in the margins of a well worn "
+    "score under flickering stage lights"
+)
+
+
+def test_sem_drift_signal_detects_distribution_shift(spark, tmp_path):
+    """The staleness signal: the training epoch logs ratio == 1.0 by
+    construction (it measures itself), a novel-but-English batch stays
+    moderate, an out-of-vocabulary batch climbs loudly, and
+    retrain_sem_index re-pins the reference so the SAME drifted
+    distribution screens near 1.0 again. All values are exact integer
+    geometry over deterministic embeddings — the asserted bounds are
+    measured, not tuned (1.0 / 1.65 / 2.22 / 1.20)."""
+
+    def mk():
+        return StreamingIncrementalDedup(
+            spark=spark,
+            landing_dir=str(tmp_path / "landing"),
+            silver_path=str(tmp_path / "silver"),
+            checkpoint_dir=str(tmp_path / "chk"),
+            schema=SCHEMA,
+            sem_index_path=str(tmp_path / "semidx"),
+            sem_threshold=SEM_THRESHOLD,
+            sem_k=2,
+        )
+
+    d = mk()
+    _land(spark, d, [(1, BASE), (2, OTHER), (3, THIRD), (4, PAIR_A),
+                     (5, NEWT)])
+    _run(d)
+    _land(spark, d, [(10, INDIST_A), (11, INDIST_B)])
+    _run(d)
+    _land(spark, d, [(i, _drifted_doc(i)) for i in range(20, 26)])
+    _run(d)
+
+    rep = {
+        r.ingest_epoch: r for r in d.sem_drift_report(spark).collect()
+    }
+    assert set(rep) == {0, 1, 2}
+    assert rep[0].ratio == 1.0  # training epoch measures itself
+    assert all(r.train_q50 == rep[0].train_q50 for r in rep.values())
+    assert rep[1].ratio < 1.8, rep[1]
+    drift_before = rep[2].ratio
+    assert drift_before > 2.0, rep[2]
+    assert drift_before > rep[1].ratio
+
+    # retrain on full silver (now containing the drifted admissions):
+    # the reference re-pins and centroids re-cell, so the same drifted
+    # distribution screens healthy again
+    d2 = mk()
+    assert d2.retrain_sem_index(spark) == 13
+    _land(spark, d2, [(30, _drifted_doc(30)), (31, _drifted_doc(31))])
+    _run(d2)
+    after = {
+        r.ingest_epoch: r for r in d2.sem_drift_report(spark).collect()
+    }[3]
+    assert after.train_q50 != rep[0].train_q50  # new pinned reference
+    assert after.ratio < 1.5, (after, drift_before)
+    assert after.ratio < drift_before - 0.5
+    # and the screen still functions across the remap: admitted set is
+    # exactly the planted novel docs
+    assert _silver_ids(spark, d2) == {1, 2, 3, 4, 5, 10, 11,
+                                      20, 21, 22, 23, 24, 25, 30, 31}
+
+
+def test_retrain_sem_index_converges_and_marker_guards(spark, tmp_path):
+    """retrain_sem_index is deterministic from silver (a replayed /
+    re-run retrain converges byte-identically), remaps the at-rest
+    index so rephrases of pre-retrain admissions are STILL rejected,
+    and a torn retrain (marker present) fails every screen loudly
+    instead of silently mis-joining mixed-generation cells."""
+    d = _sem_dedup(spark, tmp_path)
+    _land(spark, d, [(1, BASE), (2, OTHER)])
+    _run(d)
+    _land(spark, d, [(10, _drifted_doc(10)), (11, _drifted_doc(11))])
+    _run(d)
+
+    def _snapshot():
+        return tuple(
+            sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(
+                        str(tmp_path / "semidx" / sub)
+                    ).collect(),
+                )
+            )
+            for sub in ("centroids", "index", "train_stats")
+        )
+
+    assert d.retrain_sem_index(spark) == 4
+    first = _snapshot()
+    # crash-replay: a second retrain over the same silver converges
+    assert _sem_dedup(spark, tmp_path).retrain_sem_index(spark) == 4
+    assert _snapshot() == first
+
+    # remap correctness: a rephrase of a PRE-retrain admission is still
+    # rejected by the remapped index
+    d3 = _sem_dedup(spark, tmp_path)
+    _land(spark, d3, [(50, SEM_REPH), (51, NEWT)])
+    _run(d3)
+    assert 50 not in _silver_ids(spark, d3)
+    assert 51 in _silver_ids(spark, d3)
+
+    # torn retrain: marker present -> screen and backfill both refuse
+    marker = tmp_path / "semidx" / "RETRAIN_IN_PROGRESS"
+    marker.write_text("torn\n")
+    d4 = _sem_dedup(spark, tmp_path)
+    with pytest.raises(RuntimeError, match="unfinished retrain"):
+        d4._sink(
+            spark.createDataFrame([(60, THIRD)], SCHEMA), epoch_id=99
+        )
+    with pytest.raises(RuntimeError, match="unfinished retrain"):
+        d4.backfill_sem_index(spark)
+    # recovery = re-running the retrain to completion
+    assert d4.retrain_sem_index(spark) == 5
+    assert not marker.exists()
+    d4._sink(spark.createDataFrame([(60, THIRD)], SCHEMA), epoch_id=99)
+    assert 60 in _silver_ids(spark, d4)
