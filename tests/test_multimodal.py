@@ -86,3 +86,96 @@ def test_frame_sample_fanout(spark):
 def test_resize_plan_metadata(spark):
     out = mm.resize_plan(media(spark), 224, 224).select("meta").collect()
     assert all(r.meta["resize"] == "224x224" for r in out)
+
+
+# -- real-codec integration (run only where the codec exists) -----------
+# The container this repo is usually tested in has neither PIL nor
+# ffprobe, so these skip there; in an environment WITH the codecs they
+# pin the real path to the stub contract — same schema, true metadata.
+# The media bytes are built from the stdlib alone (a hand-assembled PNG,
+# a `wave`-module WAV) so the tests need no fixture files.
+
+
+def _png_bytes(w: int, h: int) -> bytes:
+    """A minimal valid 8-bit RGB PNG (one IDAT, filter 0 per scanline)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00"
+        + bytes(
+            (x * 40 + y * 90 + c * 30) % 256
+            for x in range(w)
+            for c in range(3)
+        )
+        for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _wav_bytes(ms: int = 250, rate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        n = rate * ms // 1000
+        f.writeframes(
+            b"".join(
+                (int(8000 * ((i % 64) / 64 - 0.5))).to_bytes(
+                    2, "little", signed=True
+                )
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+@pytest.mark.skipif(
+    not mm.available_codecs()["image"], reason="PIL not installed"
+)
+def test_decode_auto_real_image_true_dimensions(spark):
+    """mode="auto" with PIL present must decode a REAL PNG: true
+    dimensions (not the md5-derived fake, which is always >= 64) and a
+    feature vector inside the stub contract (FEATURE_DIM, [-1, 1])."""
+    df = spark.createDataFrame(
+        [(1, "image", _png_bytes(5, 3), {})], mm.MEDIA_SCHEMA
+    )
+    row = mm.decode_media(df, mode="auto").first()
+    assert (row.width, row.height) == (5, 3)
+    assert row.duration_ms is None
+    assert len(row.feature) == mm.FEATURE_DIM
+    assert all(-1.0 <= f <= 1.0 for f in row.feature)
+
+
+@pytest.mark.skipif(
+    not mm.available_codecs()["audio"], reason="ffprobe not installed"
+)
+def test_decode_auto_real_audio_duration(spark):
+    """mode="auto" with ffprobe present must report a real WAV clip's
+    true duration within container rounding, with image-only fields
+    null — the stub contract's shape, real metadata."""
+    df = spark.createDataFrame(
+        [(1, "audio", _wav_bytes(250), {})], mm.MEDIA_SCHEMA
+    )
+    row = mm.decode_media(df, mode="auto").first()
+    assert row.width is None and row.height is None
+    assert row.feature is None
+    assert abs(row.duration_ms - 250) <= 10, row.duration_ms

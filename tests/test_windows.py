@@ -106,29 +106,75 @@ def test_publish_json_payloads(spark, tmp_path):
     assert all(set(d) == {"event_id", "event_type"} for d in lines)
 
 
-def test_approx_stats_near_exact(spark):
-    """Sketch aggregates must track the exact answers (the reason they're
-    registry queries without oracles)."""
+def test_approx_stats_within_documented_bounds(spark):
+    """The BOUNDED verdict for the registry's only oracle-less row
+    (approx_stats_by_type): compute the exact answers beside the
+    sketches and fail if either sketch exceeds the error bound its
+    implementation documents.
+
+    - approx_count_distinct(rsd=0.02): HLL++ with 2% standard error on
+      the estimate; asserted at 3 sigma (6%) plus 1 count of integer
+      slack, so the check is a contract verdict, not a flake.
+    - percentile_approx(accuracy=10000): the KLL-style sketch
+      GUARANTEES the returned value's rank is within n/accuracy of the
+      target rank — asserted exactly against the value's true rank
+      interval [n_lt+1, n_le] (ties give an interval, not a point).
+
+    Measured errors are attached to the assertion messages, so a
+    failure reports how far outside the bound the sketch landed."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.base import (
+        load_table,
+    )
     from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
         REGISTRY,
     )
+    from pyspark.sql import functions as F
 
-    sf = "/root/testdata/sf0.001"
-    approx = {
-        r.event_type: r
-        for r in REGISTRY["approx_stats_by_type"].fn(spark, sf).collect()
-    }
-    exact_users = {
-        r.event_type: r.n_distinct
-        for r in REGISTRY["distinct_users_by_type"].fn(spark, sf).collect()
-    }
-    exact_p50 = {
-        r.event_type: r.p50
-        for r in REGISTRY["value_quantiles_by_type"].fn(spark, sf).collect()
-    }
-    for t, row in approx.items():
-        assert abs(row.approx_users - exact_users[t]) <= 0.05 * exact_users[t] + 2
-        assert abs(row.approx_p50 - exact_p50[t]) <= 0.1 * max(exact_p50[t], 1)
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        approx_df = REGISTRY["approx_stats_by_type"].fn(spark, sf)
+        events = load_table(spark, sf, "events")
+        exact = {
+            r.event_type: r
+            for r in events.groupBy("event_type")
+            .agg(
+                F.count_distinct("user_id").alias("nd"),
+                F.count("value").alias("n"),
+            )
+            .collect()
+        }
+        # true rank interval of each sketch p50 in ONE pass: rows
+        # strictly below / at-or-below the approx value per type
+        ranks = {
+            r.event_type: r
+            for r in events.join(
+                F.broadcast(approx_df), "event_type"
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum(
+                    (F.col("value") < F.col("approx_p50")).cast("long")
+                ).alias("n_lt"),
+                F.sum(
+                    (F.col("value") <= F.col("approx_p50")).cast("long")
+                ).alias("n_le"),
+            )
+            .collect()
+        }
+        for row in approx_df.collect():
+            t = row.event_type
+            nd, n = exact[t].nd, exact[t].n
+            rel = abs(row.approx_users - nd) / max(nd, 1)
+            assert rel <= 3 * 0.02 + 1 / max(nd, 1), (
+                f"{sf} {t}: HLL distinct {row.approx_users} vs exact "
+                f"{nd} — rel error {rel:.4f} exceeds 3*rsd=0.06"
+            )
+            target, eps = 0.5 * n, n / 10000.0
+            lo, hi = ranks[t].n_lt + 1, ranks[t].n_le
+            assert lo - eps - 1 <= target <= hi + eps + 1, (
+                f"{sf} {t}: approx_p50={row.approx_p50} has true rank "
+                f"interval [{lo}, {hi}] but target rank {target} is "
+                f"outside it by more than the guaranteed eps*n={eps}"
+            )
 
 
 def test_topk_per_group_matches_naive_window(spark):
