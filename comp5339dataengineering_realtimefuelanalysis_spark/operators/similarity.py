@@ -613,6 +613,54 @@ def _assign_dist(dim: int, unit_norm: bool) -> Column:
     )
 
 
+def _assign_dists_exploded(
+    c: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    dim: int,
+) -> DataFrame:
+    """(id, cid, dist) for every vector x centroid pair — the CODEGEN
+    distance fan-out for the unit-norm int64 path: posexplode both
+    sides, broadcast-hash-join on the dimension index, hash-aggregate
+    the squared differences ((v-cv)^2 sums to <= 4e18 under the
+    unit-norm 1e9-grid bound, so plain long sums are exact). Same
+    integer dist values as the dim-unrolled projection, so
+    argmin/tiebreak — and therefore trained centroids and oracle
+    parity — are unchanged.
+
+    Why not the unrolled expression over the broadcast nested-loop
+    join: that projection compiles but evaluates ~4.5x slower
+    (measured 7.1 s vs 1.6 s for a 15k x 96 fan-out at dim 64 — ~0.3us
+    per element_at; BNLJ output sits outside whole-stage codegen). The
+    price here is that the (id, cid) partial aggregate's exchange
+    carries n*k narrow rows where min_by-over-fanout carried n; at the
+    semantic family's operating envelope (<=~50k docs per
+    partition-set after blocking) that exchange is trivial next to the
+    n*k*dim compute this shape wins back.
+
+    Both sides are size-guarded BEFORE the explode: the join on the
+    dimension index would silently DROP a length mismatch (exactly the
+    failure the guards exist to make loud)."""
+    ce = c.select(
+        F.col(id_col),
+        F.posexplode(
+            _dim_guard(F.col("svec"), dim, F.col("svec"))
+        ).alias("_i", "_v"),
+    )
+    ke = cents.select(
+        "cid",
+        F.posexplode(
+            _dim_guard(F.col("c_svec"), dim, F.col("c_svec"))
+        ).alias("_i", "_cv"),
+    )
+    d = F.col("_v") - F.col("_cv")
+    return (
+        ce.join(F.broadcast(ke), "_i")
+        .groupBy(id_col, "cid")
+        .agg(F.sum(d * d).alias("dist"))
+    )
+
+
 def _lloyd_assign(
     c: DataFrame,
     cents: DataFrame,
@@ -625,12 +673,22 @@ def _lloyd_assign(
     rows — broadcast; min_by collapses the k-fold fan-out map-side.
 
     Distance: with ``unit_norm`` the caller guarantees |x| <= 1 on the
-    1e9 grid, so the dim-UNROLLED int64 expression applies (codegen,
-    no per-term allocation — the training hot loop, since the n x k
-    assignment dominates). Without it the HOF decimal(38,0) form runs
-    instead: (x-y)^2 overflows long already at |x| > ~1.5 on the grid,
-    and the unrolled DECIMAL variant measured ~5x slower than the HOF
-    (a BigDecimal allocation per term — see dot_scaled_unrolled)."""
+    1e9 grid, so exact int64 math applies and the fan-out runs in the
+    exploded hash-agg shape (_assign_dists_exploded — measured 4.5x
+    the dim-unrolled projection, which compiles but evaluates outside
+    whole-stage codegen above the nested-loop join); svec is joined
+    back onto the argmin by id for the mean update. Without unit_norm
+    the HOF decimal(38,0) form runs instead: (x-y)^2 overflows long
+    already at |x| > ~1.5 on the grid, and the unrolled DECIMAL
+    variant measured ~5x slower than the HOF (a BigDecimal allocation
+    per term — see dot_scaled_unrolled)."""
+    if unit_norm:
+        argmin = (
+            _assign_dists_exploded(c, cents, id_col, dim)
+            .groupBy(id_col)
+            .agg(F.min_by("cid", F.struct("dist", "cid")).alias("cid"))
+        )
+        return argmin.join(c.select(id_col, "svec"), id_col)
     return (
         c.crossJoin(F.broadcast(cents))
         .withColumn("dist", _assign_dist(dim, unit_norm))
@@ -800,17 +858,34 @@ def kmeans_assign_probes(
     ``ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cid) = r`` —
     the oracle-replayable contract.
 
-    Scale shape: NOT a window over the n x k distance fan-out (a
-    window has no partial aggregation, so the full fan-out would cross
-    the exchange). Instead ``probes`` successive min_by passes, each a
-    broadcast k-row fan-out collapsed MAP-SIDE to one row per vector
-    (the _lloyd_assign shape), with earlier picks excluded inside the
-    map via an array column the row itself carries — per pass the
-    shuffle moves n rows, never n x k. probes is a small constant
-    (2 in practice), so the total cost is ~probes assignment passes.
+    Scale shape: on the unit-norm path the distances come from the
+    exploded hash-agg fan-out (_assign_dists_exploded), whose (id, cid)
+    exchange already carries n*k narrow rows — a window top-``probes``
+    over that frame adds no asymptotic cost and evaluates every
+    distance exactly ONCE (the previous iterated-pass form re-evaluated
+    the fan-out per probe, and pass 2's lineage nested pass 1's). The
+    decimal path keeps the iterated min_by passes: its crossJoin
+    fan-out collapses map-side, so the per-pass exchange moves n rows,
+    never n x k — the right trade when the fan-out must not cross an
+    exchange.
     """
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
+    if unit_norm:
+        c = corpus.select(
+            F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
+        )
+        w = Window.partitionBy(id_col).orderBy("dist", "cid")
+        return (
+            _assign_dists_exploded(c, cents, id_col, dim)
+            .withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= probes)
+            .select(
+                id_col,
+                F.col("cid").alias("cluster_id"),
+                "cell_rank",
+            )
+        )
     cur = corpus.select(
         F.col(id_col),
         scaled_vec(F.col(vec_col)).alias("svec"),

@@ -1259,19 +1259,23 @@ def q_corpus_curation_pipeline(
             block_col = "cluster_id"
         else:
             k2 = _sem2_k(n)
-            ca = sim.kmeans_train_centroids(
+            # persisted k-row frames: each probe pass re-broadcasts
+            # cents, so an unpersisted training DAG re-runs per pass
+            # (see q_doc_semantic_dedup_2l)
+            ca = tracked_persist(sim.kmeans_train_centroids(
                 emb, k=k2, iters=_SEM_ITERS, unit_norm=True
-            )
-            cb = sim.kmeans_train_centroids(
+            ))
+            cb = tracked_persist(sim.kmeans_train_centroids(
                 emb, k=k2, iters=_SEM_ITERS, unit_norm=True,
                 seed_order="desc",
-            )
-            aa = sim.kmeans_assign_probes(
+            ))
+            # persisted probe frames — see q_doc_semantic_dedup_2l
+            aa = tracked_persist(sim.kmeans_assign_probes(
                 emb, ca, probes=_SEM2_PROBES, unit_norm=True
-            ).select("vec_id", F.col("cluster_id").alias("cell_a"))
-            ab = sim.kmeans_assign(emb, cb, unit_norm=True).select(
-                "vec_id", F.col("cluster_id").alias("cell_b")
-            )
+            ).select("vec_id", F.col("cluster_id").alias("cell_a")))
+            ab = tracked_persist(sim.kmeans_assign_probes(
+                emb, cb, probes=_SEM2_PROBES, unit_norm=True
+            ).select("vec_id", F.col("cluster_id").alias("cell_b")))
             assigned = tracked_persist(
                 emb.join(aa, "vec_id")
                 .join(ab, "vec_id")
@@ -2526,7 +2530,17 @@ def _icbrt(n: int) -> int:
 
 
 def _sem2_k(n: int) -> int:
-    return max(4, _icbrt(n))
+    """Per-level cell count for the product blocking:
+    _SEM2_K_MULT * cbrt(n). The multiplier exists BECAUSE of
+    multi-probe: with p probed cells per level, the probability two
+    random vectors share a probed cell on both levels is ~p^4/k^2 —
+    16x the single-assignment candidate volume at p=2 (measured as a
+    ~30x wall blow-up at x10 before the multiplier). Scaling k by p^2
+    restores p^4/(p^2 k0)^2 = 1/k0^2, the single-assignment volume,
+    while multi-probe keeps covering each vector's boundary cells —
+    assignment cost grows p^2 x but stays O(n^(4/3)); recall vs the
+    finer cells is re-measured in SCALE_MEASURED.json sem2_overlap."""
+    return max(4, _SEM2_K_MULT * _icbrt(n))
 
 
 def _sql_icbrt_k(src: str) -> str:
@@ -2542,7 +2556,7 @@ def _sql_icbrt_k(src: str) -> str:
     cnt = f"(SELECT COUNT(*) FROM {src})"
     j0 = f"CAST(round(pow(CAST({cnt} AS DOUBLE), 1.0/3.0)) AS BIGINT)"
     return (
-        f"(SELECT GREATEST(4, MAX(jj)) FROM ("
+        f"(SELECT GREATEST(4, {_SEM2_K_MULT} * MAX(jj)) FROM ("
         f"SELECT {j0} + d AS jj "
         f"FROM (VALUES (-2), (-1), (0), (1), (2)) t(d)) s "
         f"WHERE jj >= 1 AND jj*jj*jj <= {cnt})"
@@ -2555,10 +2569,14 @@ def _sql_icbrt_k(src: str) -> str:
 # recall gap of single-assignment product blocking — a near-boundary
 # pair is lost only if the two sides' top-2 cell sets are disjoint on
 # EITHER level — at ~probes^2 x candidate volume, still O(n^(4/3)).
-# Measured (SCALE_MEASURED.json sem2_overlap): recall of the 1L dup
-# set 0.83 -> 0.88 (x1) / 0.79 -> 0.86 (x10) probing level A alone;
-# both levels lift it further (see SCALE.md).
+# Measured (SCALE_MEASURED.json sem2_overlap): single-assignment
+# recall of the 1L dup set was 0.83 (x1) / 0.79 (x10); probing level A
+# alone lifted it to 0.88 / 0.86; probing BOTH levels to 0.98 / 0.98.
 _SEM2_PROBES = 2
+# Per-level cell-count multiplier compensating multi-probe's candidate
+# blow-up (see _sem2_k): k = mult * cbrt(n) with mult = probes^2 keeps
+# the within-block pair volume at the single-assignment baseline.
+_SEM2_K_MULT = _SEM2_PROBES * _SEM2_PROBES
 
 
 def q_doc_semantic_dedup_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2584,19 +2602,29 @@ def q_doc_semantic_dedup_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "vec_id")
     )
     k = _sem2_k(docs.count())
-    ca = sim.kmeans_train_centroids(
+    # the k-row centroid frames are PERSISTED: kmeans_assign_probes
+    # re-broadcasts its cents argument once per probe pass (and pass 2's
+    # lineage contains pass 1's), so an unpersisted training DAG would
+    # re-run the whole Lloyd chain ~3x per level — measured 97 s -> 13 s
+    # at x3 with the k multiplier in place
+    ca = tracked_persist(sim.kmeans_train_centroids(
         emb, k=k, iters=_SEM_ITERS, unit_norm=True
-    )
-    cb = sim.kmeans_train_centroids(
+    ))
+    cb = tracked_persist(sim.kmeans_train_centroids(
         emb, k=k, iters=_SEM_ITERS, unit_norm=True, seed_order="desc"
-    )
-    # _SEM2_PROBES rows per vector PER LEVEL (multi-probe both levels)
-    aa = sim.kmeans_assign_probes(
+    ))
+    # _SEM2_PROBES rows per vector PER LEVEL (multi-probe both levels).
+    # Each probe frame is PERSISTED before the three-way join builds the
+    # block keys: the probe union's lineage nests pass 1's n x k fan-out
+    # inside pass 2's, and joining two such unions in one job measured
+    # 60 s where the separately-materialized frames cost ~3 s (x3) —
+    # the join must consume n*probes tiny rows, not the nested fan-outs
+    aa = tracked_persist(sim.kmeans_assign_probes(
         emb, ca, probes=_SEM2_PROBES, unit_norm=True
-    ).select("vec_id", F.col("cluster_id").alias("cell_a"))
-    ab = sim.kmeans_assign_probes(
+    ).select("vec_id", F.col("cluster_id").alias("cell_a")))
+    ab = tracked_persist(sim.kmeans_assign_probes(
         emb, cb, probes=_SEM2_PROBES, unit_norm=True
-    ).select("vec_id", F.col("cluster_id").alias("cell_b"))
+    ).select("vec_id", F.col("cluster_id").alias("cell_b")))
     # product block key: pairs must collide in a probed A-cell AND a
     # probed B-cell (concat of two ints with a separator is
     # collision-free). A pair sharing several probed cell combinations
