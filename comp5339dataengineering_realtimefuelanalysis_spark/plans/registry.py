@@ -1113,14 +1113,22 @@ FORCE_ATTEST: dict[str, int] = {
     # consumes the shared parquet embed materialization and derives its
     # output frame + k from the documents table.
     "doc_embed_hash": 8,
-    "doc_semantic_dedup": 8,
-    # round-8 composition: PII scrub + Gopher repetition gate inserted
-    # between the quality gate and exact dedup (oracle extended with the
-    # scrub/rep/repgate CTEs).
-    "corpus_curation_pipeline": 8,
-    # round-8 PII growth: Luhn-valid card + high-entropy secret scrubs
-    # added (new n_card/n_secret audit columns).
-    "doc_pii_scrub": 8,
+    # round-9 rewrites: 2L dedup gained multi-probe assignment with
+    # probe-scaled cell counts and the exploded-hash-agg distance
+    # fan-out (oracle now replays ROW_NUMBER top-2 probes and the
+    # multiplied cube root); the pipeline's semantic stage is
+    # scale-adaptive (sem_mode auto/1l/2l, count-guarded oracle
+    # branches) and its sampling stage is temperature_mix(0.5); PII
+    # audit counts re-staged per replacement stage (r9 commit 19c6e19).
+    "doc_semantic_dedup_2l": 9,
+    "corpus_curation_pipeline": 9,
+    "corpus_curation_pipeline_2l": 9,
+    "doc_temperature_mix": 9,
+    "doc_pii_scrub": 9,
+    "emb_kmeans_train": 9,
+    "emb_kmeans_step": 9,
+    "emb_ivf_kmeans_topk": 9,
+    "doc_semantic_dedup": 9,
 }
 
 

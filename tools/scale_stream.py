@@ -43,10 +43,124 @@ SCHEMA = StructType(
 )
 
 
+def run_sem_drift(spark, args) -> dict:
+    """Measured demo of the semantic screen's centroid-staleness story:
+    feed in-distribution epochs (corpus docs as-is), then DRIFTED
+    epochs (every word replaced by an md5-hex token — a wholesale
+    vocabulary shift no English centroid covers), read the per-epoch
+    drift ratios from the index's log, then run retrain_sem_index and
+    feed one more drifted epoch. Evidence = ratios near 1 while
+    in-distribution, a step up on the drifted epochs that STAYS
+    elevated while the pinned centroids go stale (the degraded-without
+    branch), and a post-retrain drifted epoch back near 1 (detection
+    capacity restored)."""
+    import shutil
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.streaming.incremental_dedup import (  # noqa: E501
+        StreamingIncrementalDedup,
+    )
+
+    docs = spark.read.parquet(f"{args.corpus}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    per_epoch = args.drift_epoch_rows
+    n_in, n_drift = args.drift_in_epochs, args.drift_out_epochs
+    workdir = os.path.join(args.workdir, "sem_drift")
+    shutil.rmtree(workdir, ignore_errors=True)
+    landing = os.path.join(workdir, "landing")
+    os.makedirs(landing)
+
+    def mk():
+        return StreamingIncrementalDedup(
+            spark=spark,
+            landing_dir=landing,
+            silver_path=os.path.join(workdir, "silver"),
+            checkpoint_dir=os.path.join(workdir, "chk"),
+            schema=StructType(
+                [
+                    StructField("doc_id", LongType()),
+                    StructField("text", StringType()),
+                ]
+            ),
+            sem_index_path=os.path.join(workdir, "semidx"),
+            sem_k=args.drift_sem_k,
+        )
+
+    drifted_text = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.substring(F.md5(w), 1, 8),
+        ),
+        " ",
+    )
+
+    def land(lo: int, hi: int, drift: bool) -> None:
+        part = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        if drift:
+            part = part.select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                drifted_text.alias("text"),
+            )
+        part.coalesce(1).write.mode("append").parquet(landing)
+
+    d = mk()
+    for e in range(n_in + n_drift):
+        lo = e * per_epoch
+        land(lo, lo + per_epoch, drift=e >= n_in)
+        q = d.start(available_now=True)
+        q.awaitTermination(600)
+        print(f"sem-drift epoch {e} done", file=sys.stderr)
+    pre = [
+        r.asDict()
+        for r in d.sem_drift_report(spark).collect()
+    ]
+
+    d2 = mk()
+    t0 = time.perf_counter()
+    remapped = d2.retrain_sem_index(spark)
+    retrain_sec = round(time.perf_counter() - t0, 3)
+    lo = (n_in + n_drift) * per_epoch
+    land(lo, lo + per_epoch, drift=True)
+    q = d2.start(available_now=True)
+    q.awaitTermination(600)
+    post = [
+        r.asDict()
+        for r in d2.sem_drift_report(spark).collect()
+    ]
+    drift_rows = [r for r in pre if r["ingest_epoch"] >= n_in]
+    return {
+        "corpus": args.corpus,
+        "rows_per_epoch": per_epoch,
+        "in_distribution_epochs": n_in,
+        "drifted_epochs": n_drift,
+        "sem_k": args.drift_sem_k,
+        "pre_retrain": pre,
+        "ratio_in_distribution_max": max(
+            r["ratio"] for r in pre if r["ingest_epoch"] < n_in
+        ),
+        "ratio_drifted_min": min(r["ratio"] for r in drift_rows),
+        "ratio_drifted_stays_elevated": all(
+            r["ratio"] > 1.5 for r in drift_rows
+        ),
+        "retrain_remapped": remapped,
+        "retrain_sec": retrain_sec,
+        "post_retrain_epoch": post[-1],
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", default="/tmp/scale_bench/x10")
     ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--sem-drift", action="store_true",
+                    help="run the centroid-staleness demo instead of "
+                         "the per-epoch cost sweep")
+    ap.add_argument("--drift-epoch-rows", type=int, default=2000)
+    ap.add_argument("--drift-in-epochs", type=int, default=3)
+    ap.add_argument("--drift-out-epochs", type=int, default=3)
+    ap.add_argument("--drift-sem-k", type=int, default=32)
     ap.add_argument("--sequences", type=int, default=1,
                     help="independent full replays; per-epoch MIN across "
                          "sequences is reported (single-pass epoch times "
@@ -69,6 +183,19 @@ def main() -> None:
 
     spark = get_spark("scale_stream")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.sem_drift:
+        block = run_sem_drift(spark, args)
+        results = {}
+        if os.path.exists(args.json):
+            with open(args.json) as f:
+                results = json.load(f)
+        results["sem_drift"] = block
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps({"written": args.json, "sem_drift": block}))
+        spark.stop()
+        return
 
     docs = spark.read.parquet(f"{args.corpus}/documents.parquet")
     n_total = docs.count()
