@@ -1258,31 +1258,9 @@ def q_corpus_curation_pipeline(
             )
             block_col = "cluster_id"
         else:
-            k2 = _sem2_k(n)
-            # persisted k-row frames: each probe pass re-broadcasts
-            # cents, so an unpersisted training DAG re-runs per pass
-            # (see q_doc_semantic_dedup_2l)
-            ca = tracked_persist(sim.kmeans_train_centroids(
-                emb, k=k2, iters=_SEM_ITERS, unit_norm=True
-            ))
-            cb = tracked_persist(sim.kmeans_train_centroids(
-                emb, k=k2, iters=_SEM_ITERS, unit_norm=True,
-                seed_order="desc",
-            ))
-            # persisted probe frames — see q_doc_semantic_dedup_2l
-            aa = tracked_persist(sim.kmeans_assign_probes(
-                emb, ca, probes=_SEM2_PROBES, unit_norm=True
-            ).select("vec_id", F.col("cluster_id").alias("cell_a")))
-            ab = tracked_persist(sim.kmeans_assign_probes(
-                emb, cb, probes=_SEM2_PROBES, unit_norm=True
-            ).select("vec_id", F.col("cluster_id").alias("cell_b")))
-            assigned = tracked_persist(
-                emb.join(aa, "vec_id")
-                .join(ab, "vec_id")
-                .withColumn(
-                    "block", F.concat_ws("_", "cell_a", "cell_b")
-                )
-            )
+            # subspace product blocking with persisted centroid/probe
+            # frames — shared with q_doc_semantic_dedup_2l
+            assigned = _sem2_blocked(emb, n)
             block_col = "block"
         spairs = sim.embedding_near_dup_pairs(
             assigned,
@@ -1413,21 +1391,35 @@ def _sql_sem_sel_1l(src: str, emb_src: str) -> str:
 
 def _sql_sem_sel_2l(src: str, emb_src: str) -> str:
     """Two-level product-blocked pair selection over ``emb_src`` with
-    k = max(4, icbrt(|src|)) per level, multi-probe on both levels —
-    the q_doc_semantic_dedup_2l chain, namespaced ``t2``; ends in
+    k = max(4, probes^2 * icbrt(|src|)) cells per level trained on DISJOINT
+    dimension subspaces (level A = dims 1..half of the embedding, level
+    B = the rest — mirrors _sem2_blocked), multi-probe on both levels;
+    verification scores the FULL vector. Namespaced ``t2``; ends in
     ``t2sel`` (verified cosine pairs)."""
     n1 = _SEM_ITERS + 1
     sq = "CAST({0}.svec[CAST(i AS INT)] AS HUGEINT)"
+    sv_full = (
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+        f" * {_SCALE}) AS BIGINT))"
+    )
     k_sql = _sql_icbrt_k(src)
+    h = _SEM2_HALF
     chain_a = _sql_kmeans_chain(
-        n1, src=emb_src, id_col="doc_id", dim=_TEXT_EMB_DIM, k=k_sql,
-        prefix="ta",
+        n1, src="t2lo", id_col="doc_id", dim=h, k=k_sql, prefix="ta",
     )
     chain_b = _sql_kmeans_chain(
-        n1, src=emb_src, id_col="doc_id", dim=_TEXT_EMB_DIM, k=k_sql,
-        prefix="tb", seed_order="desc",
+        n1, src="t2hi", id_col="doc_id", dim=h, k=k_sql, prefix="tb",
     )
-    return f"""{chain_a},
+    return f"""t2lo AS (
+            SELECT doc_id, embedding[1:{h}] AS embedding
+            FROM {emb_src}),
+        t2hi AS (
+            SELECT doc_id, embedding[{h + 1}:{2 * h}] AS embedding
+            FROM {emb_src}),
+        t2fs AS (
+            SELECT doc_id AS vec_id, {sv_full} AS svec
+            FROM {emb_src}),
+        {chain_a},
         {chain_b},
         t2probea AS (
             SELECT vec_id, cid AS ca FROM tapairs{n1}
@@ -1453,8 +1445,8 @@ def _sql_sem_sel_2l(src: str, emb_src: str) -> str:
                    SUM({sq.format('a')} * {sq.format('a')}) AS an,
                    SUM({sq.format('b')} * {sq.format('b')}) AS bn
             FROM t2cand cd
-            JOIN tac a ON a.vec_id = cd.id_a
-            JOIN tac b ON b.vec_id = cd.id_b,
+            JOIN t2fs a ON a.vec_id = cd.id_a
+            JOIN t2fs b ON b.vec_id = cd.id_b,
                  range(1, {_TEXT_EMB_DIM + 1}) r(i)
             GROUP BY cd.id_a, cd.id_b),
         t2sel AS (
@@ -2567,74 +2559,106 @@ def _sql_icbrt_k(src: str) -> str:
 # each vector joins the blocks of its _SEM2_PROBES nearest cells per
 # level (probes^2 block keys per vector). Closes the boundary-miss
 # recall gap of single-assignment product blocking — a near-boundary
-# pair is lost only if the two sides' top-2 cell sets are disjoint on
-# EITHER level — at ~probes^2 x candidate volume, still O(n^(4/3)).
-# Measured (SCALE_MEASURED.json sem2_overlap): single-assignment
-# recall of the 1L dup set was 0.83 (x1) / 0.79 (x10); probing level A
-# alone lifted it to 0.88 / 0.86; probing BOTH levels to 0.98 / 0.98.
-_SEM2_PROBES = 2
+# pair is lost only if the two sides' top-p cell sets are disjoint on
+# EITHER level — at ~probes^4/k^2 candidate volume, still O(n^(4/3))
+# under the probe-scaled k. probes=3 is the measured operating point
+# FOR THE SUBSPACE LEVELS (see q_doc_semantic_dedup_2l): at x10,
+# subspace p=2/k=4cbrt(n) gave recall 0.941 of the 1L dup set with
+# 1.6M candidates; p=3/k=9cbrt(n) gives 0.977 with 1.8M — above the
+# full-space two-seed design's 0.963 at 9.0M candidates.
+_SEM2_PROBES = 3
 # Per-level cell-count multiplier compensating multi-probe's candidate
 # blow-up (see _sem2_k): k = mult * cbrt(n) with mult = probes^2 keeps
 # the within-block pair volume at the single-assignment baseline.
 _SEM2_K_MULT = _SEM2_PROBES * _SEM2_PROBES
+# Each level clusters HALF the embedding dimensions (level A = dims
+# 1..half, level B = half+1..dim) — the inverted-multi-index shape
+# (product of codebooks over disjoint subspaces, Babenko & Lempitsky).
+# Two k-means clusterings of the SAME full-space vectors are
+# correlated (cell boundaries align, different seeds notwithstanding),
+# so their product never multiplies down: measured 9.0M candidate
+# pairs at x10 where the independence model predicts ~0.9M. Disjoint
+# subspaces decorrelate by construction (measured 1.6-1.8M), and each
+# level's training fan-out halves (dim/2 per distance).
+_SEM2_HALF = _TEXT_EMB_DIM // 2
+
+
+def _sem2_blocked(emb: DataFrame, n: int) -> DataFrame:
+    """The two-level product-blocking frame shared by
+    q_doc_semantic_dedup_2l and the curation pipeline's 2l stage:
+    ``emb`` (vec_id, embedding — persisted by the caller) plus a
+    ``block`` key = probed subspace cell on level A "_" probed
+    subspace cell on level B.
+
+    Level A clusters dims 1.._SEM2_HALF, level B the other half — the
+    inverted-multi-index decorrelation (see the _SEM2_HALF note).
+    Each level is k-means with k = _sem2_k(n) cells trained on its
+    subspace only, and each vector probes its _SEM2_PROBES nearest
+    cells per level (kmeans_assign_probes), so a pair split by a cell
+    boundary on either level still collides via a later-ranked cell.
+    Output has probes^2 rows per vector; a pair sharing several probed
+    cell combinations is scored in each shared block and collapsed by
+    the pair generator's distinct — same verified set.
+
+    The k-row centroid frames are PERSISTED: kmeans_assign_probes
+    re-broadcasts its cents argument, so an unpersisted training DAG
+    would re-run the whole Lloyd chain per consumer — measured
+    97 s -> 13 s at x3. The probe frames are PERSISTED before the
+    three-way join builds the block keys: joining two n x k fan-out
+    lineages in one job measured 60 s where the separately
+    materialized frames cost ~3 s (x3) — the join must consume
+    n*probes tiny rows, not the nested fan-outs."""
+    k = _sem2_k(n)
+    cells = []
+    for tag, off in (("a", 1), ("b", _SEM2_HALF + 1)):
+        sub = emb.select(
+            "vec_id",
+            F.slice("embedding", off, _SEM2_HALF).alias("embedding"),
+        )
+        cents = tracked_persist(sim.kmeans_train_centroids(
+            sub, k=k, iters=_SEM_ITERS, unit_norm=True, dim=_SEM2_HALF
+        ))
+        cells.append(tracked_persist(
+            sim.kmeans_assign_probes(
+                sub, cents, probes=_SEM2_PROBES, unit_norm=True,
+                dim=_SEM2_HALF,
+            ).select("vec_id", F.col("cluster_id").alias(f"cell_{tag}"))
+        ))
+    # product block key: pairs must collide in a probed A-cell AND a
+    # probed B-cell (concat of two ints with a separator is
+    # collision-free)
+    return tracked_persist(
+        emb.join(cells[0], "vec_id")
+        .join(cells[1], "vec_id")
+        .withColumn("block", F.concat_ws("_", "cell_a", "cell_b"))
+    )
 
 
 def q_doc_semantic_dedup_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO-LEVEL (product-blocked) semantic dedup — the sub-n^1.5 scale
     path the single-level curve motivated (SCALE.md: the sqrt(n)-cell
     flat blocking is measured n^1.5-dominant beyond ~50k docs): two
-    INDEPENDENT k-means clusterings (k = max(4, cbrt(n)) each; lowest-
-    id and highest-id seeds) and candidate pairs must share a PROBED
-    cell on BOTH levels. Each level is multi-probe (_SEM2_PROBES
-    nearest cells per vector, kmeans_assign_probes), so a pair split
-    by either level's partition boundary still collides via a
-    second-nearest cell — the standard multi-probe mitigation of
-    product blocking's double boundary-miss rate (measured:
-    sem2_overlap in SCALE_MEASURED.json). Expected block size
-    ~n/k^2 ~ n^(1/3), so assignment (probes*nk) and within-block
-    pairs (probes^4 * n * n^(1/3)) stay O(n^(4/3)) — asymptotically
-    under the flat design's n^1.5. Same output contract as the
-    single-level query."""
+    k-means clusterings over DISJOINT embedding-dimension subspaces
+    (the inverted-multi-index shape — k = max(4, 9*cbrt(n)) cells per
+    level), and candidate pairs must share a PROBED cell on BOTH
+    levels. Each level is multi-probe (_SEM2_PROBES nearest subspace
+    cells per vector, kmeans_assign_probes), so a pair split by either
+    level's partition boundary still collides via a later-ranked cell.
+    Expected candidate volume ~(probes^4/k^2) n^2 ~ n^(4/3), so
+    assignment (probes * n * k * dim/2) and within-block pairs both
+    stay O(n^(4/3)) — asymptotically under the flat design's n^1.5.
+    Verification scores the FULL vector (threshold semantics are
+    unchanged — only the blocking is subspace-split). Recall vs the
+    1L dup set and the correlation measurement that motivated the
+    subspace split are in SCALE_MEASURED.json sem2_overlap. Same
+    output contract as the single-level query."""
     docs = _docs_parallel(spark, sf_dir)
     emb = tracked_persist(
         _text_emb_for(spark, sf_dir)
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumnRenamed("doc_id", "vec_id")
     )
-    k = _sem2_k(docs.count())
-    # the k-row centroid frames are PERSISTED: kmeans_assign_probes
-    # re-broadcasts its cents argument once per probe pass (and pass 2's
-    # lineage contains pass 1's), so an unpersisted training DAG would
-    # re-run the whole Lloyd chain ~3x per level — measured 97 s -> 13 s
-    # at x3 with the k multiplier in place
-    ca = tracked_persist(sim.kmeans_train_centroids(
-        emb, k=k, iters=_SEM_ITERS, unit_norm=True
-    ))
-    cb = tracked_persist(sim.kmeans_train_centroids(
-        emb, k=k, iters=_SEM_ITERS, unit_norm=True, seed_order="desc"
-    ))
-    # _SEM2_PROBES rows per vector PER LEVEL (multi-probe both levels).
-    # Each probe frame is PERSISTED before the three-way join builds the
-    # block keys: the probe union's lineage nests pass 1's n x k fan-out
-    # inside pass 2's, and joining two such unions in one job measured
-    # 60 s where the separately-materialized frames cost ~3 s (x3) —
-    # the join must consume n*probes tiny rows, not the nested fan-outs
-    aa = tracked_persist(sim.kmeans_assign_probes(
-        emb, ca, probes=_SEM2_PROBES, unit_norm=True
-    ).select("vec_id", F.col("cluster_id").alias("cell_a")))
-    ab = tracked_persist(sim.kmeans_assign_probes(
-        emb, cb, probes=_SEM2_PROBES, unit_norm=True
-    ).select("vec_id", F.col("cluster_id").alias("cell_b")))
-    # product block key: pairs must collide in a probed A-cell AND a
-    # probed B-cell (concat of two ints with a separator is
-    # collision-free). A pair sharing several probed cell combinations
-    # is scored in each shared block and collapsed by the pair
-    # generator's distinct — same verified set.
-    assigned = tracked_persist(
-        emb.join(aa, "vec_id")
-        .join(ab, "vec_id")
-        .withColumn("block", F.concat_ws("_", "cell_a", "cell_b"))
-    )
+    assigned = _sem2_blocked(emb, docs.count())
     pairs = sim.embedding_near_dup_pairs(
         assigned,
         threshold=_SEM_THRESHOLD,
@@ -2658,59 +2682,15 @@ def q_doc_semantic_dedup_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_doc_semantic_dedup_2l() -> str:
-    n1 = _SEM_ITERS + 1
-    sq = "CAST({0}.svec[CAST(i AS INT)] AS HUGEINT)"
-    # exact integer cube root replayed as MAX over an integer range —
-    # engine-exact where pow()/cbrt() are libm-dependent; the range
-    # bound derives from the count (_sql_icbrt_k), exact at any n
-    k_sql = _sql_icbrt_k("documents")
-    chain_a = _sql_kmeans_chain(
-        n1, src="emb", id_col="doc_id", dim=_TEXT_EMB_DIM, k=k_sql,
-        prefix="ta",
-    )
-    chain_b = _sql_kmeans_chain(
-        n1, src="emb", id_col="doc_id", dim=_TEXT_EMB_DIM, k=k_sql,
-        prefix="tb", seed_order="desc",
-    )
+    # the subspace chains, probes, blocking, and full-vector scoring
+    # all come from the same builder the pipeline oracle uses
+    # (_sql_sem_sel_2l — k from _sql_icbrt_k: the exact integer cube
+    # root, engine-exact where pow()/cbrt() are libm-dependent), so
+    # the standalone query and the pipeline's 2l stage cannot drift
     return f"""WITH RECURSIVE {_sql_doc_embed_ctes()},
-        {chain_a},
-        {chain_b},
-        taprobe AS (
-            SELECT vec_id, cid AS ca FROM tapairs{n1}
-            QUALIFY ROW_NUMBER() OVER (
-                PARTITION BY vec_id ORDER BY dist, cid)
-                <= {_SEM2_PROBES}),
-        tbprobe AS (
-            SELECT vec_id, cid AS cb FROM tbpairs{n1}
-            QUALIFY ROW_NUMBER() OVER (
-                PARTITION BY vec_id ORDER BY dist, cid)
-                <= {_SEM2_PROBES}),
-        blocks AS (
-            SELECT a.vec_id, a.ca, b.cb
-            FROM taprobe a JOIN tbprobe b USING (vec_id)),
-        cand AS (
-            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM blocks a JOIN blocks b
-                 ON a.ca = b.ca AND a.cb = b.cb
-                    AND a.vec_id < b.vec_id),
-        bpairs AS (
-            SELECT cd.id_a, cd.id_b,
-                   SUM({sq.format('a')} * {sq.format('b')}) AS dot,
-                   SUM({sq.format('a')} * {sq.format('a')}) AS an,
-                   SUM({sq.format('b')} * {sq.format('b')}) AS bn
-            FROM cand cd
-            JOIN tac a ON a.vec_id = cd.id_a
-            JOIN tac b ON b.vec_id = cd.id_b,
-                 range(1, {_TEXT_EMB_DIM + 1}) r(i)
-            GROUP BY cd.id_a, cd.id_b),
-        bsel AS (
-            SELECT id_a, id_b FROM bpairs
-            WHERE CAST(dot AS DOUBLE)
-                      / (sqrt(CAST(an AS DOUBLE))
-                         * sqrt(CAST(bn AS DOUBLE)))
-                  >= {_SEM_THRESHOLD}),
-        bedges AS (SELECT id_a AS u, id_b AS v FROM bsel
-                   UNION SELECT id_b, id_a FROM bsel),
+        {_sql_sem_sel_2l("documents", "emb")},
+        bedges AS (SELECT id_a AS u, id_b AS v FROM t2sel
+                   UNION SELECT id_b, id_a FROM t2sel),
         bwalk(node, root) AS (
             SELECT u, u FROM bedges
             UNION
