@@ -100,3 +100,183 @@ def temperature_mix(
             < F.col("keep_rate") * F.lit(float(buckets))
         )
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    smooth: int = 1,
+    seed: str = "dsir",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its hashed bag-of-n-grams is under the
+    TARGET distribution (rows where ``target`` is true — e.g. a
+    high-quality or in-domain subset) than under the RAW corpus
+    distribution. Selecting high-weight docs tilts a crawl toward the
+    target domain without training a classifier.
+
+    Model: word uni+bigram features hashed into ``buckets`` buckets
+    (the same feature hashing as embed_text, different seed); both
+    distributions are add-``smooth`` smoothed multinomials over
+    buckets. The log-likelihood ratio of bucket b,
+
+        lr_b = ln((t_b + s)/(T + sB)) - ln((r_b + s)/(R + sB)),
+
+    is QUANTIZED to an int64 grid of ``1/scale`` nats (micro-nats at
+    the default), and a document's weight is the exact integer sum
+    sum_b c_db * lr_b over its bucket counts. The grid is what makes
+    the operator oracle-replayable: only B+4 transcendental
+    evaluations happen per corpus (each ln takes an exact-integer
+    argument, so both engines see identical inputs and a 1-ulp libm
+    difference flips a 1e-6-grid rounding with probability ~1e-9 per
+    bucket); every per-document number is integer arithmetic after
+    that — no float accumulation order to disagree on. Weights are in
+    micro-nats: divide by ``scale`` for the real log-ratio.
+
+    Scale shape: one explode + map-side-combined groupBy over token
+    occurrences (the same cost class as minhash signatures), two
+    B-row aggregates, a 1-row totals aggregate (broadcast nested-loop
+    join of a 1-row build side — no collect), one broadcast join of
+    the B-row lr table, and a final map-side-combined groupBy on the
+    id. Nothing is all-pairs; nothing touches the driver.
+
+    Every input row yields an output row (NULL text is coalesced to
+    '' and contributes the empty-string feature, mirroring
+    embed_text's contract), so weights can be left-joined back
+    without row-count surprises.
+    """
+    from .dedup import hash32
+    from .text import _word_ngram_arrays
+
+    grams = _word_ngram_arrays(
+        F.coalesce(F.col(text_col), F.lit("")), (1, 2)
+    )
+    feats = F.concat(grams[1], grams[2])
+    dbc = (
+        df.select(
+            F.col(id_col),
+            F.coalesce(target.cast("boolean"), F.lit(False)).alias(
+                "_tgt"
+            ),
+            F.explode(feats).alias("feat"),
+        )
+        .select(
+            id_col,
+            "_tgt",
+            F.pmod(
+                hash32(F.concat(F.col("feat"), F.lit("#" + seed))),
+                F.lit(buckets),
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from ..functions.caching import tracked_persist
+
+    dbc = tracked_persist(dbc)  # feeds raw/target/total aggs + join
+    raw_b = dbc.groupBy("bucket").agg(F.sum("c").alias("r"))
+    tgt_b = (
+        dbc.filter(F.col("_tgt"))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("t"))
+    )
+    tot = dbc.agg(
+        F.sum("c").alias("R_tot"),
+        F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(0)).alias(
+            "T_tot"
+        ),
+    )
+    s, sB = smooth, smooth * buckets
+    lr_val = (
+        F.log((F.coalesce(F.col("t"), F.lit(0)) + s).cast("double"))
+        - F.log((F.coalesce(F.col("T_tot"), F.lit(0)) + sB).cast("double"))
+        - F.log((F.col("r") + s).cast("double"))
+        + F.log((F.col("R_tot") + sB).cast("double"))
+    )
+    lr = (
+        raw_b.join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(lr_val * F.lit(scale), 0).cast("long").alias("lr"),
+        )
+    )
+    return (
+        dbc.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("c") * F.col("lr")).alias("dsir_weight"))
+    )
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: Column,
+    frac: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    smooth: int = 1,
+    seed: str = "dsir",
+    scale: int = 1_000_000,
+    gumbel: bool = True,
+) -> DataFrame:
+    """DSIR importance RESAMPLING: keep ceil(frac * n) documents by
+    Gumbel-top-k over the importance weights — equivalent to sampling
+    without replacement with probability proportional to
+    exp(weight/scale), the paper's selection rule (hash-derived Gumbel
+    noise keeps diversity: hard top-k by weight alone would fill the
+    quota with near-copies of the most target-like boilerplate;
+    ``gumbel=False`` gives that hard variant). The noise is a pure
+    function of the id — u = (hash32(id||'#g'||seed)+0.5)/2^32,
+    g = round(-ln(-ln(u)) * scale) — so selection is deterministic,
+    layout-independent, and engine-replayable on the same micro-nat
+    grid as the weights (score = weight + g stays exact int64).
+
+    The top-k itself runs as orderBy(score, id).limit(k) —
+    TakeOrderedAndProject, a per-partition top-k + driver merge, never
+    a single-task global window; k comes from one count() action (the
+    same count-then-plan pattern as the pipeline's sem_mode='auto').
+    That is the right plan while k is selection-sized. At corpus scale
+    (frac of 100 TB) merge k rows through the driver is the wrong
+    shape — compute a weight CUTOFF once via approx_percentile(score,
+    1-frac) and keep score >= cutoff as a map-only filter instead;
+    the boundary fuzz is one approx-percentile error band. The
+    registry pins the exact-rank variant for oracle parity.
+    """
+    from .dedup import hash32
+
+    w = dsir_weights(
+        df,
+        target,
+        text_col=text_col,
+        id_col=id_col,
+        buckets=buckets,
+        smooth=smooth,
+        seed=seed,
+        scale=scale,
+    )
+    if gumbel:
+        u = (
+            hash32(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit("#g" + seed)
+                )
+            )
+            + F.lit(0.5)
+        ) / F.lit(4294967296.0)
+        g = F.round(-F.log(-F.log(u)) * F.lit(scale), 0).cast("long")
+    else:
+        g = F.lit(0).cast("long")
+    scored = w.select(
+        id_col, "dsir_weight", (F.col("dsir_weight") + g).alias("score")
+    )
+    n = scored.count()
+    k = int(-(-frac * n // 1))  # ceil without importing math
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col)
+    ).limit(k)

@@ -1036,9 +1036,16 @@ def _sql_contamination() -> str:
 
 # Survivor count above which the pipeline's semantic stage switches
 # from single-level (k=sqrt(n), n^1.5) to two-level product blocking
-# (O(n^(4/3))) in sem_mode="auto" — SCALE.md's measured crossover: the
-# flat blocking is n^1.5-dominant beyond ~50k docs per partition-set.
-_SEM_MODE_CROSSOVER = 50_000
+# (O(n^(4/3))) in sem_mode="auto". Round 9 moved this 50k -> 2M: the
+# unpacked-column pair scoring cut the n^1.5 term's coefficient ~10x,
+# so the measured 1L/2L curves (SCALE.md: 70.7 vs 117.6 s at 150k
+# docs, per-3x-step growth 4.8x vs 4.0x approaching the n^1.5 / n^4/3
+# asymptotes) now cross ~19x beyond the last measured point —
+# EXTRAPOLATED, not measured; the honest statement is "single-level
+# wins through at least 150k docs per partition-set, product blocking
+# wins in the millions". Re-calibrate on production hardware before
+# trusting the constant's exact value.
+_SEM_MODE_CROSSOVER = 2_000_000
 
 
 def q_corpus_curation_pipeline(
