@@ -246,9 +246,11 @@ def dsir_sample(
     shape — compute a weight CUTOFF once via approx_percentile(score,
     1-frac) and keep score >= cutoff as a map-only filter instead;
     the boundary fuzz is one approx-percentile error band. The
-    registry pins the exact-rank variant for oracle parity.
+    registry's ``doc_dsir_sample`` pins this exact-rank gumbel variant
+    for oracle parity (plans/registry_llm.py:q_doc_dsir_sample).
     """
     from .dedup import hash32
+    from ..functions.caching import tracked_persist
 
     w = dsir_weights(
         df,
@@ -272,8 +274,16 @@ def dsir_sample(
         g = F.round(-F.log(-F.log(u)) * F.lit(scale), 0).cast("long")
     else:
         g = F.lit(0).cast("long")
-    scored = w.select(
-        id_col, "dsir_weight", (F.col("dsir_weight") + g).alias("score")
+    # persist before the count: the k-sizing action and the top-k plan
+    # both consume `scored`, and without a persist the count() would
+    # re-run the whole weight computation (lr aggregates, broadcast
+    # join, per-doc groupBy) a second time for the orderBy/limit.
+    scored = tracked_persist(
+        w.select(
+            id_col,
+            "dsir_weight",
+            (F.col("dsir_weight") + g).alias("score"),
+        )
     )
     n = scored.count()
     k = int(-(-frac * n // 1))  # ceil without importing math

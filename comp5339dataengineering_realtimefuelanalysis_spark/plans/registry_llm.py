@@ -939,6 +939,120 @@ def _sql_temperature_mix() -> str:
         WHERE CAST({bucket} AS DOUBLE) < r.keep_rate * 1000000.0"""
 
 
+# DSIR: target = English docs (the largest stratum — a stand-in for
+# "in-domain" text; the operator takes any boolean column). Pinned here
+# so query and oracle agree by construction.
+_DSIR_BUCKETS = 1024
+_DSIR_SEED = "dsir"
+_DSIR_SCALE = 1_000_000
+_DSIR_FRAC = 0.25
+
+
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/selection.py:dsir_weights):
+    per-doc log-likelihood ratio of hashed uni+bigram features under
+    the target (lang='en') vs raw corpus distributions, on the exact
+    int64 micro-nat grid — one explode + map-side-combined groupBy,
+    two B-row aggregates, a broadcast lr join. Oracle-replayable
+    bit-exactly because every per-doc number is integer arithmetic."""
+    docs = _docs_parallel(spark, sf_dir)
+    return sel.dsir_weights(
+        docs.select("doc_id", "text", "lang"),
+        target=F.col("lang") == "en",
+        buckets=_DSIR_BUCKETS,
+        seed=_DSIR_SEED,
+        scale=_DSIR_SCALE,
+    )
+
+
+def q_doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/selection.py:dsir_sample):
+    Gumbel-top-k over the micro-nat weights, k = ceil(frac*n), noise a
+    pure hash of the doc id — deterministic, layout-independent, and
+    replayed exactly by the DuckDB oracle (exact-rank variant)."""
+    docs = _docs_parallel(spark, sf_dir)
+    return sel.dsir_sample(
+        docs.select("doc_id", "text", "lang"),
+        target=F.col("lang") == "en",
+        frac=_DSIR_FRAC,
+        buckets=_DSIR_BUCKETS,
+        seed=_DSIR_SEED,
+        scale=_DSIR_SCALE,
+        gumbel=True,
+    )
+
+
+def _sql_dsir_weights_ctes() -> str:
+    """CTE chain ending in wts(doc_id, dsir_weight): mirrors
+    dsir_weights — uni+bigram features (the embed_text feats_cte shape,
+    different hash seed), add-1-smoothed bucket multinomials, the lr
+    grid as CAST(round(...*scale) AS BIGINT), integer dot product."""
+    b, s, sc = _DSIR_BUCKETS, _DSIR_SEED, _DSIR_SCALE
+    return rf"""{_sql_norm_words_cte()},
+        feats_cte AS (
+            SELECT doc_id,
+                   CASE WHEN len(words) >= 2 THEN
+                       list_concat(words,
+                           list_transform(range(1, len(words)),
+                               i -> words[i] || ' ' || words[i + 1]))
+                   ELSE words END AS feats
+            FROM w),
+        expl AS (
+            SELECT f.doc_id,
+                   COALESCE(d.lang = 'en', FALSE) AS tgt,
+                   unnest(f.feats) AS feat
+            FROM feats_cte f JOIN documents d USING (doc_id)),
+        dbc AS (
+            SELECT doc_id, tgt,
+                   ('0x' || substring(md5(feat || '#{s}'), 1, 8))
+                       ::BIGINT % {b} AS bucket,
+                   COUNT(*) AS c
+            FROM expl GROUP BY 1, 2, 3),
+        raw_b AS (SELECT bucket, SUM(c) AS r FROM dbc GROUP BY bucket),
+        tgt_b AS (SELECT bucket, SUM(c) AS t FROM dbc
+                  WHERE tgt GROUP BY bucket),
+        tot AS (SELECT SUM(c) AS R_tot,
+                       SUM(CASE WHEN tgt THEN c ELSE 0 END) AS T_tot
+                FROM dbc),
+        lr AS (
+            SELECT rb.bucket,
+                   CAST(round((
+                       ln(CAST(COALESCE(tb.t, 0) + 1 AS DOUBLE))
+                       - ln(CAST(COALESCE(tot.T_tot, 0) + {b} AS DOUBLE))
+                       - ln(CAST(rb.r + 1 AS DOUBLE))
+                       + ln(CAST(tot.R_tot + {b} AS DOUBLE))
+                   ) * {sc}, 0) AS BIGINT) AS lr
+            FROM raw_b rb LEFT JOIN tgt_b tb USING (bucket), tot),
+        wts AS (
+            SELECT dbc.doc_id,
+                   CAST(SUM(dbc.c * lr.lr) AS BIGINT) AS dsir_weight
+            FROM dbc JOIN lr USING (bucket)
+            GROUP BY dbc.doc_id)"""
+
+
+def _sql_dsir_weights() -> str:
+    return f"""WITH {_sql_dsir_weights_ctes()}
+        SELECT doc_id, dsir_weight FROM wts"""
+
+
+def _sql_dsir_sample() -> str:
+    sc, frac = _DSIR_SCALE, _DSIR_FRAC
+    g = (
+        "CAST(round(-ln(-ln((('0x' || substring(md5("
+        f"CAST(doc_id AS VARCHAR) || '#g{_DSIR_SEED}'), 1, 8))::BIGINT"
+        f" + 0.5) / 4294967296.0)) * {sc}, 0) AS BIGINT)"
+    )
+    return f"""WITH {_sql_dsir_weights_ctes()},
+        scored AS (
+            SELECT doc_id, dsir_weight,
+                   dsir_weight + {g} AS score
+            FROM wts)
+        SELECT doc_id, dsir_weight, score
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+            <= CEIL({frac} * COUNT(*) OVER ())"""
+
+
 _PACK_CTX = 2048
 
 
@@ -3082,6 +3196,20 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         "temperature mixture sampling (alpha=0.5): rates "
         "(n_min/n)^0.5 flatten strata toward the rarest; count agg + "
         "broadcast rates + map-only hash filter",
+    ),
+    "doc_dsir_weights": QueryDef(
+        q_doc_dsir_weights,
+        _sql_dsir_weights(),
+        ("documents",),
+        "DSIR importance weights (hashed-ngram LLR, int64 micro-nat "
+        "grid): explode + map-side-combined groupBy + broadcast lr join",
+    ),
+    "doc_dsir_sample": QueryDef(
+        q_doc_dsir_sample,
+        _sql_dsir_sample(),
+        ("documents",),
+        "DSIR importance resampling: Gumbel-top-k (hash-derived noise) "
+        "over the weights, k=ceil(frac*n), exact-rank oracle parity",
     ),
     "doc_mix_report": QueryDef(
         q_doc_mix_report,

@@ -411,3 +411,159 @@ def test_temperature_mix_flattens_and_nests(spark):
     # determinism
     again = {r.doc_id for r in temperature_mix(df, "lang").collect()}
     assert again == cold
+
+
+def _dsir_expected(docs, targets, buckets=64, smooth=1, scale=10**6):
+    """Pure-Python replay of dsir_weights (same md5 bucket hash, same
+    int64 micro-nat grid) for hand-checking the Spark output."""
+    import hashlib
+    import math
+    import re
+
+    def feats(text):
+        words = re.sub(r"\s+", " ", (text or "").lower()).strip().split(" ")
+        return words + [
+            f"{words[i]} {words[i + 1]}" for i in range(len(words) - 1)
+        ]
+
+    def bucket(f):
+        h = int(hashlib.md5((f + "#dsir").encode()).hexdigest()[:8], 16)
+        return h % buckets
+
+    per_doc: dict[int, dict[int, int]] = {}
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    R = T = 0
+    for did, text in docs.items():
+        cnt: dict[int, int] = {}
+        for f in feats(text):
+            cnt[bucket(f)] = cnt.get(bucket(f), 0) + 1
+        per_doc[did] = cnt
+        for b, c in cnt.items():
+            raw[b] = raw.get(b, 0) + c
+            R += c
+            if targets[did]:
+                tgt[b] = tgt.get(b, 0) + c
+                T += c
+    sB = smooth * buckets
+
+    def lr(b):
+        v = (
+            math.log(tgt.get(b, 0) + smooth)
+            - math.log(T + sB)
+            - math.log(raw[b] + smooth)
+            + math.log(R + sB)
+        )
+        # Spark round() is HALF_UP (ties away from zero)
+        import decimal
+
+        return int(
+            decimal.Decimal(v * scale).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    return {
+        did: sum(c * lr(b) for b, c in cnt.items())
+        for did, cnt in per_doc.items()
+    }
+
+
+def test_dsir_weights_formula_and_null_text(spark):
+    from pyspark.sql import functions as F
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import dsir_weights
+
+    docs = {
+        0: "the quick brown fox jumps over the lazy dog",
+        1: "the quick brown fox sleeps",
+        2: "completely different subject matter entirely here",
+        3: "the   Quick\tbrown fox",  # normalization: case + ws runs
+        4: None,  # NULL text must still yield an output row
+    }
+    targets = {0: True, 1: True, 2: False, 3: False, 4: False}
+    df = spark.createDataFrame(
+        [(k, v, targets[k]) for k, v in docs.items()],
+        "doc_id long, text string, tgt boolean",
+    )
+    out = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_weights(df, F.col("tgt"), buckets=64).collect()
+    }
+    exp = _dsir_expected({**docs, 4: ""}, targets, buckets=64)
+    assert out == exp
+    # target-overlapping docs score higher than the off-domain one
+    assert out[1] > out[2] and out[3] > out[2]
+
+
+def test_dsir_weights_empty_target(spark):
+    from pyspark.sql import functions as F
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import dsir_weights
+
+    docs = {0: "alpha beta gamma", 1: "alpha beta", 2: "delta epsilon"}
+    targets = {k: False for k in docs}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in docs.items()], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r.dsir_weight
+        for r in dsir_weights(
+            df, F.lit(False), buckets=64
+        ).collect()
+    }
+    # no target rows: T=0, every t_b=0 — weights still well-defined
+    # (add-1 smoothing) and exactly the replayed formula
+    assert out == _dsir_expected(docs, targets, buckets=64)
+
+
+def test_dsir_sample_gumbel_vs_hard(spark):
+    from pyspark.sql import functions as F
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        dsir_sample,
+        dsir_weights,
+    )
+
+    rows = [
+        (i, ("target words common phrase " * (1 + i % 3)).strip()
+         if i % 4 else "unrelated noise tokens entirely", i % 4 == 1)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    hard = dsir_sample(df, F.col("tgt"), frac=0.25, gumbel=False).collect()
+    gum = dsir_sample(df, F.col("tgt"), frac=0.25, gumbel=True).collect()
+    # k = ceil(0.25 * 40) = 10 for both variants
+    assert len(hard) == 10 and len(gum) == 10
+    # hard variant: score IS the weight, and the set is exactly the
+    # top-10 by (weight desc, id)
+    assert all(r.score == r.dsir_weight for r in hard)
+    w = dsir_weights(df, F.col("tgt")).collect()
+    top = sorted(w, key=lambda r: (-r.dsir_weight, r.doc_id))[:10]
+    assert {r.doc_id for r in hard} == {r.doc_id for r in top}
+    # gumbel variant: score == weight + hash-derived Gumbel noise on
+    # the same micro-nat grid — replay the noise exactly in Python and
+    # check both the per-row score and the selected set
+    import decimal
+    import hashlib
+    import math
+
+    def gnoise(did):
+        h = int(
+            hashlib.md5(f"{did}#gdsir".encode()).hexdigest()[:8], 16
+        )
+        u = (h + 0.5) / 2**32
+        return int(
+            decimal.Decimal(-math.log(-math.log(u)) * 10**6).quantize(
+                0, rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    assert all(r.score == r.dsir_weight + gnoise(r.doc_id) for r in gum)
+    exp_gum = sorted(
+        w, key=lambda r: (-(r.dsir_weight + gnoise(r.doc_id)), r.doc_id)
+    )[:10]
+    assert {r.doc_id for r in gum} == {r.doc_id for r in exp_gum}
+    # determinism across runs
+    again = dsir_sample(df, F.col("tgt"), frac=0.25, gumbel=True).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in gum}
