@@ -566,11 +566,28 @@ class StreamingIncrementalDedup:
     def _sem_train_stats(self, spark: SparkSession, own: DataFrame):
         """The pinned training-epoch assignment-quality reference:
         median rank-1 squared L2 (int64 grid) of the docs the centroids
-        were trained over. Loaded from disk, or — first use — computed
-        from ``own`` (the training epoch's rank-1 assignment, exactly
-        the frame the index rows come from) and pinned. Deterministic
-        from the batch, so a replayed training epoch overwrites
-        convergently — the same story as the centroids themselves."""
+        were trained over. Loaded from disk, or — first use, while the
+        index is still empty — computed from ``own`` (the training
+        epoch's rank-1 assignment, exactly the frame the index rows
+        come from) and pinned. Deterministic from the batch, so a
+        replayed training epoch overwrites convergently — the same
+        story as the centroids themselves.
+
+        A missing/torn stats file over a NON-empty index (pre-stats
+        upgrade path, or a lost file) must NOT fall through to the
+        ``own`` path: that would pin the current — possibly drifted —
+        batch as its own baseline, so the staleness ratio reads ~1.0
+        forever, exactly the silent degradation the signal exists to
+        catch (the _sem_centroids guard, applied to stats). Instead the
+        reference is recomputed from the AT-REST rows of the earliest
+        index epoch: their stored cell is their rank-1 assignment under
+        the pinned centroids, and the distance is the same int64-grid
+        integer both times, so the recomputed median is byte-identical
+        to the original for stream-trained centroids. (For
+        backfill-trained centroids — multi-epoch training set — the
+        earliest epoch is a training-era subset; backfill writes the
+        stats file itself, so this path only runs if that file was
+        lost.)"""
         if self._sem_train_q50 is not None:
             return self._sem_train_q50
         path = self._sem_stats_path()
@@ -578,21 +595,67 @@ class StreamingIncrementalDedup:
             row = spark.read.schema(self._SEM_STATS_SCHEMA).parquet(
                 path
             ).first()
-            if row is not None:
+            if row is not None and row["train_q50"] is not None:
                 self._sem_train_q50 = float(row["train_q50"])
                 return self._sem_train_q50
         except AnalysisException:
             pass
-        agg = own.filter(F.col("cell_rank") == 1).agg(
-            F.median("dist").cast("double").alias("train_q50"),
+        if self._sem_index_has_rows(spark):
+            ref = self._sem_train_stats_from_index(spark)
+        else:
+            ref = own.filter(F.col("cell_rank") == 1).select(
+                F.col("dist").alias("train_dist")
+            )
+        agg = ref.agg(
+            F.median("train_dist").cast("double").alias("train_q50"),
             F.count("*").alias("n"),
         )
         agg.write.mode("overwrite").parquet(path)
         row = spark.read.schema(self._SEM_STATS_SCHEMA).parquet(
             path
         ).first()
+        if row is None or row["train_q50"] is None:
+            raise RuntimeError(
+                "semantic drift baseline could not be computed: the "
+                "training frame produced no rank-1 assignments (empty "
+                "training epoch). The staleness signal has no "
+                "reference — refuse to fabricate one."
+            )
         self._sem_train_q50 = float(row["train_q50"])
         return self._sem_train_q50
+
+    def _sem_train_stats_from_index(
+        self, spark: SparkSession
+    ) -> DataFrame:
+        """(train_dist) rows rebuilt from the at-rest index's earliest
+        epoch against the pinned centroids — the recovery source for a
+        missing stats file (see _sem_train_stats). Raises, via
+        _sem_centroids' own guard, if the centroids are missing too."""
+        idx = spark.read.schema(self._sem_read_schema()).parquet(
+            self._sem_rows_path()
+        )
+        first = idx.agg(F.min("ingest_epoch")).first()
+        cents = self._sem_centroids(spark, emb=None)
+        dist = sim._dim_guard(
+            F.col("svec"),
+            self.sem_dim,
+            sim._dim_guard(
+                F.col("c_svec"),
+                self.sem_dim,
+                sim.l2sq_scaled_unrolled(
+                    F.col("svec"), F.col("c_svec"), self.sem_dim,
+                    long_acc=True,
+                ),
+            ),
+        )
+        return (
+            idx.filter(F.col("ingest_epoch") == F.lit(first[0]))
+            .join(
+                F.broadcast(cents),
+                F.col("cell") == F.col("cid"),
+            )
+            .select(dist.alias("train_dist"))
+        )
 
     def _record_sem_drift(
         self, spark: SparkSession, own: DataFrame, epoch_id: int

@@ -741,3 +741,50 @@ def test_retrain_sem_index_converges_and_marker_guards(spark, tmp_path):
     assert not marker.exists()
     d4._sink(spark.createDataFrame([(60, THIRD)], SCHEMA), epoch_id=99)
     assert 60 in _silver_ids(spark, d4)
+
+
+def test_sem_stats_loss_recovers_baseline_from_index(spark, tmp_path):
+    """A missing train-stats file over a populated index (pre-stats
+    upgrade, or a lost file) must NOT pin the current batch as its own
+    drift baseline — that would read ratio ~1.0 forever on a drifted
+    stream. The fix recomputes the reference from the at-rest
+    training-epoch rows, byte-identical to the original (same int64
+    grid), so a drifted batch still reads loudly drifted."""
+    import shutil
+
+    def mk():
+        return StreamingIncrementalDedup(
+            spark=spark,
+            landing_dir=str(tmp_path / "landing"),
+            silver_path=str(tmp_path / "silver"),
+            checkpoint_dir=str(tmp_path / "chk"),
+            schema=SCHEMA,
+            sem_index_path=str(tmp_path / "semidx"),
+            sem_threshold=SEM_THRESHOLD,
+            sem_k=2,
+        )
+
+    d = mk()
+    _land(spark, d, [(1, BASE), (2, OTHER), (3, THIRD), (4, PAIR_A),
+                     (5, NEWT)])
+    _run(d)
+    _land(spark, d, [(i, _drifted_doc(i)) for i in range(20, 26)])
+    _run(d)
+    rep = {r.ingest_epoch: r for r in d.sem_drift_report(spark).collect()}
+    train_q50_orig = rep[0].train_q50
+    assert rep[1].ratio > 2.0, rep[1]
+
+    # lose the stats file; a fresh instance screens another drifted
+    # batch — the baseline must come back from the at-rest index rows
+    shutil.rmtree(str(tmp_path / "semidx" / "train_stats"))
+    d2 = mk()
+    _land(spark, d2, [(30, _drifted_doc(30)), (31, _drifted_doc(31))])
+    _run(d2)
+    rep2 = {
+        r.ingest_epoch: r for r in d2.sem_drift_report(spark).collect()
+    }
+    # recovered reference is byte-identical to the original pin, and
+    # the drifted epoch still reads drifted (a fabricated
+    # current-batch baseline would put this ratio near 1.0)
+    assert rep2[2].train_q50 == train_q50_orig
+    assert rep2[2].ratio > 2.0, rep2[2]
