@@ -915,6 +915,17 @@ def kmeans_assign_probes(
     """
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
+    # probes > k would SILENTLY emit k rows per vector (row_number
+    # runs out of centroids) — downstream multi-probe recall math then
+    # overstates coverage. cents is k rows by contract, so the count
+    # is a trivial action; fail loudly instead.
+    n_cents = cents.count()
+    if probes > n_cents:
+        raise ValueError(
+            f"probes={probes} exceeds the number of trained centroids "
+            f"({n_cents}): each vector has only {n_cents} cells to "
+            "probe — lower probes or train with a larger k"
+        )
     if unit_norm:
         c = corpus.select(
             F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")

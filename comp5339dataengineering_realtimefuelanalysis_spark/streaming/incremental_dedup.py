@@ -55,7 +55,7 @@ import os
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
@@ -436,23 +436,41 @@ class StreamingIncrementalDedup:
             )
         )
 
-    def _cosine(self, sa, na, sb, nb):
-        # embed_text L2-normalizes, so |x| <= 1e9 on the grid and the
-        # dim-unrolled int64 dot applies (codegen; Cauchy-Schwarz
-        # bound). Both sides guarded: an at-rest index written under a
-        # different sem_dim must fail loudly, not truncate silently
-        return sim._dim_guard(
-            sa,
-            self.sem_dim,
-            sim._dim_guard(
-                sb,
-                self.sem_dim,
-                sim.dot_scaled_unrolled(
-                    sa, sb, self.sem_dim, long_acc=True
-                ).cast("double")
-                / (na * nb),
-            ),
-        )
+    def _unpack_svec(self, src_col: str, tag: str) -> list[Column]:
+        """``sem_dim`` primitive long columns ``_{tag}0.._{tag}{d-1}``
+        from an int64-grid vector column — the pre-join projection that
+        keeps PAIR scoring inside whole-stage codegen. The element_at
+        chain evaluated ABOVE a join runs on the interpreted path (the
+        batch engine measured 42.1 s vs 4.1 s for the same 9M candidate
+        pairs — operators/similarity.py:embedding_near_dup_pairs); the
+        unpack itself is one element_at per (row, dim) on the pre-join
+        side, trivial next to the pair fan-out, and shuffled/broadcast
+        bytes are unchanged (same dim longs, flat instead of boxed).
+        _dim_guard rides the first column so a vector written under a
+        different sem_dim still raises instead of silently truncating."""
+        return [
+            (
+                sim._dim_guard(
+                    F.col(src_col),
+                    self.sem_dim,
+                    F.element_at(F.col(src_col), 1),
+                )
+                if i == 0
+                else F.element_at(F.col(src_col), i + 1)
+            ).alias(f"_{tag}{i}")
+            for i in range(self.sem_dim)
+        ]
+
+    def _unpacked_cosine(self, ta: str, tb: str, na, nb):
+        """Cosine over unpacked columns: plain column sum-of-products,
+        int64-exact (embed_text L2-normalizes, so on the 1e9 grid
+        Cauchy-Schwarz bounds |dot| <= 1e18 — the same long_acc
+        argument as dot_scaled_unrolled) — bit-identical to the array
+        kernel it replaced, so admissions cannot move."""
+        dot = F.col(f"_{ta}0") * F.col(f"_{tb}0")
+        for i in range(1, self.sem_dim):
+            dot = dot + F.col(f"_{ta}{i}") * F.col(f"_{tb}{i}")
+        return dot.cast("double") / (na * nb)
 
     def _read_sem_index(
         self, spark: SparkSession, exclude_epoch: int
@@ -837,25 +855,28 @@ class StreamingIncrementalDedup:
                 # quality vs the pinned training epoch's, logged to the
                 # index (one tiny agg over the persisted batch frame)
                 self._record_sem_drift(spark, own, epoch_id)
+                # pair scoring on UNPACKED primitive columns (see
+                # _unpack_svec): the verify kernel is the hot path at
+                # per-batch candidate volumes, and the unpacked shape
+                # keeps it in codegen — admissions are bit-identical
                 xa = own.select(
                     F.col(did).alias("id_a"),
-                    F.col("q_svec").alias("sa"),
                     F.col("q_norm").alias("na"),
                     "cell",
+                    *self._unpack_svec("q_svec", "a"),
                 )
                 xb = own.select(
                     F.col(did).alias("id_b"),
-                    F.col("q_svec").alias("sb"),
                     F.col("q_norm").alias("nb"),
                     "cell",
+                    *self._unpack_svec("q_svec", "b"),
                 )
                 wb_drop = (
                     xa.join(xb, "cell")
                     .filter(F.col("id_a") > F.col("id_b"))
                     .filter(
-                        self._cosine(
-                            F.col("sa"), F.col("na"),
-                            F.col("sb"), F.col("nb"),
+                        self._unpacked_cosine(
+                            "a", "b", F.col("na"), F.col("nb")
                         )
                         >= F.lit(self.sem_threshold)
                     )
@@ -873,20 +894,29 @@ class StreamingIncrementalDedup:
                         "backfill_sem_index(spark) once before streaming."
                     )
                 if idx is not None:
+                    # probe side broadcast with vectors pre-unpacked
+                    # (same bytes, flat longs); the index side unpacks
+                    # in the Project above its partition-pruned scan,
+                    # so corpus x probe scoring runs in codegen too
                     probe_side = F.broadcast(
                         probed.select(
                             F.col(did).alias("probe_id"),
-                            "q_svec",
                             "q_norm",
                             "cell",
+                            *self._unpack_svec("q_svec", "q"),
                         )
                     )
                     corp_drop = (
-                        idx.join(probe_side, "cell")
+                        idx.select(
+                            "cell",
+                            "norm",
+                            *self._unpack_svec("svec", "x"),
+                        )
+                        .join(probe_side, "cell")
                         .filter(
-                            self._cosine(
-                                F.col("q_svec"), F.col("q_norm"),
-                                F.col("svec"), F.col("norm"),
+                            self._unpacked_cosine(
+                                "q", "x",
+                                F.col("q_norm"), F.col("norm"),
                             )
                             >= F.lit(self.sem_threshold)
                         )

@@ -390,3 +390,49 @@ def test_pair_and_dim_guards_are_loud_but_dim_agnostic(spark):
     )
     with pytest.raises(Exception, match="does not match unrolled dim"):
         sim._lloyd_assign(c64, cents64, "vec_id", unit_norm=True).collect()
+
+
+def test_kmeans_assign_probes_exceeding_k_raises(spark):
+    """probes > trained k must fail loudly: row_number runs out of
+    centroids at k, so each vector would SILENTLY emit only k probe
+    rows and multi-probe recall math would overstate coverage."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+         (3, [0.0, 0.0, 1.0]), (4, [0.7, 0.7, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = sim.kmeans_train_centroids(df, k=2, iters=1, dim=3)
+    with pytest.raises(ValueError, match="exceeds the number"):
+        sim.kmeans_assign_probes(df, cents, probes=3, dim=3)
+    # probes == k is the boundary and stays legal
+    out = sim.kmeans_assign_probes(df, cents, probes=2, dim=3)
+    assert out.groupBy("vec_id").count().filter(
+        F.col("count") != 2
+    ).count() == 0
+
+
+def test_sem2_recall_vs_1l_guard(spark):
+    """2L (product-blocked) semantic dedup must retain >= 0.95 of the
+    1L dup set on the smoke corpus — the probe-level regression guard
+    the r9 measurement (recall 0.989/0.977 at 50k/150k docs) motivated.
+    A broken probe order, subspace split, or block-key collision drops
+    this loudly below the bar (measured 1.0 here: 23/23 dups)."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans import registry_llm as rl
+
+    one = {
+        r.doc_id
+        for r in rl.q_doc_semantic_dedup(spark, SF_SMOKE)
+        .filter(~F.col("keep"))
+        .collect()
+    }
+    two = {
+        r.doc_id
+        for r in rl.q_doc_semantic_dedup_2l(spark, SF_SMOKE)
+        .filter(~F.col("keep"))
+        .collect()
+    }
+    assert len(one) >= 10, "smoke corpus must contain semantic dups"
+    recall = len(one & two) / len(one)
+    assert recall >= 0.95, (recall, len(one), len(two))
