@@ -115,6 +115,29 @@ class StreamingIncrementalDedup:
     sem_probes: int = 2
     sem_dim: int = 64
     sem_seed: str = "emb"
+    # Optional CURATION GATES lifted from the batch pipeline
+    # (plans/registry_llm.py corpus_curation_pipeline stages 2-3) so
+    # continuous ingest gets the same text hygiene without dropping to
+    # batch. Both are BATCH-LOCAL (map-side regex / two map-side-
+    # combined shuffles of batch rows only) — the per-batch
+    # corpus-shuffle-free contract is untouched.
+    #   pii_scrub: replace the text column with its scrubbed form
+    #   (operators/text.py:scrubbed_text) BEFORE any hashing, so silver
+    #   never stores raw PII and two docs differing only in redacted
+    #   values collapse in the exact-dedup stage — the batch pipeline's
+    #   ordering, for the same reasons.
+    #   repetition_gate: Gopher repetition thresholds (corpus-
+    #   calibrated in the batch pipeline — see _REP_MAX_* there) over
+    #   the scrubbed batch; gated docs land in ``rejects_path`` with
+    #   their measured fractions and a reason, partitioned by epoch
+    #   with dynamic overwrite (a replayed epoch rewrites exactly its
+    #   own rejects — the silver exactly-once story).
+    pii_scrub: bool = False
+    repetition_gate: bool = False
+    rejects_path: str | None = None
+    rep_max_dup_word: float = 0.7
+    rep_max_top_bigram: float = 0.12
+    rep_max_dup_trigram: float = 0.05
     _index_coverage_checked: bool = field(
         default=False, init=False, repr=False
     )
@@ -954,9 +977,79 @@ class StreamingIncrementalDedup:
 
     # -- per-batch screening ----------------------------------------------
 
+    def _curation_gates(
+        self, batch: DataFrame, epoch_id: int
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """Apply the opt-in PII scrub and repetition gate to a
+        micro-batch (see the config-field note). Returns (gated batch,
+        persisted handle to unpersist after the sink — the scrub chain
+        feeds the repetition signals, the dedup hash, AND the shingle
+        pass, and without a persist barrier CollapseProject re-inlines
+        the 5-stage regex chain into every consumer)."""
+        handle: DataFrame | None = None
+        if self.pii_scrub:
+            batch = batch.withColumn(
+                self.text_col, tx.scrubbed_text(self.text_col)
+            ).persist()
+            handle = batch
+        if self.repetition_gate:
+            if self.rejects_path is None:
+                raise ValueError(
+                    "repetition_gate=True requires rejects_path: gated "
+                    "docs must be observable, not silently dropped"
+                )
+            sig = tx.repetition_signals(
+                batch, self.text_col, self.id_col
+            )
+            bad = sig.filter(
+                (F.col("dup_word_frac") > self.rep_max_dup_word)
+                | (F.col("top_bigram_frac") > self.rep_max_top_bigram)
+                | (F.col("dup_trigram_frac") > self.rep_max_dup_trigram)
+            )
+            (
+                bad.withColumn(
+                    "reason",
+                    F.concat_ws(
+                        ",",
+                        F.when(
+                            F.col("dup_word_frac")
+                            > self.rep_max_dup_word,
+                            F.lit("dup_word"),
+                        ),
+                        F.when(
+                            F.col("top_bigram_frac")
+                            > self.rep_max_top_bigram,
+                            F.lit("top_bigram"),
+                        ),
+                        F.when(
+                            F.col("dup_trigram_frac")
+                            > self.rep_max_dup_trigram,
+                            F.lit("dup_trigram"),
+                        ),
+                    ),
+                )
+                .withColumn("ingest_epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_epoch")
+                .parquet(self.rejects_path)
+            )
+            batch = batch.join(
+                F.broadcast(bad.select(self.id_col)),
+                self.id_col,
+                "left_anti",
+            )
+        return batch, handle
+
     def _sink(self, batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         txt, did = self.text_col, self.id_col
+
+        # 0. opt-in curation gates (PII scrub, repetition gate) —
+        #    batch-local by construction, before any hashing
+        gate_handle: DataFrame | None = None
+        if self.pii_scrub or self.repetition_gate:
+            batch, gate_handle = self._curation_gates(batch, epoch_id)
 
         # 1. within-batch exact: canonical (min-id) per content hash;
         #    content_hash is kept — it is part of the silver record
@@ -1120,3 +1213,5 @@ class StreamingIncrementalDedup:
                 sets.unpersist()
         finally:
             b.unpersist()
+            if gate_handle is not None:
+                gate_handle.unpersist()

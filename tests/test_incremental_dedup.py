@@ -788,3 +788,91 @@ def test_sem_stats_loss_recovers_baseline_from_index(spark, tmp_path):
     # current-batch baseline would put this ratio near 1.0)
     assert rep2[2].train_q50 == train_q50_orig
     assert rep2[2].ratio > 2.0, rep2[2]
+
+
+PII_DOC = (
+    "please contact jane.doe@example.com or call 0412 345 678 about "
+    "the delivery schedule for the northern warehouse next tuesday "
+    "morning before the markets open"
+)
+REPETITIVE_DOC = ("buy cheap widgets now " * 15).strip()
+
+
+def test_streaming_curation_gates(spark, tmp_path):
+    """The batch pipeline's text hygiene lifted into the stream: a PII
+    doc is admitted with SCRUBBED text in silver, a repetitive doc
+    lands in rejects with its measured fractions and reason, both
+    across epochs and a replay, and the corpus screens' plan contract
+    (no corpus Exchange) is untouched because the gates are
+    batch-local by construction."""
+
+    def mk():
+        return StreamingIncrementalDedup(
+            spark=spark,
+            landing_dir=str(tmp_path / "landing"),
+            silver_path=str(tmp_path / "silver"),
+            checkpoint_dir=str(tmp_path / "chk"),
+            schema=SCHEMA,
+            pii_scrub=True,
+            repetition_gate=True,
+            rejects_path=str(tmp_path / "rejects"),
+        )
+
+    d = mk()
+    _land(spark, d, [(1, BASE), (2, PII_DOC)])
+    _run(d)
+    _land(spark, d, [(3, REPETITIVE_DOC), (4, OTHER)])
+    _run(d)
+
+    assert _silver_ids(spark, d) == {1, 2, 4}
+    silver = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(d.silver_path).collect()
+    }
+    # scrubbed, not raw: placeholders present, raw values gone
+    assert "<EMAIL>" in silver[2] and "<PHONE>" in silver[2]
+    assert "jane.doe@example.com" not in silver[2]
+    assert "0412 345 678" not in silver[2]
+    # the repetitive doc is observable in rejects with its reason
+    rej = spark.read.parquet(str(tmp_path / "rejects")).collect()
+    assert {r.doc_id for r in rej} == {3}
+    assert "dup_word" in rej[0].reason
+    assert rej[0].dup_word_frac > 0.7
+    assert rej[0].ingest_epoch == 1
+
+    # replayed epoch converges: same silver, same single reject row
+    d2 = mk()
+    d2._sink(
+        spark.createDataFrame([(3, REPETITIVE_DOC), (4, OTHER)], SCHEMA),
+        epoch_id=1,
+    )
+    assert _silver_ids(spark, d2) == {1, 2, 4}
+    rej2 = spark.read.parquet(str(tmp_path / "rejects")).collect()
+    assert len(rej2) == 1 and rej2[0].doc_id == 3
+
+    # scrub-equivalence dedup: two docs differing ONLY in redacted PII
+    # values collapse in the exact stage (batch-pipeline ordering)
+    _land(spark, d, [
+        (10, PII_DOC.replace("jane.doe", "john.roe")),
+    ])
+    _run(d)
+    assert 10 not in _silver_ids(spark, d)
+
+    # gates are batch-local: the corpus screens' broadcast contract is
+    # unchanged (same assertion as the plan-contract test, with the
+    # gated stream's silver as the corpus)
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import dedup as dd
+
+    corpus = spark.read.parquet(d.silver_path)
+    batch = dd.dedup_exact(
+        spark.createDataFrame([(100, THIRD)], SCHEMA), "text", "doc_id"
+    ).filter(F.col("is_canonical")).drop("canonical_id", "is_canonical")
+    b = batch
+    for key in ("doc_id", "content_hash"):
+        hits = corpus.select(key).join(
+            F.broadcast(b.select(key).distinct()), key, "semi"
+        )
+        b = b.join(F.broadcast(hits), key, "left_anti")
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
