@@ -271,6 +271,16 @@ def main() -> None:
         out["queries_normalized"] = {
             k: round(v / f, 4) for k, v in timings.items()
         }
+        # streaming rows/s scales INVERSELY with the host slowdown
+        # factor: normalized = raw * factor (r9/r10 verdicts had to do
+        # this arithmetic by hand; carry it in the artifact instead)
+        if "rows_per_sec" in streaming:
+            streaming["rows_per_sec_normalized"] = round(
+                streaming["rows_per_sec"] * f, 1
+            )
+            streaming["sec_normalized"] = round(
+                streaming["sec"] / f, 4
+            )
     if errors:
         # permanently-failing queries shrink the total silently; the
         # explicit count keeps cross-round total comparisons honest
@@ -298,7 +308,8 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "streaming": {
             k: streaming[k]
-            for k in ("sec", "rows_per_sec", "err")
+            for k in ("sec", "rows_per_sec", "rows_per_sec_normalized",
+                      "err")
             if k in streaming
         },
         "sf": out["sf"],
