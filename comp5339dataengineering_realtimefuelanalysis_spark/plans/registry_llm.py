@@ -1150,16 +1150,28 @@ def _sql_contamination() -> str:
 
 # Survivor count above which the pipeline's semantic stage switches
 # from single-level (k=sqrt(n), n^1.5) to two-level product blocking
-# (O(n^(4/3))) in sem_mode="auto". Round 9 moved this 50k -> 2M: the
-# unpacked-column pair scoring cut the n^1.5 term's coefficient ~10x,
-# so the measured 1L/2L curves (SCALE.md: 70.7 vs 117.6 s at 150k
-# docs, per-3x-step growth 4.8x vs 4.0x approaching the n^1.5 / n^4/3
-# asymptotes) now cross ~19x beyond the last measured point —
-# EXTRAPOLATED, not measured; the honest statement is "single-level
-# wins through at least 150k docs per partition-set, product blocking
-# wins in the millions". Re-calibrate on production hardware before
-# trusting the constant's exact value.
-_SEM_MODE_CROSSOVER = 2_000_000
+# (O(n^(4/3))) in sem_mode="auto". MEASURED (round 11, same host
+# epoch, min-of-2 each, tools/profile_sem_modes.py ->
+# SCALE_MEASURED.json sem_mode_crossover): end-to-end through
+# _semantic_drop_ids, 1L/2L = 80.8/116.8 s at 150k docs and
+# 391.8/540.3 s at 500k. Two findings replace round 9's 2M curve fit:
+# (1) the wall-clock crossover is NOT in any locally attestable
+# range — fitted exponents over the 150k->500k step are 1.31 (1L) vs
+# 1.27 (2L), a gap of n^0.04, so the measured 28-45% 1L advantage
+# closes only around ~1e9 docs (and that extrapolation is hopelessly
+# sensitive: +-0.02 on either exponent moves it by orders of
+# magnitude); (2) both curves run well BELOW their n^1.5 / n^(4/3)
+# asymptotes at these sizes because shared near-linear stages (exact
+# verify, CC) still carry much of the constant. The constant is
+# therefore set where the asymptotic CANDIDATE-PAIR VOLUME argument
+# overwhelms the measured constant-factor advantage rather than at
+# the un-extrapolatable wall-clock intersection: at 10M survivors the
+# pair-volume ratio n^(1/6) is ~15x, and at cluster scale pair
+# SHUFFLE, not local CPU, is the binding constraint — a 100 TB
+# deployment should pin sem_mode="2l" (the attested
+# corpus_curation_pipeline_2l branch) or re-calibrate this constant
+# on production hardware.
+_SEM_MODE_CROSSOVER = 10_000_000
 
 
 def _semantic_drop_ids(

@@ -161,6 +161,13 @@ def main() -> None:
     ap.add_argument("--drift-in-epochs", type=int, default=3)
     ap.add_argument("--drift-out-epochs", type=int, default=3)
     ap.add_argument("--drift-sem-k", type=int, default=32)
+    ap.add_argument("--sem", action="store_true",
+                    help="enable the semantic screen in the per-epoch "
+                         "sweep (sem_index_path set); records the block "
+                         "as streaming_incremental_sem")
+    ap.add_argument("--sem-k", type=int, default=32)
+    ap.add_argument("--block-key", default=None,
+                    help="override the artifact block key")
     ap.add_argument("--sequences", type=int, default=1,
                     help="independent full replays; per-epoch MIN across "
                          "sequences is reported (single-pass epoch times "
@@ -212,6 +219,10 @@ def main() -> None:
             silver_path=os.path.join(workdir, "silver"),
             checkpoint_dir=os.path.join(workdir, "chk"),
             schema=SCHEMA,
+            sem_index_path=(
+                os.path.join(workdir, "semidx") if args.sem else None
+            ),
+            sem_k=(args.sem_k if args.sem else 8),
         )
         epochs = []
         for e in range(args.epochs):
@@ -271,11 +282,17 @@ def main() -> None:
         "epochs": epochs,
         "rejected_total": n_total - epochs[-1]["silver_rows_after"],
     }
+    if args.sem:
+        block["sem_k"] = args.sem_k
     results = {}
     if os.path.exists(args.json):
         with open(args.json) as f:
             results = json.load(f)
-    results["streaming_incremental"] = block
+    block_key = args.block_key or (
+        "streaming_incremental_sem" if args.sem
+        else "streaming_incremental"
+    )
+    results[block_key] = block
     with open(args.json, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({"written": args.json, "epochs": len(epochs)}))
