@@ -290,3 +290,72 @@ def dsir_sample(
     return scored.orderBy(
         F.col("score").desc(), F.col(id_col)
     ).limit(k)
+
+
+def dsir_sample_cutoff(
+    df: DataFrame,
+    target: Column,
+    frac: float = 0.25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    smooth: int = 1,
+    seed: str = "dsir",
+    scale: int = 1_000_000,
+    gumbel: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB shape of ``dsir_sample``: instead of merging
+    k = frac*n rows through the driver (TakeOrderedAndProject is a
+    per-partition top-k + DRIVER merge — the wrong plan when k is a
+    quarter of a corpus), compute the score CUTOFF once with
+    approx_percentile(score, 1-frac) and keep ``score >= cutoff`` as a
+    broadcast-scalar map-only filter. One sketch aggregate + one scan:
+    nothing corpus-sized moves. The trade is the sketch's rank-error
+    band (<= n/accuracy rows around the boundary, the standard
+    Greenwald-Khanna bound); ties at the cutoff are all kept. Scoring
+    (weights + Gumbel noise) is byte-identical to dsir_sample — only
+    the SELECTION plan differs — so the two variants agree except
+    within the boundary band (tested). The exact-rank variant stays
+    the oracle-gated one (approx sketches are not cross-engine
+    replayable); use this one when k is selection-at-scale."""
+    from .dedup import hash32
+    from ..functions.caching import tracked_persist
+
+    w = dsir_weights(
+        df,
+        target,
+        text_col=text_col,
+        id_col=id_col,
+        buckets=buckets,
+        smooth=smooth,
+        seed=seed,
+        scale=scale,
+    )
+    if gumbel:
+        u = (
+            hash32(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit("#g" + seed)
+                )
+            )
+            + F.lit(0.5)
+        ) / F.lit(4294967296.0)
+        g = F.round(-F.log(-F.log(u)) * F.lit(scale), 0).cast("long")
+    else:
+        g = F.lit(0).cast("long")
+    scored = tracked_persist(
+        w.select(
+            id_col,
+            "dsir_weight",
+            (F.col("dsir_weight") + g).alias("score"),
+        )
+    )
+    cut = scored.agg(
+        F.percentile_approx(
+            "score", F.lit(1.0 - frac), F.lit(accuracy)
+        ).alias("_cutoff")
+    )
+    return scored.crossJoin(F.broadcast(cut)).filter(
+        F.col("score") >= F.col("_cutoff")
+    ).select(id_col, "dsir_weight", "score")

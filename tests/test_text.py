@@ -567,3 +567,54 @@ def test_dsir_sample_gumbel_vs_hard(spark):
     # determinism across runs
     again = dsir_sample(df, F.col("tgt"), frac=0.25, gumbel=True).collect()
     assert {r.doc_id for r in again} == {r.doc_id for r in gum}
+
+
+def test_dsir_sample_cutoff_matches_exact_rank(spark):
+    """The cutoff (scale-path) variant must agree with the exact-rank
+    variant outside the sketch's boundary band: identical scoring, a
+    selection that is a SUPERSET of the exact top-k minus at most the
+    boundary tie/error band, and every selected score >= every
+    unselected score down to that band. At n << accuracy the sketch
+    is exact, so the only admissible difference is cutoff ties."""
+    from pyspark.sql import functions as F
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        dsir_sample,
+        dsir_sample_cutoff,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma delta token{i % 7} "
+            f"epsilon{i % 3} zeta", i % 3 == 0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    exact = dsir_sample(df, F.col("tgt"), frac=0.25).collect()
+    cut = dsir_sample_cutoff(df, F.col("tgt"), frac=0.25).collect()
+    exact_ids = {r.doc_id for r in exact}
+    cut_ids = {r.doc_id for r in cut}
+    # identical scoring: the shared rows carry identical scores
+    sc_exact = {r.doc_id: r.score for r in exact}
+    sc_cut = {r.doc_id: r.score for r in cut}
+    for did in exact_ids & cut_ids:
+        assert sc_exact[did] == sc_cut[did]
+    # filter semantics: everything at/above the selected minimum is in
+    min_kept = min(sc_cut.values())
+    all_scores = {
+        r.doc_id: r.score
+        for r in dsir_sample_cutoff(
+            df, F.col("tgt"), frac=1.0
+        ).collect()
+    }
+    assert cut_ids == {d for d, s in all_scores.items() if s >= min_kept}
+    # size: ceil(0.25*60)=15 exact; the cutoff keeps >= that minus the
+    # boundary band (ties kept, sketch exact at this n)
+    assert len(cut_ids) >= 14 and len(cut_ids) <= 16
+    # agreement outside the boundary: at most one boundary row differs
+    assert len(exact_ids.symmetric_difference(cut_ids)) <= 2
+    # determinism
+    again = {
+        r.doc_id
+        for r in dsir_sample_cutoff(df, F.col("tgt"), frac=0.25).collect()
+    }
+    assert again == cut_ids
