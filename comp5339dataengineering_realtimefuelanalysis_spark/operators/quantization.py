@@ -1,0 +1,181 @@
+"""Product quantization (PQ) for embedding columns: train sub-space
+codebooks, encode vectors to m small codes, and answer top-k by
+asymmetric distance computation (ADC) over the codes.
+
+Why this exists at 100 TB: a 64-dim float32 embedding is 256 bytes; its
+PQ code at m=4 subspaces x 16 centroids is 4 bytes (6 bits used). ADC
+scans codes + a per-query lookup table instead of raw vectors, so the
+candidate scan reads ~64x less and never touches the vector column —
+the standard IVF-PQ recipe (Jégou et al. 2011, "Product Quantization
+for Nearest Neighbor Search"). Here PQ is the orthogonal compression
+axis to the existing blocking paths: compose with the IVF cell index
+(operators/similarity.py: ivf_write_kmeans) by encoding within cells.
+
+Everything is integer-exact on the 1e9 grid, so the whole chain —
+sub-codebook training (the same deterministic floor-div Lloyd as
+kmeans_train_centroids, per dim/m-wide slice), code assignment (argmin
+with cid tiebreak), and ADC distances (sums of per-sub integer squared
+L2) — replays bit-exactly in the DuckDB oracle. No RNG anywhere:
+seeds are the lowest-id vectors' slices.
+
+Overflow discipline (same Cauchy-Schwarz ledger as similarity.py):
+vectors are unit-norm on the grid (|x| <= ~1e9), sub-slices inherit
+the bound, so a per-sub squared distance is <= (|x|+|y|)^2 <= 4e18 —
+inside int64. The ADC TOTAL over m subs can reach m*4e18, so the final
+sum accumulates in decimal(38,0) (DuckDB: HUGEINT) — exact either way.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import (
+    _dim_guard,
+    kmeans_train_centroids,
+    l2sq_scaled_unrolled,
+    scaled_vec,
+)
+
+
+def _sub_slices(
+    df: DataFrame, id_cols: list[str], vec_col: str, m: int, dim: int
+) -> DataFrame:
+    """One row per (ids..., sub) with the int64-scaled dim/m-wide
+    sub-vector ``svec``. The slice happens on the FLOAT vector and the
+    scaling per element, so slice-then-scale == scale-then-slice and
+    the oracle's list_slice replay is exact. Size-guarded before the
+    explode — a wrong-width vector raises instead of mis-slicing."""
+    d = dim // m
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("sub"),
+                scaled_vec(
+                    F.slice(
+                        _dim_guard(F.col(vec_col), dim, F.col(vec_col)),
+                        j * d + 1,
+                        d,
+                    )
+                ).alias("svec"),
+            )
+            for j in range(m)
+        ]
+    )
+    return df.select(*id_cols, F.explode(subs).alias("_t")).select(
+        *id_cols, F.col("_t.sub").alias("sub"), F.col("_t.svec").alias("svec")
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    ks: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Sub-space codebooks ``(sub, cid, c_svec)``: one deterministic
+    exact-integer Lloyd run (kmeans_train_centroids — lowest-id seeds,
+    floor-div re-quantization) per dim/m-wide slice. m plans over the
+    same input — persist the corpus frame at scale; each run is the
+    proven two-shuffle-per-iteration shape at 1/m the width."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    d = dim // m
+    books = []
+    for j in range(m):
+        sub = corpus.select(
+            id_col, F.slice(F.col(vec_col), j * d + 1, d).alias(vec_col)
+        )
+        cb = kmeans_train_centroids(
+            sub,
+            k=ks,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=d,
+            unit_norm=True,  # sub-slices inherit the unit-norm bound
+        )
+        books.append(cb.select(F.lit(j).alias("sub"), "cid", "c_svec"))
+    return reduce(DataFrame.unionByName, books)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """PQ codes ``(id_col, sub, code)`` — each vector's nearest
+    sub-centroid per subspace (exact int64 squared L2, lowest-cid
+    tiebreak). Exploded columnar form: it is both the at-rest layout
+    (group by id to get the packed code array) and the join shape ADC
+    consumes. Scale: n*m narrow rows through one broadcast-HASH join
+    on ``sub`` (the dim-unrolled distance evaluates inside whole-stage
+    codegen above an equi-join, unlike the nested-loop fan-out) and
+    one map-side-combined argmin shuffle."""
+    d = dim // m
+    ex = _sub_slices(corpus, [id_col], vec_col, m, dim)
+    dist = l2sq_scaled_unrolled(
+        F.col("svec"), F.col("c_svec"), d, long_acc=True
+    )
+    return (
+        ex.join(F.broadcast(codebooks), "sub")
+        .select(id_col, "sub", "cid", dist.alias("dist"))
+        .groupBy(id_col, "sub")
+        .agg(F.min_by("cid", F.struct("dist", "cid")).alias("code"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance: per query build the
+    (sub, code) -> squared-sub-distance lookup table against the RAW
+    query slices (q x m x ks rows — broadcast-tiny), then every code
+    row joins its LUT entry and distances sum per (query, vector).
+    Output ``(qid, vec_id, adc_dist, rank)`` with adc_dist the EXACT
+    integer grid value (decimal — the m-sub total can exceed int64)
+    and rank the (adc_dist, vec_id)-ordered position, 1..k.
+
+    Scale shape: codes join a BROADCAST lut on (sub, code) — n*m rows
+    replicated per query map-side, collapsed by a map-side-combined
+    (qid, id) sum, then a per-query top-k window over n*q narrow rows.
+    At corpus scale, prune candidates FIRST (IVF cells /
+    ivf_kmeans_topk) and ADC-rank within probed cells; the LUT join
+    never reads the vector column at all — that is the point of PQ."""
+    d = dim // m
+    qsub = _sub_slices(queries, [qid_col], qvec_col, m, dim)
+    lut = qsub.join(F.broadcast(codebooks), "sub").select(
+        qid_col,
+        "sub",
+        F.col("cid").alias("code"),
+        l2sq_scaled_unrolled(
+            F.col("svec"), F.col("c_svec"), d, long_acc=True
+        ).alias("_sd"),
+    )
+    dists = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum(F.col("_sd").cast("decimal(38,0)")).alias("adc_dist"))
+    )
+    w = Window.partitionBy(qid_col).orderBy("adc_dist", id_col)
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "adc_dist", "rank")
+    )

@@ -27,6 +27,7 @@ from ..functions.scalars import dec_avg
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
 from ..operators import packing as pk
+from ..operators import quantization as qz
 from ..operators import selection as sel
 from ..operators import similarity as sim
 from ..operators import text as tx
@@ -3054,6 +3055,145 @@ def _ivf_kmeans_index_for(
     return path, cents_df
 
 
+# Product quantization: m subspaces of dim/m, ks centroids each — a
+# 64-dim float32 vector compresses to m codes (4 bytes at these
+# defaults, 64x smaller). Small ks keeps the oracle's m x iters CTE
+# chain bounded; production would use m=8, ks=256 (1 byte/code).
+_PQ_M = 4
+_PQ_KS = 16
+_PQ_ITERS = 2
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_parallel(spark, sf_dir)
+    return qz.pq_train(
+        emb, m=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS, dim=_EMB_DIM
+    )
+
+
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the embeddings table
+    (operators/quantization.py): deterministic sub-space codebooks
+    (exact floor-div Lloyd per dim/m slice) + per-(vector, subspace)
+    nearest-centroid codes. Exploded (vec_id, sub, code) — the
+    at-rest columnar layout and the shape ADC joins on. Integer-exact
+    end to end, so the oracle replays training AND assignment."""
+    emb = _emb_parallel(spark, sf_dir)
+    books = _pq_codebooks(spark, sf_dir)
+    return qz.pq_encode(emb, books, m=_PQ_M, dim=_EMB_DIM)
+
+
+def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance: per-query LUT of
+    sub-distances against the raw query slices (broadcast-tiny), codes
+    join the LUT on (sub, code), per-(query, vector) integer sums,
+    per-query rank. The candidate scan reads CODES, never the vector
+    column — the 100 TB read-volume win PQ exists for; compose with
+    IVF cell pruning for the full IVF-PQ recipe."""
+    emb = _emb_parallel(spark, sf_dir)
+    books = tracked_persist(_pq_codebooks(spark, sf_dir))
+    codes = qz.pq_encode(emb, books, m=_PQ_M, dim=_EMB_DIM)
+    queries, _ = _queries_vecs(spark, sf_dir)
+    return qz.pq_adc_topk(
+        codes, books, queries, k=_TOPK_K, m=_PQ_M, dim=_EMB_DIM
+    )
+
+
+def _sql_pq_ctes() -> str:
+    """Shared CTE chain: per-subspace sliced sources -> m exact Lloyd
+    chains (the SAME _sql_kmeans_chain builder the full-space queries
+    replay, at dim/m and prefix pq{j}) -> unioned codebooks -> scaled
+    corpus sub-slices -> per-(vector, sub) argmin codes. Ends in
+    ``pqenc`` (vec_id, sub, code) and ``pqbooks`` (sub, cid, c_svec)."""
+    m, ks, it, dim = _PQ_M, _PQ_KS, _PQ_ITERS, _EMB_DIM
+    d = dim // m
+    chains = []
+    books = []
+    for j in range(m):
+        chains.append(
+            f"""pq{j}src AS (
+            SELECT vec_id,
+                   list_slice(embedding, {j * d + 1}, {(j + 1) * d})
+                       AS embedding
+            FROM embeddings)"""
+        )
+        chains.append(
+            _sql_kmeans_chain(
+                it, src=f"pq{j}src", dim=d, k=ks, prefix=f"pq{j}"
+            )
+        )
+        books.append(
+            f"SELECT {j} AS sub, cid, c_svec FROM pq{j}cents{it}"
+        )
+    l2 = (
+        "list_sum(list_transform(list_zip(s.svec, b.c_svec),"
+        " p -> (CAST(p[1] AS HUGEINT) - CAST(p[2] AS HUGEINT))"
+        " * (CAST(p[1] AS HUGEINT) - CAST(p[2] AS HUGEINT))))"
+    )
+    return (
+        ",\n        ".join(chains)
+        + f""",
+        pqbooks AS ({" UNION ALL ".join(books)}),
+        pqsub AS (
+            SELECT vec_id, CAST(j.range AS INT) AS sub,
+                   list_transform(
+                       list_slice(embedding,
+                                  CAST(j.range AS INT) * {d} + 1,
+                                  (CAST(j.range AS INT) + 1) * {d}),
+                       x -> CAST(round(CAST(x AS DOUBLE) * {_SCALE})
+                                 AS BIGINT)) AS svec
+            FROM embeddings CROSS JOIN range({m}) j),
+        pqenc AS (
+            SELECT vec_id, sub, cid AS code FROM (
+                SELECT s.vec_id, s.sub, b.cid, {l2} AS dist
+                FROM pqsub s JOIN pqbooks b USING (sub))
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY vec_id, sub ORDER BY dist, cid) = 1)"""
+    )
+
+
+def _sql_pq_codes() -> str:
+    return f"""WITH {_sql_pq_ctes()}
+        SELECT vec_id, sub, code FROM pqenc"""
+
+
+def _sql_pq_adc_topk() -> str:
+    m, dim = _PQ_M, _EMB_DIM
+    d = dim // m
+    l2 = (
+        "list_sum(list_transform(list_zip(s.svec, b.c_svec),"
+        " p -> (CAST(p[1] AS HUGEINT) - CAST(p[2] AS HUGEINT))"
+        " * (CAST(p[1] AS HUGEINT) - CAST(p[2] AS HUGEINT))))"
+    )
+    return f"""WITH {_sql_pq_ctes()},
+        pqq AS (SELECT vec_id AS qid, embedding FROM embeddings
+                WHERE vec_id < {_TOPK_NQ}),
+        pqqsub AS (
+            SELECT qid, CAST(j.range AS INT) AS sub,
+                   list_transform(
+                       list_slice(embedding,
+                                  CAST(j.range AS INT) * {d} + 1,
+                                  (CAST(j.range AS INT) + 1) * {d}),
+                       x -> CAST(round(CAST(x AS DOUBLE) * {_SCALE})
+                                 AS BIGINT)) AS svec
+            FROM pqq CROSS JOIN range({m}) j),
+        pqlut AS (
+            SELECT s.qid, s.sub, b.cid AS code, {l2} AS dist
+            FROM pqqsub s JOIN pqbooks b USING (sub)),
+        pqdists AS (
+            SELECT l.qid, e.vec_id, SUM(l.dist) AS adc_dist
+            FROM pqenc e JOIN pqlut l
+                 ON l.sub = e.sub AND l.code = e.code
+            GROUP BY 1, 2)
+        SELECT qid, vec_id, adc_dist, rank FROM (
+            SELECT qid, vec_id, adc_dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY adc_dist, vec_id) AS rank
+            FROM pqdists)
+        WHERE rank <= {_TOPK_K}"""
+
+
 def q_emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN against the LEARNED-centroid IVF index (the real IVF:
     k-means cells, not hyperplane luck): corpus partitioned on disk by
@@ -3451,6 +3591,20 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         ("embeddings",),
         "full fixed-iteration Lloyd training, floor-div re-quantized "
         "centroids replayed as chained oracle CTEs",
+    ),
+    "emb_pq_codes": QueryDef(
+        q_emb_pq_codes,
+        _sql_pq_codes(),
+        ("embeddings",),
+        "product-quantization codes: m deterministic sub-space "
+        "codebooks + per-(vector, sub) argmin — integer-exact replay",
+    ),
+    "emb_pq_adc_topk": QueryDef(
+        q_emb_pq_adc_topk,
+        _sql_pq_adc_topk(),
+        ("embeddings",),
+        "PQ asymmetric-distance top-k: broadcast per-query LUT over "
+        "codes — the scan never reads the vector column",
     ),
     "emb_ivf_kmeans_topk": QueryDef(
         q_emb_ivf_kmeans_topk,

@@ -1,0 +1,142 @@
+"""Product quantization (operators/quantization.py): codebook shape,
+encode determinism, ADC arithmetic replayed exactly in Python, and
+guard behavior."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from comp5339dataengineering_realtimefuelanalysis_spark.operators import quantization as qz
+
+DIM, M, KS = 8, 4, 4
+D = DIM // M
+
+
+def _vec(seed: int) -> list[float]:
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:6], 16)
+         % 2001 - 1000) / 4000.0
+        for i in range(DIM)
+    ]
+
+
+def _corpus(spark, n=40):
+    return spark.createDataFrame(
+        [(i, _vec(i)) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pq_shapes_codes_and_determinism(spark):
+    df = _corpus(spark)
+    books = qz.pq_train(df, m=M, ks=KS, dim=DIM)
+    rows = books.collect()
+    by_sub: dict[int, set] = {}
+    for r in rows:
+        assert len(r.c_svec) == D
+        by_sub.setdefault(r.sub, set()).add(r.cid)
+    assert set(by_sub) == set(range(M))
+    assert all(0 < len(c) <= KS for c in by_sub.values())
+
+    codes = qz.pq_encode(df, books, m=M, dim=DIM).collect()
+    # exactly one code per (vector, subspace), codes from that sub's book
+    assert len(codes) == 40 * M
+    assert {(r.vec_id, r.sub) for r in codes} == {
+        (i, j) for i in range(40) for j in range(M)
+    }
+    for r in codes:
+        assert r.code in by_sub[r.sub]
+    # determinism: retrain + re-encode is byte-identical
+    again = qz.pq_encode(
+        df, qz.pq_train(df, m=M, ks=KS, dim=DIM), m=M, dim=DIM
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, codes))
+
+
+def test_pq_adc_matches_python_replication(spark):
+    """ADC distances are exact integer sums of per-sub squared L2 to
+    the coded centroid — replay them from the collected codebooks and
+    codes and compare every (query, vector) value."""
+    df = _corpus(spark, n=25)
+    books = qz.pq_train(df, m=M, ks=KS, dim=DIM)
+    codes = qz.pq_encode(df, books, m=M, dim=DIM)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r.qid, r.vec_id): int(r.adc_dist)
+        for r in qz.pq_adc_topk(
+            codes, books, queries, k=25, m=M, dim=DIM
+        ).collect()
+    }
+
+    def scaled(v):
+        from decimal import Decimal, ROUND_HALF_UP
+
+        return [
+            int(Decimal(float(x) * 1e9).quantize(0, ROUND_HALF_UP))
+            for x in v
+        ]
+
+    cent = {(r.sub, r.cid): r.c_svec for r in books.collect()}
+    code = {(r.vec_id, r.sub): r.code for r in codes.collect()}
+    vecs = {r.vec_id: scaled(r.embedding) for r in df.collect()}
+    for (qid, vid), adc in got.items():
+        exp = 0
+        for j in range(M):
+            qs = vecs[qid][j * D:(j + 1) * D]
+            cs = cent[(j, code[(vid, j)])]
+            exp += sum((a - b) * (a - b) for a, b in zip(qs, cs))
+        assert adc == exp, (qid, vid)
+    # ranks follow (adc_dist, vec_id) exactly — k=25 returned all rows
+    assert len(got) == 3 * 25
+
+
+def test_pq_adc_self_top1_on_separated_clusters(spark):
+    """Three well-separated clusters: a query that IS a corpus vector
+    must rank itself first — its ADC distance is only its own
+    quantization error, far below the inter-cluster distance."""
+    # ids interleaved across clusters (id % 3 == cluster) so the
+    # lowest-id training seeds land one per cluster — seeding three
+    # Lloyd seeds inside one cluster can leave two true clusters
+    # merged under a shared centroid (ADC then ties across clusters)
+    rows = []
+    for c, base in enumerate([0.4, 0.0, -0.4]):
+        for i in range(6):
+            rows.append(
+                (i * 3 + c,
+                 [base + (0.002 * ((i + d) % 3)) for d in range(DIM)])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = qz.pq_train(df, m=M, ks=3, dim=DIM)
+    codes = qz.pq_encode(df, books, m=M, dim=DIM)
+    queries = df.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    top1 = {
+        r.qid: r.vec_id
+        for r in qz.pq_adc_topk(
+            codes, books, queries, k=18, m=M, dim=DIM
+        ).filter(F.col("rank") == 1).collect()
+    }
+    # top-1 stays within the query's own cluster (codes are shared
+    # cluster-wide, so same-cluster members tie at the same ADC
+    # distance; the vec_id tiebreak picks the lowest member)
+    for c in (0, 1, 2):
+        assert top1[c] % 3 == c, top1
+
+
+def test_pq_guards(spark):
+    df = _corpus(spark, n=8)
+    with pytest.raises(ValueError, match="not divisible"):
+        qz.pq_train(df, m=3, ks=4, dim=DIM)
+    # wrong-width vector raises loudly instead of mis-slicing
+    bad = spark.createDataFrame(
+        [(1, [0.1] * (DIM + 1))], "vec_id long, embedding array<float>"
+    )
+    books = qz.pq_train(df, m=M, ks=KS, dim=DIM)
+    with pytest.raises(Exception, match="does not match unrolled dim"):
+        qz.pq_encode(bad, books, m=M, dim=DIM).collect()
