@@ -20,9 +20,12 @@ seeds are the lowest-id vectors' slices.
 
 Overflow discipline (same Cauchy-Schwarz ledger as similarity.py):
 vectors are unit-norm on the grid (|x| <= ~1e9), sub-slices inherit
-the bound, so a per-sub squared distance is <= (|x|+|y|)^2 <= 4e18 —
-inside int64. The ADC TOTAL over m subs can reach m*4e18, so the final
-sum accumulates in decimal(38,0) (DuckDB: HUGEINT) — exact either way.
+the bound, and the ADC TOTAL over the m subspaces is exactly the
+FULL-vector squared grid distance (the sub squared-L2 terms partition
+the dims), so the total obeys the same full-vector bound
+|q - c|^2 <= (|q| + |c|)^2 <= 4e18 < 2^63 — int64 is safe for every
+per-sub term AND the final sum (measured max at sf0.01: 9.2e17).
+adc_dist is therefore emitted as bigint on both engines.
 """
 
 from __future__ import annotations
@@ -34,6 +37,7 @@ from pyspark.sql import functions as F
 
 from .similarity import (
     _dim_guard,
+    kmeans_assign,
     kmeans_train_centroids,
     l2sq_scaled_unrolled,
     scaled_vec,
@@ -89,7 +93,14 @@ def pq_train(
     books = []
     for j in range(m):
         sub = corpus.select(
-            id_col, F.slice(F.col(vec_col), j * d + 1, d).alias(vec_col)
+            id_col,
+            # Same loud wrong-width failure as pq_encode's _sub_slices:
+            # an over-length vector must not train silently on a prefix.
+            F.slice(
+                _dim_guard(F.col(vec_col), dim, F.col(vec_col)),
+                j * d + 1,
+                d,
+            ).alias(vec_col),
         )
         cb = kmeans_train_centroids(
             sub,
@@ -149,8 +160,10 @@ def pq_adc_topk(
     query slices (q x m x ks rows — broadcast-tiny), then every code
     row joins its LUT entry and distances sum per (query, vector).
     Output ``(qid, vec_id, adc_dist, rank)`` with adc_dist the EXACT
-    integer grid value (decimal — the m-sub total can exceed int64)
-    and rank the (adc_dist, vec_id)-ordered position, 1..k.
+    integer grid value as bigint (the m-sub total IS the full-vector
+    squared grid distance, <= 4e18 under the unit-norm ledger — see
+    module docstring) and rank the (adc_dist, vec_id)-ordered
+    position, 1..k.
 
     Scale shape: codes join a BROADCAST lut on (sub, code) — n*m rows
     replicated per query map-side, collapsed by a map-side-combined
@@ -171,7 +184,117 @@ def pq_adc_topk(
     dists = (
         codes.join(F.broadcast(lut), ["sub", "code"])
         .groupBy(qid_col, id_col)
-        .agg(F.sum(F.col("_sd").cast("decimal(38,0)")).alias("adc_dist"))
+        .agg(F.sum("_sd").alias("adc_dist"))
+    )
+    w = Window.partitionBy(qid_col).orderBy("adc_dist", id_col)
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "adc_dist", "rank")
+    )
+
+
+def ivf_pq_write(
+    corpus: DataFrame,
+    cents: DataFrame,
+    codebooks: DataFrame,
+    path: str,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Materialize the IVF-PQ layout — the full Jégou et al. recipe's
+    at-rest half: PQ codes partitioned on disk by nearest-trained-
+    centroid cell. Each row is ``(id_col, sub, code)`` under a
+    ``cluster_id=`` partition directory; the raw vector column is NOT
+    stored — a probed scan reads m small ints per vector instead of
+    dim floats (the ~64x read-volume cut PQ exists for), and exact
+    re-scoring, when a caller wants it, goes back to the source table
+    by id. One cell-assignment shuffle + one encode shuffle, then a
+    partitioned write; nothing corpus-sized through the driver."""
+    assigned = kmeans_assign(corpus, cents, id_col, vec_col, dim).select(
+        id_col, "cluster_id"
+    )
+    codes = pq_encode(corpus, codebooks, m, id_col, vec_col, dim)
+    (
+        codes.join(assigned, id_col)
+        .write.partitionBy("cluster_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_pq_topk(
+    spark,
+    path: str,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    k: int = 10,
+    probes: int = 1,
+    m: int = 4,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ top-k against a materialized ``ivf_pq_write`` index —
+    the composition pq_adc_topk's docstring promises: prune candidates
+    FIRST (each query ranks the k trained centroids by exact full-dim
+    integer L2 and probes its ``probes`` nearest cells — classic
+    nprobe), then ADC-rank WITHIN the probed cells only. The probe
+    frame broadcasts into the join against the cluster_id-partitioned
+    code index, so dynamic partition pruning skips every un-probed
+    cell's files, and the scan that remains reads codes — never the
+    vector column.
+
+    Candidate semantics are exact and oracle-replayable: a vector is a
+    candidate for a query iff its (unique) cell is among the query's
+    ``probes`` nearest centroids; adc_dist is the same integer grid
+    value pq_adc_topk emits (bigint under the unit-norm ledger); rank
+    is (adc_dist, id)-ordered within candidates, 1..k. A query whose
+    probed cells hold fewer than k vectors returns fewer rows — ANN
+    contract, same as ivf_kmeans_topk.
+
+    Scale shape per query batch: one broadcast k-row centroid ranking
+    (no shuffle), one DPP-pruned code scan joined to a broadcast
+    (qid, sub, code) LUT, one map-side-combined (qid, id) sum, one
+    per-query top-k window. Corpus-sized work touches only the probed
+    fraction of code rows — probes/k of n*m small ints."""
+    index = spark.read.parquet(path)
+    q = queries.select(
+        F.col(qid_col),
+        scaled_vec(
+            _dim_guard(F.col(qvec_col), dim, F.col(qvec_col))
+        ).alias("q_svec"),
+    )
+    cell_d = l2sq_scaled_unrolled(
+        F.col("q_svec"), F.col("c_svec"), dim, long_acc=True
+    )
+    wp = Window.partitionBy(qid_col).orderBy("dist", "cid")
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("dist", cell_d)
+        .withColumn("cell_rank", F.row_number().over(wp))
+        .filter(F.col("cell_rank") <= probes)
+        .select(qid_col, F.col("cid").alias("cluster_id"))
+    )
+    d = dim // m
+    qsub = _sub_slices(queries, [qid_col], qvec_col, m, dim)
+    lut = qsub.join(F.broadcast(codebooks), "sub").select(
+        qid_col,
+        "sub",
+        F.col("cid").alias("code"),
+        l2sq_scaled_unrolled(
+            F.col("svec"), F.col("c_svec"), d, long_acc=True
+        ).alias("_sd"),
+    )
+    dists = (
+        index.join(F.broadcast(probed), "cluster_id")
+        .join(F.broadcast(lut), [qid_col, "sub", "code"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("_sd").alias("adc_dist"))
     )
     w = Window.partitionBy(qid_col).orderBy("adc_dist", id_col)
     return (

@@ -2257,6 +2257,7 @@ def release_ivf_indexes() -> None:
 
     _IVF_INDEX_PATHS.clear()
     _IVF_KMEANS_CENTS.clear()
+    _IVF_PQ_BOOKS.clear()
     _TEXT_EMB_PATHS.clear()
     _STAGE9_PATHS.clear()
     if _IVF_ROOT is not None:
@@ -3157,7 +3158,11 @@ def _sql_pq_codes() -> str:
         SELECT vec_id, sub, code FROM pqenc"""
 
 
-def _sql_pq_adc_topk() -> str:
+def _sql_pq_lut_ctes() -> str:
+    """Query-side CTEs shared by the flat-ADC and IVF-PQ oracles:
+    ``pqq`` (the _TOPK_NQ query vectors), ``pqqsub`` (their scaled
+    dim/m sub-slices), ``pqlut`` (per-(query, sub, code) integer
+    squared sub-distance against the unioned codebooks)."""
     m, dim = _PQ_M, _EMB_DIM
     d = dim // m
     l2 = (
@@ -3165,8 +3170,7 @@ def _sql_pq_adc_topk() -> str:
         " p -> (CAST(p[1] AS HUGEINT) - CAST(p[2] AS HUGEINT))"
         " * (CAST(p[1] AS HUGEINT) - CAST(p[2] AS HUGEINT))))"
     )
-    return f"""WITH {_sql_pq_ctes()},
-        pqq AS (SELECT vec_id AS qid, embedding FROM embeddings
+    return f"""pqq AS (SELECT vec_id AS qid, embedding FROM embeddings
                 WHERE vec_id < {_TOPK_NQ}),
         pqqsub AS (
             SELECT qid, CAST(j.range AS INT) AS sub,
@@ -3179,11 +3183,124 @@ def _sql_pq_adc_topk() -> str:
             FROM pqq CROSS JOIN range({m}) j),
         pqlut AS (
             SELECT s.qid, s.sub, b.cid AS code, {l2} AS dist
-            FROM pqqsub s JOIN pqbooks b USING (sub)),
+            FROM pqqsub s JOIN pqbooks b USING (sub))"""
+
+
+def _sql_pq_adc_topk() -> str:
+    return f"""WITH {_sql_pq_ctes()},
+        {_sql_pq_lut_ctes()},
         pqdists AS (
-            SELECT l.qid, e.vec_id, SUM(l.dist) AS adc_dist
+            -- BIGINT cast: the m-sub total is the full-vector squared
+            -- grid distance, <= 4e18 under the unit-norm ledger, and
+            -- the Spark side emits bigint — match representations so
+            -- the driver's value hash compares int to int.
+            SELECT l.qid, e.vec_id,
+                   CAST(SUM(l.dist) AS BIGINT) AS adc_dist
             FROM pqenc e JOIN pqlut l
                  ON l.sub = e.sub AND l.code = e.code
+            GROUP BY 1, 2)
+        SELECT qid, vec_id, adc_dist, rank FROM (
+            SELECT qid, vec_id, adc_dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY adc_dist, vec_id) AS rank
+            FROM pqdists)
+        WHERE rank <= {_TOPK_K}"""
+
+
+_IVF_PQ_BOOKS: dict[str, list] = {}
+
+
+def _ivf_pq_index_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, DataFrame, DataFrame]:
+    """Path of the materialized IVF-PQ index (codes partitioned by
+    k-means cell, no vector column at rest) plus the trained centroid
+    and codebook frames. Reuses _ivf_kmeans_index_for's full-dim
+    centroids (same training, same memoized k-row collect boundary);
+    the m x ks sub-codebooks are memoized the same way — both are
+    broadcast into every probe, and an unmaterialized training plan
+    would re-run Lloyd per query invocation."""
+    path0, cents = _ivf_kmeans_index_for(spark, sf_dir)
+    key = (
+        f"{sf_dir}:ivfpq:{_KMEANS_K}:{_KMEANS_ITERS}"
+        f":{_PQ_M}:{_PQ_KS}:{_PQ_ITERS}"
+    )
+    path = _IVF_INDEX_PATHS.get(key)
+    if path is None or not os.path.isdir(path):
+        emb = _emb_parallel(spark, sf_dir)
+        books = _pq_codebooks(spark, sf_dir)
+        _IVF_PQ_BOOKS[key] = [
+            (r.sub, r.cid, list(r.c_svec)) for r in books.collect()
+        ]
+        books_df = spark.createDataFrame(
+            _IVF_PQ_BOOKS[key], "sub int, cid long, c_svec array<long>"
+        )
+        path = _ivf_index_dir(key)
+        qz.ivf_pq_write(emb, cents, books_df, path, m=_PQ_M, dim=_EMB_DIM)
+        _IVF_INDEX_PATHS[key] = path
+    books_df = spark.createDataFrame(
+        _IVF_PQ_BOOKS[key], "sub int, cid long, c_svec array<long>"
+    )
+    return path, cents, books_df
+
+
+def q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ recipe (Jégou et al. 2011), composed from the
+    two proven halves: k-means cell pruning (each query probes its
+    _KMEANS_PROBES nearest trained centroids through a dynamic-
+    partition-pruned scan of the at-rest code index) and ADC ranking
+    within the probed cells. The probed scan reads 4-byte codes, not
+    256-byte vectors — both the read-volume cut AND the candidate cut
+    at once. Integer-exact end to end: the oracle replays cell
+    training, assignment, probe selection, sub-codebook training,
+    encoding, and the ADC sums."""
+    path, cents, books = _ivf_pq_index_for(spark, sf_dir)
+    queries, _ = _queries_vecs(spark, sf_dir)
+    return qz.ivf_pq_topk(
+        spark,
+        path,
+        books,
+        queries,
+        cents,
+        k=_TOPK_K,
+        probes=_KMEANS_PROBES,
+        m=_PQ_M,
+        dim=_EMB_DIM,
+    )
+
+
+def _sql_ivf_pq_topk() -> str:
+    # cells = assignment against the FINAL trained centroids: asg{N+1}
+    # in a chain extended one stage (same convention as the ivf_kmeans
+    # oracle); PQ codes/LUT from the shared PQ CTE builders.
+    n1 = _KMEANS_ITERS + 1
+    return f"""WITH {_sql_kmeans_chain(n1)},
+        {_sql_pq_ctes()},
+        {_sql_pq_lut_ctes()},
+        ivfqd AS (
+            SELECT q.vec_id AS qid, s.cid,
+                   list_sum(list_transform(list_zip(q.svec, s.c_svec),
+                       p -> (CAST(p[1] AS HUGEINT) - CAST(p[2] AS HUGEINT))
+                            * (CAST(p[1] AS HUGEINT)
+                               - CAST(p[2] AS HUGEINT)))) AS dist
+            FROM c q CROSS JOIN cents{_KMEANS_ITERS} s
+            WHERE q.vec_id < {_TOPK_NQ}),
+        probe AS (
+            SELECT qid, cid FROM ivfqd
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY dist, cid)
+                <= {_KMEANS_PROBES}),
+        cand AS (
+            SELECT p.qid, a.vec_id
+            FROM probe p JOIN asg{n1} a ON a.cid = p.cid),
+        pqdists AS (
+            SELECT cd.qid, e.vec_id,
+                   CAST(SUM(l.dist) AS BIGINT) AS adc_dist
+            FROM cand cd
+            JOIN pqenc e ON e.vec_id = cd.vec_id
+            JOIN pqlut l ON l.qid = cd.qid AND l.sub = e.sub
+                        AND l.code = e.code
             GROUP BY 1, 2)
         SELECT qid, vec_id, adc_dist, rank FROM (
             SELECT qid, vec_id, adc_dist,
@@ -3605,6 +3722,13 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         ("embeddings",),
         "PQ asymmetric-distance top-k: broadcast per-query LUT over "
         "codes — the scan never reads the vector column",
+    ),
+    "emb_ivf_pq_topk": QueryDef(
+        q_emb_ivf_pq_topk,
+        _sql_ivf_pq_topk(),
+        ("embeddings",),
+        "IVF-PQ: k-means cell pruning (nprobe, DPP-pruned at-rest "
+        "code index) + ADC ranking within probed cells",
     ),
     "emb_ivf_kmeans_topk": QueryDef(
         q_emb_ivf_kmeans_topk,

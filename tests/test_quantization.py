@@ -140,3 +140,66 @@ def test_pq_guards(spark):
     books = qz.pq_train(df, m=M, ks=KS, dim=DIM)
     with pytest.raises(Exception, match="does not match unrolled dim"):
         qz.pq_encode(bad, books, m=M, dim=DIM).collect()
+
+def test_ivf_pq_probes_all_equals_flat_adc_and_prunes(spark, tmp_path):
+    """IVF-PQ vs flat ADC: probing EVERY cell must reproduce
+    pq_adc_topk exactly (cell pruning changes the candidate set, never
+    a surviving distance); fewer probes only lose, never invent,
+    pairs; and the probe join partition-prunes the code-index scan."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+        similarity as sim,
+    )
+
+    df = _corpus(spark, n=40)
+    qs = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    k_cells = 3
+    cents = sim.kmeans_train_centroids(df, k=k_cells, iters=2, dim=DIM)
+    books = qz.pq_train(df, m=M, ks=KS, dim=DIM)
+    path = str(tmp_path / "ivf_pq")
+    qz.ivf_pq_write(df, cents, books, path, m=M, dim=DIM)
+    # at rest: codes only — the vector column is NOT stored
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"vec_id", "sub", "code", "cluster_id"}
+
+    codes = qz.pq_encode(df, books, m=M, dim=DIM)
+    flat = {
+        (r.qid, r.vec_id): (int(r.adc_dist), r.rank)
+        for r in qz.pq_adc_topk(
+            codes, books, qs, k=10, m=M, dim=DIM
+        ).collect()
+    }
+    full = {
+        (r.qid, r.vec_id): (int(r.adc_dist), r.rank)
+        for r in qz.ivf_pq_topk(
+            spark, path, books, qs, cents, k=10, probes=k_cells,
+            m=M, dim=DIM,
+        ).collect()
+    }
+    assert full == flat  # all cells probed == flat ADC
+
+    got1 = {
+        (r.qid, r.vec_id)
+        for r in qz.ivf_pq_topk(
+            spark, path, books, qs, cents, k=10, probes=1, m=M, dim=DIM
+        ).collect()
+    }
+    got2 = {
+        (r.qid, r.vec_id)
+        for r in qz.ivf_pq_topk(
+            spark, path, books, qs, cents, k=10, probes=2, m=M, dim=DIM
+        ).collect()
+    }
+    # probes only add recall against the flat-ADC reference
+    assert len(got1 & set(flat)) <= len(got2 & set(flat))
+
+    plan = (
+        qz.ivf_pq_topk(
+            spark, path, books, qs, cents, k=10, probes=2, m=M, dim=DIM
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
