@@ -9,7 +9,12 @@ per-row serde, partition boundaries are preserved, and the decode stage
 pipelines with the scan.
 
 Codec availability is DETECTED, not assumed: ``available_codecs()``
-optional-imports PIL (images) and looks for ffprobe (audio/video).
+optional-imports PIL (images) and looks for ffprobe (audio/video), and
+falls back to VENDORED stdlib decoders where those are missing — a pure
+zlib/struct PNG decoder (true dimensions + the 4x4 grayscale thumbnail
+feature) for images and the ``wave`` module (true duration) for audio,
+so the real-decode branch executes in codec-less containers too. Video
+has no stdlib fallback (``"real"`` still raises naming ffmpeg there).
 ``decode=...`` modes: ``"fake"`` derives deterministic pseudo-metadata/
 features from the byte content (md5-seeded) so the whole distributed
 plumbing — schemas, batching, partitioning, UDF signatures — is real and
@@ -24,6 +29,11 @@ assumed (the standard packaged-venv deployment); with skewed envs, pin
 ``"fake"`` or fix the executor image. The registry queries pin
 ``"fake"`` (the DuckDB oracle must replay the features bit-exactly);
 production callers use ``"auto"``.
+
+Error posture on the real path: a payload the codec rejects yields NULL
+metadata plus a ``decode_err`` message, never a task failure — at 100 TB
+corrupt media rows are routine, and one bad byte stream must not poison
+a stage; filter ``decode_err IS NOT NULL`` downstream to quarantine.
 """
 
 from __future__ import annotations
@@ -54,6 +64,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("duration_ms", T.LongType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("decode_err", T.StringType(), True),
     ]
 )
 
@@ -80,12 +91,15 @@ def _fake_decode_bytes(content: bytes) -> dict:
     }
 
 
-def available_codecs() -> dict[str, bool]:
-    """Which real codecs this environment provides, per media kind.
-    Driver-side detection — the result is closure-captured into the
-    decode UDF so every executor makes the same choice. Assumes the
-    executor Python matches the driver's (see module docstring caveat on
-    skewed environments)."""
+def available_codecs() -> dict[str, str | None]:
+    """Which real codec this environment provides, per media kind —
+    the codec NAME (truthy) or None. Preference order: the full
+    library (PIL / ffprobe) if present, else the vendored stdlib
+    fallback ("stdlib-png": PNG only; "stdlib-wav": WAV only); video
+    has no stdlib fallback. Driver-side detection — the result is
+    closure-captured into the decode UDF so every executor makes the
+    same choice. Assumes the executor Python matches the driver's (see
+    module docstring caveat on skewed environments)."""
     try:
         import PIL.Image  # noqa: F401
 
@@ -93,7 +107,11 @@ def available_codecs() -> dict[str, bool]:
     except ImportError:
         pil = False
     ff = shutil.which("ffprobe") is not None
-    return {"image": pil, "audio": ff, "video": ff}
+    return {
+        "image": "pil" if pil else "stdlib-png",
+        "audio": "ffprobe" if ff else "stdlib-wav",
+        "video": "ffprobe" if ff else None,
+    }
 
 
 def _real_decode_image(content: bytes) -> dict:
@@ -161,6 +179,122 @@ def _real_decode_av(content: bytes) -> dict:
     }
 
 
+def _stdlib_decode_png(content: bytes) -> dict:
+    """Vendored pure-Python PNG decode (zlib + struct, stdlib only):
+    true dimensions from IHDR, scanlines unfiltered per the PNG spec
+    (filters 0-4), and the same 16-dim feature contract as the PIL
+    path — a 4x4 grayscale (ITU-R 601-2 luma) nearest-sample
+    thumbnail in [-1, 1]. Supports non-interlaced 8-bit gray / gray+A
+    / RGB / RGBA (the overwhelming majority of training-corpus PNGs);
+    palette and interlaced images raise (callers get a decode_err row,
+    or install PIL for full coverage)."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG byte stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={ctype} "
+            f"interlace={interlace}); install PIL for full coverage"
+        )
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    prev = bytearray(stride)
+    lines = []
+    for y in range(h):
+        off = y * (stride + 1)
+        f, line = raw[off], bytearray(raw[off + 1 : off + 1 + stride])
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0  # left
+            b = prev[i]  # up
+            c = prev[i - ch] if i >= ch else 0  # up-left
+            if f == 1:
+                line[i] = (line[i] + a) & 0xFF
+            elif f == 2:
+                line[i] = (line[i] + b) & 0xFF
+            elif f == 3:
+                line[i] = (line[i] + (a + b) // 2) & 0xFF
+            elif f == 4:  # Paeth predictor
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                line[i] = (line[i] + pred) & 0xFF
+            elif f != 0:
+                raise ValueError(f"bad PNG filter byte {f}")
+        lines.append(bytes(line))
+        prev = line
+
+    def luma(x: int, y: int) -> int:
+        px = lines[y][x * ch : (x + 1) * ch]
+        if ctype in (0, 4):  # gray / gray+alpha
+            return px[0]
+        return (299 * px[0] + 587 * px[1] + 114 * px[2]) // 1000
+
+    feature = [
+        luma(((2 * j + 1) * w) // 8, ((2 * i + 1) * h) // 8) / 255.0 * 2
+        - 1
+        for i in range(4)
+        for j in range(4)
+    ]
+    return {
+        "width": w,
+        "height": h,
+        "duration_ms": None,
+        "feature": feature,
+    }
+
+
+def _stdlib_decode_wav(content: bytes) -> dict:
+    """Vendored stdlib audio decode: the ``wave`` module reads RIFF/WAV
+    headers — true duration from nframes/framerate. Same output shape
+    as the ffprobe path for audio (no dimensions, no feature)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as f:
+        duration = round(f.getnframes() * 1000 / f.getframerate())
+    return {
+        "width": None,
+        "height": None,
+        "duration_ms": duration,
+        "feature": None,
+    }
+
+
+_REAL_DECODERS = {
+    "pil": _real_decode_image,
+    "ffprobe": _real_decode_av,
+    "stdlib-png": _stdlib_decode_png,
+    "stdlib-wav": _stdlib_decode_wav,
+}
+
+_NULL_DECODE = {
+    "width": None,
+    "height": None,
+    "duration_ms": None,
+    "feature": None,
+}
+
+
 def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
     """Decode + feature-extract media rows via mapInPandas.
 
@@ -181,17 +315,26 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                 'environment; use mode="auto" to fall back to the '
                 "deterministic stub per kind, or install the codecs"
             )
-    # plan-time, per-kind choice: identical on driver and every executor
-    use_real = {
-        kind: mode != "fake" and ok for kind, ok in codecs.items()
+    # plan-time, per-kind codec choice: identical on driver + executors
+    use_codec = {
+        kind: codec if mode != "fake" else None
+        for kind, codec in codecs.items()
     }
 
     def _decode_row(kind: str, content: bytes) -> dict:
-        if use_real.get(kind):
-            if kind == "image":
-                return _real_decode_image(content)
-            return _real_decode_av(content)
-        return _fake_decode_bytes(content)
+        codec = use_codec.get(kind)
+        if codec:
+            try:
+                return {
+                    **_REAL_DECODERS[codec](content),
+                    "decode_err": None,
+                }
+            except Exception as e:  # corrupt payload: quarantine row
+                return {
+                    **_NULL_DECODE,
+                    "decode_err": f"{codec}: {e}"[:200],
+                }
+        return {**_fake_decode_bytes(content), "decode_err": None}
 
     def _decode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -218,6 +361,9 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
             )
             out["feature"] = pd.Series(
                 [d["feature"] for d in decoded], dtype="object"
+            )
+            out["decode_err"] = pd.Series(
+                [d["decode_err"] for d in decoded], dtype="object"
             )
             yield pd.DataFrame(out)
 

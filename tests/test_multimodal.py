@@ -179,3 +179,84 @@ def test_decode_auto_real_audio_duration(spark):
     assert row.width is None and row.height is None
     assert row.feature is None
     assert abs(row.duration_ms - 250) <= 10, row.duration_ms
+
+
+def test_decode_corrupt_payload_quarantines_not_fails(spark):
+    """Real-path error posture: a payload the codec rejects yields NULL
+    metadata + decode_err, never a task failure — one bad byte stream
+    must not poison a 100 TB stage."""
+    df = spark.createDataFrame(
+        [
+            (1, "image", b"\x89PNG\r\n\x1a\nGARBAGE", {}),
+            (2, "image", _png_bytes(4, 4), {}),
+            (3, "audio", b"not-a-wav", {}),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.decode_media(df, mode="auto").collect()}
+    assert out[1].decode_err is not None
+    assert out[1].width is None and out[1].feature is None
+    assert out[1].n_bytes == len(b"\x89PNG\r\n\x1a\nGARBAGE")
+    assert out[2].decode_err is None and out[2].width == 4
+    assert out[3].decode_err is not None and out[3].duration_ms is None
+
+
+def test_stdlib_png_unfilters_all_filter_types():
+    """The vendored PNG decoder's unfilter paths (sub/up/average/Paeth):
+    encode the SAME pixel raster once with filter 0 and once with
+    filters 1..4 cycling per scanline (spec-mirroring encoder written
+    here, independently of the decoder) — decoded features must be
+    identical."""
+    import struct
+    import zlib
+
+    w, h, ch = 6, 5, 3
+    raster = [
+        bytes((x * 37 + y * 11 + c * 5) % 256 for x in range(w) for c in range(ch))
+        for y in range(h)
+    ]
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def png(scanlines):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+            + chunk(b"IEND", b"")
+        )
+
+    plain = png([b"\x00" + r for r in raster])
+
+    enc = []
+    prev = bytes(w * ch)
+    for y, raw in enumerate(raster):
+        f = 1 + y % 4
+        line = bytearray()
+        for i in range(w * ch):
+            a = raw[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+            line.append((raw[i] - pred) & 0xFF)
+        enc.append(bytes([f]) + bytes(line))
+        prev = raw
+    filtered = png(enc)
+
+    d0 = mm._stdlib_decode_png(plain)
+    d1 = mm._stdlib_decode_png(filtered)
+    assert (d0["width"], d0["height"]) == (w, h)
+    assert d0 == d1

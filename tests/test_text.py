@@ -618,3 +618,47 @@ def test_dsir_sample_cutoff_matches_exact_rank(spark):
         for r in dsir_sample_cutoff(df, F.col("tgt"), frac=0.25).collect()
     }
     assert again == cut_ids
+
+
+def test_dsir_cutoff_within_documented_band(spark):
+    """The BOUNDED verdict for the oracle-less registry row
+    doc_dsir_sample_cutoff (the approx_stats_by_type pattern): at two
+    scale factors, compute the exact-rank selection beside the cutoff
+    selection and fail if they disagree beyond the documented band.
+
+    The GK sketch guarantees the returned cutoff value's rank is
+    within n/accuracy of the target rank k = ceil(frac*n); ties at
+    the cutoff are all kept by contract. So the admissible symmetric
+    difference is (rows inside the rank band) + (ties at the true
+    boundary score) — asserted exactly, with shared rows carrying
+    identical scores (scoring is byte-identical by construction)."""
+    import math
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry_llm import (
+        _DSIR_CUTOFF_ACCURACY,
+        _DSIR_FRAC,
+        LLM_REGISTRY,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = {
+            r.doc_id: r.score
+            for r in LLM_REGISTRY["doc_dsir_sample"].fn(spark, sf).collect()
+        }
+        cut = {
+            r.doc_id: r.score
+            for r in LLM_REGISTRY["doc_dsir_sample_cutoff"]
+            .fn(spark, sf)
+            .collect()
+        }
+        for did in exact.keys() & cut.keys():
+            assert exact[did] == cut[did], did  # identical scoring
+        n = round(len(exact) / _DSIR_FRAC)
+        k = math.ceil(_DSIR_FRAC * n)
+        assert len(exact) == k
+        # ties at the exact boundary score are admissible keeps
+        boundary = min(exact.values())
+        ties = sum(1 for s in cut.values() if s == boundary)
+        band = max(1, n // _DSIR_CUTOFF_ACCURACY)
+        diff = set(exact) ^ set(cut)
+        assert len(diff) <= band + ties, (sf, len(diff), band, ties)
