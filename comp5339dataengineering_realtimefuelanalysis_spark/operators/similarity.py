@@ -915,17 +915,28 @@ def kmeans_assign_probes(
     """
     if probes < 1:
         raise ValueError(f"probes must be >= 1, got {probes}")
-    # probes > k would SILENTLY emit k rows per vector (row_number
+    # probes > k would SILENTLY emit only k rows per vector (row_number
     # runs out of centroids) — downstream multi-probe recall math then
-    # overstates coverage. cents is k rows by contract, so the count
-    # is a trivial action; fail loudly instead.
+    # overstates coverage. cents is k rows by contract, so the count is
+    # a trivial action — but NOTE it is an eager one: callers that built
+    # cents from an unpersisted Lloyd chain re-run training here (the
+    # registry callers all tracked_persist the centroid frame first).
+    # Degenerate corpora (drop-empty Lloyd on a near-uniform or tiny
+    # input can leave fewer centroids than probes) CLAMP with a loud
+    # warning instead of raising: every cell being probed is exhaustive
+    # coverage, not an error, and the SQL oracle's ROW_NUMBER() <= probes
+    # replay has exactly the clamped semantics.
     n_cents = cents.count()
     if probes > n_cents:
-        raise ValueError(
+        import warnings
+
+        warnings.warn(
             f"probes={probes} exceeds the number of trained centroids "
-            f"({n_cents}): each vector has only {n_cents} cells to "
-            "probe — lower probes or train with a larger k"
+            f"({n_cents}); clamping to {n_cents} — every cell is "
+            "probed (exhaustive coverage for this corpus)",
+            stacklevel=2,
         )
+        probes = n_cents
     if unit_norm:
         c = corpus.select(
             F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")

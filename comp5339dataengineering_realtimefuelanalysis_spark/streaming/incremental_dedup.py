@@ -623,11 +623,15 @@ class StreamingIncrementalDedup:
         reference is recomputed from the AT-REST rows of the earliest
         index epoch: their stored cell is their rank-1 assignment under
         the pinned centroids, and the distance is the same int64-grid
-        integer both times, so the recomputed median is byte-identical
-        to the original for stream-trained centroids. (For
-        backfill-trained centroids — multi-epoch training set — the
-        earliest epoch is a training-era subset; backfill writes the
-        stats file itself, so this path only runs if that file was
+        integer both times. The recomputed median is byte-identical to
+        the original when the training epoch admitted every doc; the
+        index stores ADMITTED docs only, so if that epoch contained
+        semantic dups (dropped within-batch or vs-corpus), the
+        recovery median is over the admitted subset — a sound
+        approximation of the original pin, not a byte-exact replay.
+        (For backfill-trained centroids — multi-epoch training set —
+        the earliest epoch is a training-era subset; backfill writes
+        the stats file itself, so this path only runs if that file was
         lost.)"""
         if self._sem_train_q50 is not None:
             return self._sem_train_q50

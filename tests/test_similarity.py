@@ -392,11 +392,14 @@ def test_pair_and_dim_guards_are_loud_but_dim_agnostic(spark):
         sim._lloyd_assign(c64, cents64, "vec_id", unit_norm=True).collect()
 
 
-def test_kmeans_assign_probes_exceeding_k_raises(spark):
-    """probes > trained k must fail loudly: row_number runs out of
-    centroids at k, so each vector would SILENTLY emit only k probe
-    rows and multi-probe recall math would overstate coverage."""
-    import pytest
+def test_kmeans_assign_probes_exceeding_k_clamps_loudly(spark):
+    """probes > trained k must not pass silently (row_number runs out
+    of centroids at k, so multi-probe recall math would overstate
+    coverage) — but it must not kill a pipeline whose degenerate
+    corpus left fewer centroids than probes either: it CLAMPS to the
+    centroid count with a warning (probing every cell is exhaustive
+    coverage, matching the oracle's ROW_NUMBER() <= probes replay)."""
+    import warnings
 
     df = spark.createDataFrame(
         [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
@@ -404,13 +407,26 @@ def test_kmeans_assign_probes_exceeding_k_raises(spark):
         "vec_id long, embedding array<float>",
     )
     cents = sim.kmeans_train_centroids(df, k=2, iters=1, dim=3)
-    with pytest.raises(ValueError, match="exceeds the number"):
-        sim.kmeans_assign_probes(df, cents, probes=3, dim=3)
-    # probes == k is the boundary and stays legal
-    out = sim.kmeans_assign_probes(df, cents, probes=2, dim=3)
-    assert out.groupBy("vec_id").count().filter(
-        F.col("count") != 2
-    ).count() == 0
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out3 = sim.kmeans_assign_probes(df, cents, probes=3, dim=3)
+        assert any("clamping" in str(w.message) for w in caught)
+    # clamped to k=2: identical to probes=2, every vector covered
+    assert sorted(map(tuple, out3.collect())) == sorted(
+        map(tuple,
+            sim.kmeans_assign_probes(df, cents, probes=2, dim=3)
+            .collect())
+    )
+    # probes == k is the boundary and stays warning-free
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = sim.kmeans_assign_probes(df, cents, probes=2, dim=3)
+        rows = out.collect()
+        assert not any("clamping" in str(w.message) for w in caught)
+    cnt = {}
+    for r in rows:
+        cnt[r.vec_id] = cnt.get(r.vec_id, 0) + 1
+    assert all(c == 2 for c in cnt.values())
 
 
 def test_sem2_recall_vs_1l_guard(spark):
