@@ -359,3 +359,148 @@ def dsir_sample_cutoff(
     return scored.crossJoin(F.broadcast(cut)).filter(
         F.col("score") >= F.col("_cutoff")
     ).select(id_col, "dsir_weight", "score")
+
+
+def lm_ppl_score(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    smooth: int = 1,
+    seed: str = "lmppl",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data"): score every document by its mean negative
+    log-likelihood per bigram under a hashed-bigram LM trained on the
+    TARGET rows (e.g. a trusted in-domain subset — CCNet's Wikipedia
+    role). Low scores read as fluent/in-domain; the standard filter
+    keeps the low-perplexity head of the corpus (see ppl_buckets).
+
+    Model: word bigrams hashed into ``buckets`` buckets (the dsir
+    feature hashing, bigram-only, its own seed); the LM is the
+    add-``smooth`` multinomial over target bucket counts,
+    p(b) = (t_b + s)/(T + sB). Per-bucket cost
+    nl_b = -ln p(b) is QUANTIZED to an int64 grid of 1/``scale`` nats
+    (the dsir_weights replay argument: B transcendental evaluations
+    per corpus on exact-integer arguments, then pure integer
+    arithmetic per document), and a document's
+    nll_micro_nats = sum_g c_dg * nl_bucket(g) is an exact integer.
+    ``mnll`` divides it back to mean nats per bigram as
+    (nll / n) / scale — two correctly-rounded IEEE divisions both
+    engines replay bit-exactly.
+
+    Output: one row per input row — (id_col, n_bigrams,
+    nll_micro_nats, mnll); a doc with fewer than two words has no
+    bigram and carries n_bigrams=0 with NULL nll/mnll (scoreless, not
+    silently fluent).
+
+    Scale shape: one explode + map-side-combined (id, bucket) groupBy
+    over bigram occurrences, one B-row target aggregate, a 1-row
+    totals aggregate, the broadcast B-row cost join, a map-side-
+    combined per-id sum, and a broadcast left join back to the id
+    spine. Nothing all-pairs, nothing through the driver.
+    """
+    from ..functions.caching import tracked_persist
+    from .dedup import hash32
+    from .text import _word_ngram_arrays
+
+    grams = _word_ngram_arrays(
+        F.coalesce(F.col(text_col), F.lit("")), (2,)
+    )
+    dbc = (
+        df.select(
+            F.col(id_col),
+            F.coalesce(target.cast("boolean"), F.lit(False)).alias(
+                "_tgt"
+            ),
+            F.explode(grams[2]).alias("feat"),
+        )
+        .select(
+            id_col,
+            "_tgt",
+            F.pmod(
+                hash32(F.concat(F.col("feat"), F.lit("#" + seed))),
+                F.lit(buckets),
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dbc = tracked_persist(dbc)  # feeds target agg, totals, cost join
+    tgt_b = (
+        dbc.filter(F.col("_tgt"))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("t"))
+    )
+    tot = dbc.agg(
+        F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(0)).alias(
+            "T_tot"
+        )
+    )
+    s, sB = smooth, smooth * buckets
+    # cost table over the buckets the CORPUS actually uses (raw side),
+    # target-count 0 where the target never hit the bucket
+    nl_val = (
+        F.log((F.coalesce(F.col("T_tot"), F.lit(0)) + sB).cast("double"))
+        - F.log((F.coalesce(F.col("t"), F.lit(0)) + s).cast("double"))
+    )
+    nl = (
+        dbc.select("bucket")
+        .distinct()
+        .join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(nl_val * F.lit(scale), 0).cast("long").alias("nl"),
+        )
+    )
+    per_doc = (
+        dbc.join(F.broadcast(nl), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("nl")).alias("nll_micro_nats"),
+        )
+    )
+    spine = df.select(id_col)
+    return spine.join(F.broadcast(per_doc), id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        "nll_micro_nats",
+        (
+            F.col("nll_micro_nats").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(float(scale))
+        ).alias("mnll"),
+    )
+
+
+def ppl_buckets(
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    mnll_col: str = "mnll",
+) -> DataFrame:
+    """CCNet's head/middle/tail split over the perplexity scores:
+    exact-tercile thresholds (interpolated percentile — the
+    engine-parity-proven exact quantile, not a sketch) over the
+    scoreable docs, then a map-only bucket assignment. Scoreless docs
+    (no bigram) land in 'empty' rather than inheriting a bucket.
+    Scale shape: one 2-value percentile aggregate + a broadcast-scalar
+    cross join + a map-only CASE — scan speed."""
+    m = F.col(mnll_col)
+    cuts = scores.filter(m.isNotNull()).agg(
+        F.percentile(mnll_col, F.lit(1.0 / 3.0)).alias("_t1"),
+        F.percentile(mnll_col, F.lit(2.0 / 3.0)).alias("_t2"),
+    )
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        mnll_col,
+        F.when(m.isNull(), F.lit("empty"))
+        .when(m <= F.col("_t1"), F.lit("head"))
+        .when(m <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

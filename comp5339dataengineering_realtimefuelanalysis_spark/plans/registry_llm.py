@@ -1079,6 +1079,124 @@ def _sql_dsir_sample() -> str:
             <= CEIL({frac} * COUNT(*) OVER ())"""
 
 
+# CCNet-style perplexity filter: LM = hashed-bigram multinomial over
+# the 'en' stratum (the trusted-corpus role); pinned here so query and
+# oracle agree by construction.
+_PPL_BUCKETS = 4096
+_PPL_SEED = "lmppl"
+_PPL_SCALE = 1_000_000
+
+
+def q_doc_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/selection.py:
+    lm_ppl_score): mean negative log-likelihood per bigram under a
+    hashed-bigram LM trained on the 'en' stratum, on the exact int64
+    micro-nat grid — one explode + map-side-combined groupBy, one
+    B-row aggregate, broadcast cost join. Oracle-replayable bit-
+    exactly (integer nll; mnll via two correctly-rounded divisions)."""
+    docs = _docs_parallel(spark, sf_dir)
+    return sel.lm_ppl_score(
+        docs.select("doc_id", "text", "lang"),
+        target=F.col("lang") == "en",
+        buckets=_PPL_BUCKETS,
+        seed=_PPL_SEED,
+        scale=_PPL_SCALE,
+    )
+
+
+def q_doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: exact interpolated terciles over
+    the scoreable docs' mnll (the engine-parity-proven exact
+    percentile), broadcast-scalar cross join, map-only CASE. Scoreless
+    docs land in 'empty'."""
+    docs = _docs_parallel(spark, sf_dir)
+    scores = sel.lm_ppl_score(
+        docs.select("doc_id", "text", "lang"),
+        target=F.col("lang") == "en",
+        buckets=_PPL_BUCKETS,
+        seed=_PPL_SEED,
+        scale=_PPL_SCALE,
+    )
+    return sel.ppl_buckets(scores)
+
+
+def _sql_lm_ppl_ctes() -> str:
+    """CTE chain ending in pplscores(doc_id, n_bigrams,
+    nll_micro_nats, mnll): mirrors lm_ppl_score — bigram features over
+    the shared norm-words CTE, hashed target multinomial, per-bucket
+    micro-nat costs, exact integer per-doc sums, the two-division
+    mnll."""
+    b, sd, sc = _PPL_BUCKETS, _PPL_SEED, _PPL_SCALE
+    s, sB = 1, b
+    return rf"""{_sql_norm_words_cte()},
+        pplfeats AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(words)),
+                       i -> words[i] || ' ' || words[i + 1]) AS feats
+            FROM w),
+        pplexpl AS (
+            SELECT f.doc_id,
+                   COALESCE(d.lang = 'en', FALSE) AS tgt,
+                   unnest(f.feats) AS feat
+            FROM pplfeats f JOIN documents d USING (doc_id)),
+        ppldbc AS (
+            SELECT doc_id, tgt,
+                   ('0x' || substring(md5(feat || '#{sd}'), 1, 8))
+                       ::BIGINT % {b} AS bucket,
+                   COUNT(*) AS c
+            FROM pplexpl GROUP BY 1, 2, 3),
+        ppltgt AS (SELECT bucket, SUM(c) AS t FROM ppldbc
+                   WHERE tgt GROUP BY bucket),
+        ppltot AS (SELECT SUM(CASE WHEN tgt THEN c ELSE 0 END) AS T_tot
+                   FROM ppldbc),
+        pplnl AS (
+            SELECT bk.bucket,
+                   CAST(round((
+                       ln(CAST(COALESCE(ppltot.T_tot, 0) + {sB}
+                               AS DOUBLE))
+                       - ln(CAST(COALESCE(tb.t, 0) + {s} AS DOUBLE))
+                   ) * {sc}, 0) AS BIGINT) AS nl
+            FROM (SELECT DISTINCT bucket FROM ppldbc) bk
+            LEFT JOIN ppltgt tb USING (bucket), ppltot),
+        pplper AS (
+            SELECT ppldbc.doc_id,
+                   CAST(SUM(ppldbc.c) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(ppldbc.c * pplnl.nl) AS BIGINT)
+                       AS nll_micro_nats
+            FROM ppldbc JOIN pplnl USING (bucket)
+            GROUP BY 1),
+        pplscores AS (
+            SELECT d.doc_id,
+                   COALESCE(p.n_bigrams, 0) AS n_bigrams,
+                   p.nll_micro_nats,
+                   CAST(p.nll_micro_nats AS DOUBLE)
+                       / CAST(p.n_bigrams AS DOUBLE)
+                       / {float(sc)} AS mnll
+            FROM documents d LEFT JOIN pplper p USING (doc_id))"""
+
+
+def _sql_lm_ppl() -> str:
+    return f"""WITH {_sql_lm_ppl_ctes()}
+        SELECT doc_id, n_bigrams, nll_micro_nats, mnll
+        FROM pplscores"""
+
+
+def _sql_ppl_buckets() -> str:
+    return f"""WITH {_sql_lm_ppl_ctes()},
+        pplcuts AS (
+            SELECT quantile_cont(mnll, CAST(1.0 AS DOUBLE) / 3.0)
+                       AS _t1,
+                   quantile_cont(mnll, CAST(2.0 AS DOUBLE) / 3.0)
+                       AS _t2
+            FROM pplscores WHERE mnll IS NOT NULL)
+        SELECT doc_id, mnll,
+               CASE WHEN mnll IS NULL THEN 'empty'
+                    WHEN mnll <= _t1 THEN 'head'
+                    WHEN mnll <= _t2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM pplscores, pplcuts"""
+
+
 _PACK_CTX = 2048
 
 
@@ -3128,9 +3246,22 @@ _PQ_ITERS = 2
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_parallel(spark, sf_dir)
-    return qz.pq_train(
-        emb, m=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS, dim=_EMB_DIM
+    """Trained PQ sub-codebooks, memoized as COLLECTED rows (m x ks =
+    64 rows — the same k-row driver boundary as _ivf_kmeans_index_for):
+    emb_pq_codes, emb_pq_adc_topk, and the IVF-PQ index build all
+    broadcast the same deterministic codebooks, and without the memo
+    each invocation re-ran the m Lloyd chains."""
+    key = f"{sf_dir}:pqbooks:{_PQ_M}:{_PQ_KS}:{_PQ_ITERS}"
+    if key not in _IVF_PQ_BOOKS:
+        emb = _emb_parallel(spark, sf_dir)
+        books = qz.pq_train(
+            emb, m=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS, dim=_EMB_DIM
+        )
+        _IVF_PQ_BOOKS[key] = [
+            (r.sub, r.cid, list(r.c_svec)) for r in books.collect()
+        ]
+    return spark.createDataFrame(
+        _IVF_PQ_BOOKS[key], "sub int, cid long, c_svec array<long>"
     )
 
 
@@ -3154,7 +3285,7 @@ def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     column — the 100 TB read-volume win PQ exists for; compose with
     IVF cell pruning for the full IVF-PQ recipe."""
     emb = _emb_parallel(spark, sf_dir)
-    books = tracked_persist(_pq_codebooks(spark, sf_dir))
+    books = _pq_codebooks(spark, sf_dir)  # memoized collected rows
     codes = qz.pq_encode(emb, books, m=_PQ_M, dim=_EMB_DIM)
     queries, _ = _queries_vecs(spark, sf_dir)
     return qz.pq_adc_topk(
@@ -3284,6 +3415,7 @@ def _ivf_pq_index_for(
     broadcast into every probe, and an unmaterialized training plan
     would re-run Lloyd per query invocation."""
     path0, cents = _ivf_kmeans_index_for(spark, sf_dir)
+    books_df = _pq_codebooks(spark, sf_dir)  # memoized collected rows
     key = (
         f"{sf_dir}:ivfpq:{_KMEANS_K}:{_KMEANS_ITERS}"
         f":{_PQ_M}:{_PQ_KS}:{_PQ_ITERS}"
@@ -3291,19 +3423,9 @@ def _ivf_pq_index_for(
     path = _IVF_INDEX_PATHS.get(key)
     if path is None or not os.path.isdir(path):
         emb = _emb_parallel(spark, sf_dir)
-        books = _pq_codebooks(spark, sf_dir)
-        _IVF_PQ_BOOKS[key] = [
-            (r.sub, r.cid, list(r.c_svec)) for r in books.collect()
-        ]
-        books_df = spark.createDataFrame(
-            _IVF_PQ_BOOKS[key], "sub int, cid long, c_svec array<long>"
-        )
         path = _ivf_index_dir(key)
         qz.ivf_pq_write(emb, cents, books_df, path, m=_PQ_M, dim=_EMB_DIM)
         _IVF_INDEX_PATHS[key] = path
-    books_df = spark.createDataFrame(
-        _IVF_PQ_BOOKS[key], "sub int, cid long, c_svec array<long>"
-    )
     return path, cents, books_df
 
 
@@ -3649,6 +3771,19 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         ("documents",),
         "DSIR selection via approx-percentile cutoff (scale default): "
         "bounded verdict vs the exact-rank variant",
+    ),
+    "doc_lm_ppl": QueryDef(
+        q_doc_lm_ppl,
+        _sql_lm_ppl(),
+        ("documents",),
+        "CCNet-style LM quality score: mean NLL/bigram under a "
+        "hashed-bigram target LM, exact micro-nat grid",
+    ),
+    "doc_ppl_buckets": QueryDef(
+        q_doc_ppl_buckets,
+        _sql_ppl_buckets(),
+        ("documents",),
+        "CCNet head/middle/tail perplexity split via exact terciles",
     ),
     "doc_mix_report": QueryDef(
         q_doc_mix_report,

@@ -662,3 +662,94 @@ def test_dsir_cutoff_within_documented_band(spark):
         band = max(1, n // _DSIR_CUTOFF_ACCURACY)
         diff = set(exact) ^ set(cut)
         assert len(diff) <= band + ties, (sf, len(diff), band, ties)
+
+
+def test_lm_ppl_score_hand_replayed(spark):
+    """lm_ppl_score's nll is an exact integer: replay the hashed-bigram
+    LM in plain Python from the same inputs and compare every doc's
+    (n_bigrams, nll_micro_nats, mnll); scoreless docs (0/1 words, NULL
+    text) carry n_bigrams=0 and NULL scores."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        lm_ppl_score,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", True),
+        (2, "the quick brown fox naps under the old tree", True),
+        (3, "completely different words about query engines", False),
+        (4, "single", False),
+        (5, None, False),
+        (6, "the quick brown fox jumps over the lazy dog", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    B, SEED, SCALE = 64, "lmppl", 1_000_000
+    got = {
+        r.doc_id: r
+        for r in lm_ppl_score(
+            df, F.col("tgt"), buckets=B, seed=SEED, scale=SCALE
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    for did in (4, 5):
+        assert got[did].n_bigrams == 0
+        assert got[did].nll_micro_nats is None
+        assert got[did].mnll is None
+
+    def h32(sx: str) -> int:
+        return int(hashlib.md5(sx.encode()).hexdigest()[:8], 16)
+
+    def buckets_of(text: str) -> list[int]:
+        words = text.lower().split()
+        return [
+            h32(f"{a} {b}#{SEED}") % B
+            for a, b in zip(words, words[1:])
+        ]
+
+    # target bucket counts + total
+    tcount: dict[int, int] = {}
+    for did, text, tgt in rows:
+        if tgt and text:
+            for bk in buckets_of(text):
+                tcount[bk] = tcount.get(bk, 0) + 1
+    T = sum(tcount.values())
+
+    def nl(bk: int) -> int:
+        v = (math.log(T + B) - math.log(tcount.get(bk, 0) + 1)) * SCALE
+        return int(Decimal(v).quantize(0, ROUND_HALF_UP))
+
+    for did, text, _ in rows:
+        if not text or len(text.split()) < 2:
+            continue
+        bks = buckets_of(text)
+        exp_nll = sum(nl(bk) for bk in bks)
+        assert got[did].n_bigrams == len(bks), did
+        assert got[did].nll_micro_nats == exp_nll, did
+        assert got[did].mnll == (exp_nll / len(bks)) / float(SCALE)
+    # CCNet semantics: a target-distribution doc scores LOWER (more
+    # fluent under the LM) than an off-distribution one
+    assert got[6].mnll < got[3].mnll
+    assert got[1].mnll == got[6].mnll  # same text, target flag is
+    # about TRAINING the LM, not scoring
+
+
+def test_ppl_buckets_terciles_and_empty(spark):
+    from pyspark.sql import functions as F
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        ppl_buckets,
+    )
+
+    rows = [(i, float(i)) for i in range(1, 10)] + [(10, None)]
+    df = spark.createDataFrame(rows, "doc_id long, mnll double")
+    out = {r.doc_id: r.ppl_bucket for r in ppl_buckets(df).collect()}
+    # terciles of 1..9: t1 = 3.666.., t2 = 6.333..
+    assert [out[i] for i in range(1, 10)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    assert out[10] == "empty"
