@@ -482,18 +482,37 @@ def ppl_buckets(
     scores: DataFrame,
     id_col: str = "doc_id",
     mnll_col: str = "mnll",
+    exact: bool = True,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """CCNet's head/middle/tail split over the perplexity scores:
-    exact-tercile thresholds (interpolated percentile — the
-    engine-parity-proven exact quantile, not a sketch) over the
-    scoreable docs, then a map-only bucket assignment. Scoreless docs
-    (no bigram) land in 'empty' rather than inheriting a bucket.
-    Scale shape: one 2-value percentile aggregate + a broadcast-scalar
+    tercile thresholds over the scoreable docs, then a map-only bucket
+    assignment. Scoreless docs (no bigram) land in 'empty' rather than
+    inheriting a bucket.
+
+    ``exact=True`` (default, the oracle-gated path) uses the exact
+    interpolated percentile — engine-parity-proven, but its aggregate
+    buffers every value in ONE task's memory, which is wrong at corpus
+    scale. ``exact=False`` is the 100 TB path: approx_percentile's GK
+    sketch (rank error <= n/``accuracy``) — the same exact-vs-cutoff
+    duality as dsir_sample / dsir_sample_cutoff, with the same bounded
+    verdict posture (docs within the rank-error band of a tercile may
+    land in the adjacent bucket; everything else is identical).
+    Scale shape either way: one 2-value aggregate + a broadcast-scalar
     cross join + a map-only CASE — scan speed."""
     m = F.col(mnll_col)
+    if exact:
+        t1 = F.percentile(mnll_col, F.lit(1.0 / 3.0))
+        t2 = F.percentile(mnll_col, F.lit(2.0 / 3.0))
+    else:
+        t1 = F.percentile_approx(
+            mnll_col, F.lit(1.0 / 3.0), F.lit(accuracy)
+        )
+        t2 = F.percentile_approx(
+            mnll_col, F.lit(2.0 / 3.0), F.lit(accuracy)
+        )
     cuts = scores.filter(m.isNotNull()).agg(
-        F.percentile(mnll_col, F.lit(1.0 / 3.0)).alias("_t1"),
-        F.percentile(mnll_col, F.lit(2.0 / 3.0)).alias("_t2"),
+        t1.alias("_t1"), t2.alias("_t2")
     )
     return scores.crossJoin(F.broadcast(cuts)).select(
         id_col,

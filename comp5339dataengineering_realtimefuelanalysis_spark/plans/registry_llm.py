@@ -1110,12 +1110,17 @@ def q_doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile), broadcast-scalar cross join, map-only CASE. Scoreless
     docs land in 'empty'."""
     docs = _docs_parallel(spark, sf_dir)
-    scores = sel.lm_ppl_score(
-        docs.select("doc_id", "text", "lang"),
-        target=F.col("lang") == "en",
-        buckets=_PPL_BUCKETS,
-        seed=_PPL_SEED,
-        scale=_PPL_SCALE,
+    # persisted: the tercile aggregate AND the bucket-assignment side
+    # both consume the scores — without the barrier the LM chain above
+    # the (already-persisted) bucket counts runs twice
+    scores = tracked_persist(
+        sel.lm_ppl_score(
+            docs.select("doc_id", "text", "lang"),
+            target=F.col("lang") == "en",
+            buckets=_PPL_BUCKETS,
+            seed=_PPL_SEED,
+            scale=_PPL_SCALE,
+        )
     )
     return sel.ppl_buckets(scores)
 
@@ -3270,23 +3275,26 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/quantization.py): deterministic sub-space codebooks
     (exact floor-div Lloyd per dim/m slice) + per-(vector, subspace)
     nearest-centroid codes. Exploded (vec_id, sub, code) — the
-    at-rest columnar layout and the shape ADC joins on. Integer-exact
-    end to end, so the oracle replays training AND assignment."""
-    emb = _emb_parallel(spark, sf_dir)
-    books = _pq_codebooks(spark, sf_dir)
-    return qz.pq_encode(emb, books, m=_PQ_M, dim=_EMB_DIM)
+    at-rest columnar layout and the shape ADC joins on, served FROM
+    the materialized IVF-PQ code index (the codes on disk ARE
+    pq_encode's output, parquet round-trips ints exactly, and the
+    at-rest read is the production shape — encode once, scan many).
+    Integer-exact end to end, so the oracle replays training AND
+    assignment."""
+    path, _cents, _books = _ivf_pq_index_for(spark, sf_dir)
+    return spark.read.parquet(path).select("vec_id", "sub", "code")
 
 
 def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance: per-query LUT of
     sub-distances against the raw query slices (broadcast-tiny), codes
     join the LUT on (sub, code), per-(query, vector) integer sums,
-    per-query rank. The candidate scan reads CODES, never the vector
-    column — the 100 TB read-volume win PQ exists for; compose with
-    IVF cell pruning for the full IVF-PQ recipe."""
-    emb = _emb_parallel(spark, sf_dir)
-    books = _pq_codebooks(spark, sf_dir)  # memoized collected rows
-    codes = qz.pq_encode(emb, books, m=_PQ_M, dim=_EMB_DIM)
+    per-query rank. The candidate scan reads CODES from the at-rest
+    index — never the vector column, the 100 TB read-volume win PQ
+    exists for. This is the FLAT (exhaustive) ADC scan; emb_ivf_pq_topk
+    is the composed cell-pruned variant over the same index."""
+    path, _cents, books = _ivf_pq_index_for(spark, sf_dir)
+    codes = spark.read.parquet(path).select("vec_id", "sub", "code")
     queries, _ = _queries_vecs(spark, sf_dir)
     return qz.pq_adc_topk(
         codes, books, queries, k=_TOPK_K, m=_PQ_M, dim=_EMB_DIM

@@ -753,3 +753,27 @@ def test_ppl_buckets_terciles_and_empty(spark):
         ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
     )
     assert out[10] == "empty"
+
+
+def test_ppl_buckets_sketch_path_agrees_outside_band(spark):
+    """The exact=False (100 TB) path: GK-sketch terciles may move docs
+    between ADJACENT buckets only within the n/accuracy rank band; at
+    n << accuracy the sketch cutoff equals some observed value near
+    the exact one, so bucket assignments agree except at boundaries."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        ppl_buckets,
+    )
+
+    rows = [(i, float(i % 97) / 10.0) for i in range(300)] + [(300, None)]
+    df = spark.createDataFrame(rows, "doc_id long, mnll double")
+    exact = {r.doc_id: r.ppl_bucket for r in ppl_buckets(df).collect()}
+    approx = {
+        r.doc_id: r.ppl_bucket
+        for r in ppl_buckets(df, exact=False).collect()
+    }
+    assert approx[300] == "empty"
+    order = {"head": 0, "middle": 1, "tail": 2, "empty": 9}
+    diff = [d for d in exact if exact[d] != approx[d]]
+    # disagreements are adjacent-bucket only, and few (boundary ties)
+    assert all(abs(order[exact[d]] - order[approx[d]]) == 1 for d in diff)
+    assert len(diff) <= 12, len(diff)  # 300 docs, many ties per value
