@@ -728,3 +728,131 @@ def scrubbed_text(col: Column | str) -> Column:
     return _replace_each(
         c, secret_matches(c), SECRET_TOKEN, "[^A-Za-z0-9+_=-]"
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+) -> DataFrame:
+    """The full Gopher quality-rule battery (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A) as per-rule boolean
+    columns plus the composite ``keep`` — the published web-text gate,
+    beside the repetition gates repetition_signals already provides.
+    Defaults are the paper's operating points; every threshold is a
+    parameter because real corpora re-tune them (the registry pins a
+    lower min_words for the short synthetic docs and says so).
+
+    Rules: word count in [min,max]; mean word length in [3,10];
+    symbol-to-word ratio ('#' and '...') <= 0.1; >= 80% of words carry
+    an alphabetic character; >= 2 stop-word hits (the 8-word list);
+    < 90% of lines bullet-started; <= 30% of lines ellipsis-ended.
+
+    Scale shape: the per-WORD stats ride ONE explode + map-side-
+    combined groupBy (the repetition_signals shape — the row-local HOF
+    form runs interpreted) joined back on the id; the per-LINE and
+    per-CHAR rules are row-local regexp counts at scan cost. Every
+    fraction is an int/int IEEE division in fixed order, so the
+    booleans replay bit-exactly in the oracle. NULL/empty text yields
+    zero words and fails the word-count rule (keep = false), never a
+    NULL verdict."""
+    words = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(norm_text(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("wlen_sum"),
+            F.count_if(F.col("w").rlike("[a-z]")).alias("alpha_words"),
+            F.count_distinct(
+                F.when(
+                    F.col("w").isin(*GOPHER_STOPWORDS), F.col("w")
+                )
+            ).alias("stop_hits"),
+        )
+    )
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")
+        )
+    )
+    symbols = (
+        F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    ) + F.regexp_count(t, F.lit(r"\.\.\."))
+    row = df.select(
+        id_col,
+        symbols.alias("symbols"),
+        n_lines.alias("n_lines"),
+        bullet_lines.alias("bullet_lines"),
+        ellipsis_lines.alias("ellipsis_lines"),
+    )
+    j = row.join(words, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+        (
+            F.col("wlen_sum").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("mean_word_len"),
+        (
+            F.col("alpha_words").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("alpha_word_frac"),
+        (
+            F.col("symbols").cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("symbol_ratio"),
+        F.coalesce(F.col("stop_hits"), F.lit(0)).alias("stop_hits"),
+        (
+            F.col("bullet_lines").cast("double")
+            / F.col("n_lines").cast("double")
+        ).alias("bullet_line_frac"),
+        (
+            F.col("ellipsis_lines").cast("double")
+            / F.col("n_lines").cast("double")
+        ).alias("ellipsis_line_frac"),
+    )
+    nw = F.col("n_words")
+    checks = {
+        "word_count_ok": (nw >= min_words) & (nw <= max_words),
+        "mean_wlen_ok": (
+            (F.col("mean_word_len") >= min_mean_wlen)
+            & (F.col("mean_word_len") <= max_mean_wlen)
+        ),
+        "symbol_ok": F.col("symbol_ratio") <= max_symbol_ratio,
+        "alpha_ok": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "stopword_ok": F.col("stop_hits") >= min_stop_hits,
+        "bullet_ok": F.col("bullet_line_frac") < max_bullet_line_frac,
+        "ellipsis_ok": (
+            F.col("ellipsis_line_frac") <= max_ellipsis_line_frac
+        ),
+    }
+    out = j
+    for name, cond in checks.items():
+        out = out.withColumn(
+            name, F.coalesce(cond, F.lit(False))
+        )
+    keep = None
+    for name in checks:
+        keep = F.col(name) if keep is None else keep & F.col(name)
+    return out.withColumn("keep", keep)

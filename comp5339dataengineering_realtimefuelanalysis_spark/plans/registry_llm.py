@@ -1079,6 +1079,95 @@ def _sql_dsir_sample() -> str:
             <= CEIL({frac} * COUNT(*) OVER ())"""
 
 
+# Gopher rule battery: min_words pinned to 10 for the short synthetic
+# docs (the paper's 50 would fail most of a corpus whose docs average
+# ~35 words); every other threshold is the published operating point.
+_GOPHER_MIN_WORDS = 10
+
+
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher quality-rule battery (operators/text.py:
+    gopher_rules): per-rule booleans + composite keep — word count,
+    mean word length, symbol ratio, alpha-word fraction, stop-word
+    hits, bullet/ellipsis line fractions. One explode + map-side-
+    combined groupBy for the word stats, row-local regexp counts for
+    the rest; every fraction an int/int IEEE division, so the oracle
+    replays the booleans bit-exactly."""
+    docs = _docs_parallel(spark, sf_dir)
+    return tx.gopher_rules(
+        docs.select("doc_id", "text"), min_words=_GOPHER_MIN_WORDS
+    )
+
+
+def _sql_gopher_rules() -> str:
+    stop = ", ".join(f"'{w}'" for w in tx.GOPHER_STOPWORDS)
+    mw = _GOPHER_MIN_WORDS
+    return rf"""WITH {_sql_norm_words_cte()},
+        gw AS (SELECT doc_id, unnest(words) AS wd FROM w),
+        gstats AS (
+            SELECT doc_id, COUNT(*) AS n_words,
+                   SUM(length(wd)) AS wlen_sum,
+                   COUNT(*) FILTER (WHERE regexp_matches(wd, '[a-z]'))
+                       AS alpha_words,
+                   COUNT(DISTINCT CASE WHEN wd IN ({stop})
+                                       THEN wd END) AS stop_hits
+            FROM gw WHERE wd <> '' GROUP BY doc_id),
+        grow AS (
+            SELECT doc_id,
+                   (length(t) - length(replace(t, '#', '')))
+                       + len(regexp_extract_all(t, '\.\.\.'))
+                       AS symbols,
+                   len(string_split(t, chr(10))) AS n_lines,
+                   len(list_filter(string_split(t, chr(10)),
+                       x -> regexp_matches(x, '^\s*[-*•]')))
+                       AS bullet_lines,
+                   len(list_filter(string_split(t, chr(10)),
+                       x -> regexp_matches(x, '(\.\.\.|…)\s*$')))
+                       AS ellipsis_lines
+            FROM (SELECT doc_id, COALESCE(text, '') AS t
+                  FROM documents)),
+        gj AS (
+            SELECT r.doc_id,
+                   CAST(COALESCE(s.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(s.wlen_sum AS DOUBLE)
+                       / CAST(s.n_words AS DOUBLE) AS mean_word_len,
+                   CAST(s.alpha_words AS DOUBLE)
+                       / CAST(s.n_words AS DOUBLE) AS alpha_word_frac,
+                   CAST(r.symbols AS DOUBLE)
+                       / CAST(s.n_words AS DOUBLE) AS symbol_ratio,
+                   CAST(COALESCE(s.stop_hits, 0) AS BIGINT)
+                       AS stop_hits,
+                   CAST(r.bullet_lines AS DOUBLE)
+                       / CAST(r.n_lines AS DOUBLE) AS bullet_line_frac,
+                   CAST(r.ellipsis_lines AS DOUBLE)
+                       / CAST(r.n_lines AS DOUBLE)
+                       AS ellipsis_line_frac
+            FROM grow r LEFT JOIN gstats s USING (doc_id))
+        SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+               symbol_ratio, stop_hits, bullet_line_frac,
+               ellipsis_line_frac,
+               COALESCE(n_words >= {mw} AND n_words <= 100000, FALSE)
+                   AS word_count_ok,
+               COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+                        FALSE) AS mean_wlen_ok,
+               COALESCE(symbol_ratio <= 0.1, FALSE) AS symbol_ok,
+               COALESCE(alpha_word_frac >= 0.8, FALSE) AS alpha_ok,
+               COALESCE(stop_hits >= 2, FALSE) AS stopword_ok,
+               COALESCE(bullet_line_frac < 0.9, FALSE) AS bullet_ok,
+               COALESCE(ellipsis_line_frac <= 0.3, FALSE)
+                   AS ellipsis_ok,
+               COALESCE(n_words >= {mw} AND n_words <= 100000, FALSE)
+                   AND COALESCE(mean_word_len >= 3.0
+                                AND mean_word_len <= 10.0, FALSE)
+                   AND COALESCE(symbol_ratio <= 0.1, FALSE)
+                   AND COALESCE(alpha_word_frac >= 0.8, FALSE)
+                   AND COALESCE(stop_hits >= 2, FALSE)
+                   AND COALESCE(bullet_line_frac < 0.9, FALSE)
+                   AND COALESCE(ellipsis_line_frac <= 0.3, FALSE)
+                   AS keep
+        FROM gj"""
+
+
 # CCNet-style perplexity filter: LM = hashed-bigram multinomial over
 # the 'en' stratum (the trusted-corpus role); pinned here so query and
 # oracle agree by construction.
@@ -3779,6 +3868,12 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         ("documents",),
         "DSIR selection via approx-percentile cutoff (scale default): "
         "bounded verdict vs the exact-rank variant",
+    ),
+    "doc_gopher_rules": QueryDef(
+        q_doc_gopher_rules,
+        _sql_gopher_rules(),
+        ("documents",),
+        "full Gopher quality-rule battery: per-rule booleans + keep",
     ),
     "doc_lm_ppl": QueryDef(
         q_doc_lm_ppl,

@@ -777,3 +777,45 @@ def test_ppl_buckets_sketch_path_agrees_outside_band(spark):
     # disagreements are adjacent-bucket only, and few (boundary ties)
     assert all(abs(order[exact[d]] - order[approx[d]]) == 1 for d in diff)
     assert len(diff) <= 12, len(diff)  # 300 docs, many ties per value
+
+
+def test_gopher_rules_battery(spark):
+    """Hand-built edge cases for every Gopher rule: bullet/ellipsis
+    lines, symbol ratio, alpha-word fraction, stop-word hits, empty
+    text (fails word count, never NULL)."""
+    rows = [
+        (1, "the cat and the dog have run to the house of a friend "
+            "with some food that was left over from dinner yesterday"),
+        (2, "- first\n- second\n- third\nplain tail line"),   # 3/4 bullets
+        (3, "we waited...\nand waited...\nthen it came"),      # 2/3 ellipsis
+        (4, "### ## # tags # here # too # again # more #"),    # symbol-heavy
+        (5, "12345 67890 24680 13579 97531"),                  # no alpha
+        (6, ""),                                               # empty
+        (7, None),                                             # null
+        (8, "zz yy xx ww vv uu tt ss rr qq pp oo"),            # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in tx.gopher_rules(df, min_words=5).collect()
+    }
+    assert got[1].keep  # clean English sentence passes everything
+    assert got[1].stopword_ok and got[1].alpha_ok and got[1].symbol_ok
+
+    assert abs(got[2].bullet_line_frac - 0.75) < 1e-12
+    assert got[2].bullet_ok  # 0.75 < 0.9
+    assert abs(got[3].ellipsis_line_frac - 2.0 / 3.0) < 1e-12
+    assert not got[3].ellipsis_ok and not got[3].keep
+
+    assert got[4].symbol_ratio > 0.1
+    assert not got[4].symbol_ok and not got[4].keep
+
+    assert got[5].alpha_word_frac == 0.0
+    assert not got[5].alpha_ok and not got[5].keep
+
+    for did in (6, 7):
+        assert got[did].n_words == 0
+        assert not got[did].word_count_ok and got[did].keep is False
+
+    assert got[8].stop_hits == 0
+    assert not got[8].stopword_ok and not got[8].keep
