@@ -203,3 +203,47 @@ def test_floor_div_centroid_quantization_cross_engine(spark, pairs):
     want = [s // n for s, n in pairs]
     assert got_spark == want
     assert got_duck == want
+
+
+text_doc = st.text(
+    alphabet="ab #.\n" + "the of to x",
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(text_doc, min_size=1, max_size=12))
+def test_gopher_and_ppl_layout_independent(spark, texts):
+    """Layout independence — the Spark-correctness property every
+    deterministic operator must hold: the same rows through a
+    different partitioning (and row order) produce identical outputs.
+    Catches accumulation-order and first()/limit-style
+    nondeterminism in the new quality operators."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        lm_ppl_score,
+    )
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.text import (
+        gopher_rules,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, t, i % 2 == 0) for i, t in enumerate(texts)]
+    a = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    b = spark.createDataFrame(
+        list(reversed(rows)), "doc_id long, text string, tgt boolean"
+    ).repartition(7)
+
+    ga = sorted(map(tuple, gopher_rules(a, min_words=2).collect()))
+    gb = sorted(map(tuple, gopher_rules(b, min_words=2).collect()))
+    assert ga == gb
+
+    pa = sorted(map(tuple, lm_ppl_score(
+        a, F.col("tgt"), buckets=32).collect()))
+    pb = sorted(map(tuple, lm_ppl_score(
+        b, F.col("tgt"), buckets=32).collect()))
+    assert pa == pb
