@@ -132,12 +132,25 @@ class StreamingIncrementalDedup:
     #   their measured fractions and a reason, partitioned by epoch
     #   with dynamic overwrite (a replayed epoch rewrites exactly its
     #   own rejects — the silver exactly-once story).
+    #   gopher_gate: the full Gopher rule battery
+    #   (operators/text.py:gopher_rules — word count, mean word
+    #   length, symbol ratio, alpha fraction, stop-words,
+    #   bullet/ellipsis lines) over the scrubbed batch; gated docs
+    #   land in ``gopher_rejects_path`` (its OWN store — the rule
+    #   stats schema differs from the repetition fractions, and mixed
+    #   leaf schemas under one parquet root read back fragile) with
+    #   per-rule booleans and a reason, epoch-partitioned with the
+    #   same dynamic-overwrite replay contract. Batch-local: one
+    #   explode + map-side-combined groupBy of batch rows.
     pii_scrub: bool = False
     repetition_gate: bool = False
     rejects_path: str | None = None
     rep_max_dup_word: float = 0.7
     rep_max_top_bigram: float = 0.12
     rep_max_dup_trigram: float = 0.05
+    gopher_gate: bool = False
+    gopher_rejects_path: str | None = None
+    gopher_min_words: int = 10
     _index_coverage_checked: bool = field(
         default=False, init=False, repr=False
     )
@@ -1047,8 +1060,11 @@ class StreamingIncrementalDedup:
     def _curation_gates(
         self, batch: DataFrame, epoch_id: int
     ) -> tuple[DataFrame, DataFrame | None]:
-        """Apply the opt-in PII scrub and repetition gate to a
-        micro-batch (see the config-field note). Returns (gated batch,
+        """Apply the opt-in PII scrub, repetition gate, and Gopher
+        rule battery to a micro-batch (see the config-field note).
+        Gate order mirrors the batch pipeline: scrub FIRST so every
+        gate (and every downstream hash) sees the text that would be
+        trained on. Returns (gated batch,
         persisted handle to unpersist after the sink — the scrub chain
         feeds the repetition signals, the dedup hash, AND the shingle
         pass, and without a persist barrier CollapseProject re-inlines
@@ -1106,6 +1122,48 @@ class StreamingIncrementalDedup:
                 self.id_col,
                 "left_anti",
             )
+        if self.gopher_gate:
+            if self.gopher_rejects_path is None:
+                raise ValueError(
+                    "gopher_gate=True requires gopher_rejects_path: "
+                    "gated docs must be observable, not silently "
+                    "dropped"
+                )
+            rules = tx.gopher_rules(
+                batch,
+                text_col=self.text_col,
+                id_col=self.id_col,
+                min_words=self.gopher_min_words,
+            )
+            gbad = rules.filter(~F.col("keep"))
+            reason = F.concat_ws(
+                ",",
+                *[
+                    F.when(~F.col(c), F.lit(c.removesuffix("_ok")))
+                    for c in (
+                        "word_count_ok",
+                        "mean_wlen_ok",
+                        "symbol_ok",
+                        "alpha_ok",
+                        "stopword_ok",
+                        "bullet_ok",
+                        "ellipsis_ok",
+                    )
+                ],
+            )
+            (
+                gbad.withColumn("reason", reason)
+                .withColumn("ingest_epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_epoch")
+                .parquet(self.gopher_rejects_path)
+            )
+            batch = batch.join(
+                F.broadcast(gbad.select(self.id_col)),
+                self.id_col,
+                "left_anti",
+            )
         return batch, handle
 
     def _sink(self, batch: DataFrame, epoch_id: int) -> None:
@@ -1115,7 +1173,7 @@ class StreamingIncrementalDedup:
         # 0. opt-in curation gates (PII scrub, repetition gate) —
         #    batch-local by construction, before any hashing
         gate_handle: DataFrame | None = None
-        if self.pii_scrub or self.repetition_gate:
+        if self.pii_scrub or self.repetition_gate or self.gopher_gate:
             batch, gate_handle = self._curation_gates(batch, epoch_id)
 
         # 1. within-batch exact: canonical (min-id) per content hash;

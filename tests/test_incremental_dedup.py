@@ -984,3 +984,64 @@ def test_sem_drift_q90_responds_to_partial_drift(spark, tmp_path):
     # keeps climbing past the minority epoch
     assert rep[3].ratio > rep[1].ratio + 0.1, (rep[1], rep[3])
     assert rep[3].ratio_q90 > rep[2].ratio_q90 + 0.2, (rep[2], rep[3])
+
+
+def test_streaming_gopher_gate(spark, tmp_path):
+    """The Gopher rule battery as a streaming gate: a doc failing the
+    battery (no stop-words, no alphabetic words) lands in its own
+    rejects store with per-rule booleans and a reason; clean docs pass
+    untouched; a replayed epoch converges to the same single reject
+    row; and the corpus screens' broadcast contract is unchanged
+    (batch-local gate)."""
+
+    def mk():
+        return StreamingIncrementalDedup(
+            spark=spark,
+            landing_dir=str(tmp_path / "landing"),
+            silver_path=str(tmp_path / "silver"),
+            checkpoint_dir=str(tmp_path / "chk"),
+            schema=SCHEMA,
+            gopher_gate=True,
+            gopher_rejects_path=str(tmp_path / "grejects"),
+            gopher_min_words=5,
+        )
+
+    d = mk()
+    NUMERIC = "111 222 333 444 555 666 777 888"
+    _land(spark, d, [(1, BASE), (2, NUMERIC)])
+    _run(d)
+    _land(spark, d, [(3, OTHER)])
+    _run(d)
+
+    assert _silver_ids(spark, d) == {1, 3}
+    rej = spark.read.parquet(str(tmp_path / "grejects")).collect()
+    assert {r.doc_id for r in rej} == {2}
+    assert not rej[0].alpha_ok and not rej[0].stopword_ok
+    assert "alpha" in rej[0].reason and "stopword" in rej[0].reason
+    assert rej[0].ingest_epoch == 0
+
+    # replay converges: same silver, same single reject row for epoch 0
+    d2 = mk()
+    d2._sink(
+        spark.createDataFrame([(1, BASE), (2, NUMERIC)], SCHEMA),
+        epoch_id=0,
+    )
+    assert _silver_ids(spark, d2) == {1, 3}
+    rej2 = spark.read.parquet(str(tmp_path / "grejects")).collect()
+    assert len(rej2) == 1 and rej2[0].doc_id == 2
+
+    # missing rejects path fails loudly at gate time
+    import pytest
+
+    d3 = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=str(tmp_path / "landing2"),
+        silver_path=str(tmp_path / "silver2"),
+        checkpoint_dir=str(tmp_path / "chk2"),
+        schema=SCHEMA,
+        gopher_gate=True,
+    )
+    with pytest.raises(ValueError, match="gopher_rejects_path"):
+        d3._curation_gates(
+            spark.createDataFrame([(9, BASE)], SCHEMA), epoch_id=0
+        )
