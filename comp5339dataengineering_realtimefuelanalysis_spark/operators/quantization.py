@@ -302,3 +302,95 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "adc_dist", "rank")
     )
+
+
+def ivf_pq_rerank_topk(
+    spark,
+    path: str,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    cents: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    candidates: int = 50,
+    probes: int = 1,
+    m: int = 4,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Two-stage IVF-PQ retrieval — the production recipe complete:
+    stage 1 recalls ``candidates`` ids per query by ADC over the
+    DPP-pruned code index (ivf_pq_topk — reads codes, never vectors),
+    stage 2 fetches ONLY those candidates' raw vectors from the source
+    table and re-ranks the top ``k`` by EXACT cosine. ADC's
+    quantization error caps stage-1 precision; the exact re-rank
+    restores it while touching ``candidates``/n of the vector bytes —
+    the read-volume ledger that makes PQ pay at 100 TB.
+
+    Deterministic end to end (ADC ties break on id; exact ties on
+    cosine desc then id), so the whole two-stage plan replays in the
+    SQL oracle. Scale shape: stage 1 as ivf_pq_topk; stage 2 is a
+    BROADCAST of the q*candidates id pairs into one join against the
+    source table (a point-lookup join at scale — partition-prunable
+    when the source is id-bucketed), one codegen cosine per surviving
+    pair, one per-query top-k window."""
+    from .similarity import attach_scaled, dot_scaled
+
+    adc = ivf_pq_topk(
+        spark,
+        path,
+        codebooks,
+        queries,
+        cents,
+        k=candidates,
+        probes=probes,
+        m=m,
+        qid_col=qid_col,
+        qvec_col=qvec_col,
+        id_col=id_col,
+        dim=dim,
+    ).select(qid_col, id_col)
+    q = attach_scaled(queries, qvec_col, "q_").select(
+        qid_col, "q_svec", "q_norm"
+    )
+    cand_vecs = corpus.join(
+        F.broadcast(adc), id_col
+    )  # candidates/n of the vector column, by id
+    scored = (
+        cand_vecs.join(F.broadcast(q), qid_col)
+        .select(
+            qid_col,
+            id_col,
+            (
+                dot_scaled(
+                    scaled_vec(
+                        _dim_guard(
+                            F.col(vec_col), dim, F.col(vec_col)
+                        )
+                    ),
+                    F.col("q_svec"),
+                ).cast("double")
+                / (F.col("q_norm") * _corpus_norm(vec_col))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cosine").desc(), id_col
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "cosine", "rank")
+    )
+
+
+def _corpus_norm(vec_col: str):
+    """L2 norm of the scaled corpus vector — inline (per candidate row,
+    not per pair: the q side is the only fan-out and it is broadcast)."""
+    from .similarity import dot_scaled
+
+    sv = scaled_vec(F.col(vec_col))
+    return F.sqrt(dot_scaled(sv, sv).cast("double"))

@@ -3337,6 +3337,9 @@ def _ivf_kmeans_index_for(
 _PQ_M = 4
 _PQ_KS = 16
 _PQ_ITERS = 2
+# two-stage retrieval: ADC recalls this many candidates per query
+# before the exact-cosine re-rank (>> k, << n — the read-volume knob)
+_PQ_RERANK_CANDS = 30
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3551,12 +3554,14 @@ def q_emb_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ivf_pq_topk() -> str:
+def _sql_ivf_pq_core() -> str:
     # cells = assignment against the FINAL trained centroids: asg{N+1}
     # in a chain extended one stage (same convention as the ivf_kmeans
-    # oracle); PQ codes/LUT from the shared PQ CTE builders.
+    # oracle); PQ codes/LUT from the shared PQ CTE builders. Ends in
+    # ``pqdists`` (qid, vec_id, adc_dist) over the probed cells —
+    # shared by the ADC-ranked and exact-reranked query variants.
     n1 = _KMEANS_ITERS + 1
-    return f"""WITH {_sql_kmeans_chain(n1)},
+    return f"""{_sql_kmeans_chain(n1)},
         {_sql_pq_ctes()},
         {_sql_pq_lut_ctes()},
         ivfqd AS (
@@ -3582,7 +3587,11 @@ def _sql_ivf_pq_topk() -> str:
             JOIN pqenc e ON e.vec_id = cd.vec_id
             JOIN pqlut l ON l.qid = cd.qid AND l.sub = e.sub
                         AND l.code = e.code
-            GROUP BY 1, 2)
+            GROUP BY 1, 2)"""
+
+
+def _sql_ivf_pq_topk() -> str:
+    return f"""WITH {_sql_ivf_pq_core()}
         SELECT qid, vec_id, adc_dist, rank FROM (
             SELECT qid, vec_id, adc_dist,
                    ROW_NUMBER() OVER (
@@ -3590,6 +3599,69 @@ def _sql_ivf_pq_topk() -> str:
                        ORDER BY adc_dist, vec_id) AS rank
             FROM pqdists)
         WHERE rank <= {_TOPK_K}"""
+
+
+def _sql_ivf_pq_rerank_topk() -> str:
+    sq = "x -> CAST(x AS HUGEINT) * CAST(x AS HUGEINT)"
+    return f"""WITH {_sql_ivf_pq_core()},
+        adccand AS (
+            SELECT qid, vec_id FROM (
+                SELECT qid, vec_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY adc_dist, vec_id) AS rank
+                FROM pqdists)
+            WHERE rank <= {_PQ_RERANK_CANDS}),
+        rpairs AS (
+            SELECT a.qid, a.vec_id,
+                   list_sum(list_transform(list_zip(q.svec, x.svec),
+                       z -> CAST(z[1] AS HUGEINT)
+                            * CAST(z[2] AS HUGEINT))) AS dot,
+                   list_sum(list_transform(q.svec, {sq})) AS qn,
+                   list_sum(list_transform(x.svec, {sq})) AS en
+            FROM adccand a
+            JOIN c q ON q.vec_id = a.qid
+            JOIN c x ON x.vec_id = a.vec_id),
+        rscored AS (
+            SELECT qid, vec_id,
+                   CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(qn AS DOUBLE))
+                          * sqrt(CAST(en AS DOUBLE))) AS cosine
+            FROM rpairs)
+        SELECT qid, vec_id, cosine, rank FROM (
+            SELECT qid, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY cosine DESC, vec_id) AS BIGINT)
+                       AS rank
+            FROM rscored)
+        WHERE rank <= {_TOPK_K}"""
+
+
+def q_emb_ivf_pq_rerank_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-stage IVF-PQ retrieval (operators/quantization.py:
+    ivf_pq_rerank_topk): ADC recalls _PQ_RERANK_CANDS ids per query
+    from the DPP-pruned code index, then ONLY those candidates' raw
+    vectors are fetched and re-ranked by exact cosine — the
+    production recipe where PQ caps read volume and the exact stage
+    restores precision. Fully deterministic, oracle-replayable."""
+    path, cents, books = _ivf_pq_index_for(spark, sf_dir)
+    queries, emb = _queries_vecs(spark, sf_dir)
+    return qz.ivf_pq_rerank_topk(
+        spark,
+        path,
+        books,
+        queries,
+        cents,
+        emb,
+        k=_TOPK_K,
+        candidates=_PQ_RERANK_CANDS,
+        probes=_KMEANS_PROBES,
+        m=_PQ_M,
+        dim=_EMB_DIM,
+    )
 
 
 def q_emb_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4036,6 +4108,13 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         ("embeddings",),
         "IVF-PQ: k-means cell pruning (nprobe, DPP-pruned at-rest "
         "code index) + ADC ranking within probed cells",
+    ),
+    "emb_ivf_pq_rerank_topk": QueryDef(
+        q_emb_ivf_pq_rerank_topk,
+        _sql_ivf_pq_rerank_topk(),
+        ("embeddings",),
+        "two-stage IVF-PQ: ADC candidate recall + exact-cosine "
+        "re-rank of only the recalled vectors",
     ),
     "emb_ivf_kmeans_topk": QueryDef(
         q_emb_ivf_kmeans_topk,

@@ -203,3 +203,57 @@ def test_ivf_pq_probes_all_equals_flat_adc_and_prunes(spark, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_ivf_pq_rerank_recovers_exact_cosine(spark, tmp_path):
+    """Two-stage retrieval contract: with all cells probed and
+    candidates = n, the exact re-rank stage must reproduce brute-force
+    cosine_topk EXACTLY (stage 1 then recalls everything and stage 2
+    is a full exact scoring); smaller candidate budgets only lose
+    recall, never invent pairs; and recall is monotone in the budget."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+        similarity as sim,
+    )
+
+    df = _corpus(spark, n=40)
+    qs = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    k_cells = 3
+    cents = sim.kmeans_train_centroids(df, k=k_cells, iters=2, dim=DIM)
+    books = qz.pq_train(df, m=M, ks=KS, dim=DIM)
+    path = str(tmp_path / "ivf_pq_rr")
+    qz.ivf_pq_write(df, cents, books, path, m=M, dim=DIM)
+
+    truth = {
+        (r.qid, r.vec_id): (r.cosine, r.rank)
+        for r in sim.cosine_topk(qs, df, k=10).collect()
+    }
+    full = {
+        (r.qid, r.vec_id): (r.cosine, r.rank)
+        for r in qz.ivf_pq_rerank_topk(
+            spark, path, books, qs, cents, df,
+            k=10, candidates=40, probes=k_cells, m=M, dim=DIM,
+        ).collect()
+    }
+    assert full == truth  # all probed + all recalled == brute force
+
+    got5 = {
+        (r.qid, r.vec_id)
+        for r in qz.ivf_pq_rerank_topk(
+            spark, path, books, qs, cents, df,
+            k=10, candidates=5, probes=k_cells, m=M, dim=DIM,
+        ).collect()
+    }
+    got20 = {
+        (r.qid, r.vec_id)
+        for r in qz.ivf_pq_rerank_topk(
+            spark, path, books, qs, cents, df,
+            k=10, candidates=20, probes=k_cells, m=M, dim=DIM,
+        ).collect()
+    }
+    assert len(got5 & set(truth)) <= len(got20 & set(truth))
+    # the exact stage's scores are true cosines: every returned pair
+    # that IS in the brute-force top-10 carries the identical score
+    for pair, (cos, _r) in full.items():
+        assert truth[pair][0] == cos
