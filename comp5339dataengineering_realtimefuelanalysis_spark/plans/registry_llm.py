@@ -1099,11 +1099,13 @@ def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_gopher_rules() -> str:
+def _sql_gopher_ctes() -> str:
+    """CTE chain (no leading WITH, no ``w`` — caller supplies the
+    shared norm-words CTE) ending in ``gsel``: the full per-doc Gopher
+    stats + per-rule booleans + keep."""
     stop = ", ".join(f"'{w}'" for w in tx.GOPHER_STOPWORDS)
     mw = _GOPHER_MIN_WORDS
-    return rf"""WITH {_sql_norm_words_cte()},
-        gw AS (SELECT doc_id, unnest(words) AS wd FROM w),
+    return rf"""gw AS (SELECT doc_id, unnest(words) AS wd FROM w),
         gstats AS (
             SELECT doc_id, COUNT(*) AS n_words,
                    SUM(length(wd)) AS wlen_sum,
@@ -1142,30 +1144,46 @@ def _sql_gopher_rules() -> str:
                    CAST(r.ellipsis_lines AS DOUBLE)
                        / CAST(r.n_lines AS DOUBLE)
                        AS ellipsis_line_frac
-            FROM grow r LEFT JOIN gstats s USING (doc_id))
+            FROM grow r LEFT JOIN gstats s USING (doc_id)),
+        gsel AS (
+            SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+                   symbol_ratio, stop_hits, bullet_line_frac,
+                   ellipsis_line_frac,
+                   COALESCE(n_words >= {mw} AND n_words <= 100000,
+                            FALSE) AS word_count_ok,
+                   COALESCE(mean_word_len >= 3.0
+                            AND mean_word_len <= 10.0, FALSE)
+                       AS mean_wlen_ok,
+                   COALESCE(symbol_ratio <= 0.1, FALSE) AS symbol_ok,
+                   COALESCE(alpha_word_frac >= 0.8, FALSE)
+                       AS alpha_ok,
+                   COALESCE(stop_hits >= 2, FALSE) AS stopword_ok,
+                   COALESCE(bullet_line_frac < 0.9, FALSE)
+                       AS bullet_ok,
+                   COALESCE(ellipsis_line_frac <= 0.3, FALSE)
+                       AS ellipsis_ok,
+                   COALESCE(n_words >= {mw} AND n_words <= 100000,
+                            FALSE)
+                       AND COALESCE(mean_word_len >= 3.0
+                                    AND mean_word_len <= 10.0, FALSE)
+                       AND COALESCE(symbol_ratio <= 0.1, FALSE)
+                       AND COALESCE(alpha_word_frac >= 0.8, FALSE)
+                       AND COALESCE(stop_hits >= 2, FALSE)
+                       AND COALESCE(bullet_line_frac < 0.9, FALSE)
+                       AND COALESCE(ellipsis_line_frac <= 0.3, FALSE)
+                       AS keep
+            FROM gj)"""
+
+
+def _sql_gopher_rules() -> str:
+    return f"""WITH {_sql_norm_words_cte()},
+        {_sql_gopher_ctes()}
         SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
                symbol_ratio, stop_hits, bullet_line_frac,
-               ellipsis_line_frac,
-               COALESCE(n_words >= {mw} AND n_words <= 100000, FALSE)
-                   AS word_count_ok,
-               COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
-                        FALSE) AS mean_wlen_ok,
-               COALESCE(symbol_ratio <= 0.1, FALSE) AS symbol_ok,
-               COALESCE(alpha_word_frac >= 0.8, FALSE) AS alpha_ok,
-               COALESCE(stop_hits >= 2, FALSE) AS stopword_ok,
-               COALESCE(bullet_line_frac < 0.9, FALSE) AS bullet_ok,
-               COALESCE(ellipsis_line_frac <= 0.3, FALSE)
-                   AS ellipsis_ok,
-               COALESCE(n_words >= {mw} AND n_words <= 100000, FALSE)
-                   AND COALESCE(mean_word_len >= 3.0
-                                AND mean_word_len <= 10.0, FALSE)
-                   AND COALESCE(symbol_ratio <= 0.1, FALSE)
-                   AND COALESCE(alpha_word_frac >= 0.8, FALSE)
-                   AND COALESCE(stop_hits >= 2, FALSE)
-                   AND COALESCE(bullet_line_frac < 0.9, FALSE)
-                   AND COALESCE(ellipsis_line_frac <= 0.3, FALSE)
-                   AS keep
-        FROM gj"""
+               ellipsis_line_frac, word_count_ok, mean_wlen_ok,
+               symbol_ok, alpha_ok, stopword_ok, bullet_ok,
+               ellipsis_ok, keep
+        FROM gsel"""
 
 
 # CCNet-style perplexity filter: LM = hashed-bigram multinomial over
@@ -1217,13 +1235,14 @@ def q_doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_lm_ppl_ctes() -> str:
     """CTE chain ending in pplscores(doc_id, n_bigrams,
     nll_micro_nats, mnll): mirrors lm_ppl_score — bigram features over
-    the shared norm-words CTE, hashed target multinomial, per-bucket
+    the shared norm-words CTE (``w``, supplied by the caller — no
+    leading WITH and no ``w`` here, so gopher and ppl chains compose
+    in one statement), hashed target multinomial, per-bucket
     micro-nat costs, exact integer per-doc sums, the two-division
     mnll."""
     b, sd, sc = _PPL_BUCKETS, _PPL_SEED, _PPL_SCALE
     s, sB = 1, b
-    return rf"""{_sql_norm_words_cte()},
-        pplfeats AS (
+    return rf"""pplfeats AS (
             SELECT doc_id,
                    list_transform(range(1, len(words)),
                        i -> words[i] || ' ' || words[i + 1]) AS feats
@@ -1269,26 +1288,78 @@ def _sql_lm_ppl_ctes() -> str:
             FROM documents d LEFT JOIN pplper p USING (doc_id))"""
 
 
+def _sql_ppl_bucket_ctes() -> str:
+    """Tercile cuts + per-doc bucket assignment, ending in
+    ``pplb(doc_id, mnll, ppl_bucket)``. Requires ``pplscores``."""
+    return """pplcuts AS (
+            SELECT quantile_cont(mnll, CAST(1.0 AS DOUBLE) / 3.0)
+                       AS _t1,
+                   quantile_cont(mnll, CAST(2.0 AS DOUBLE) / 3.0)
+                       AS _t2
+            FROM pplscores WHERE mnll IS NOT NULL),
+        pplb AS (
+            SELECT doc_id, mnll,
+                   CASE WHEN mnll IS NULL THEN 'empty'
+                        WHEN mnll <= _t1 THEN 'head'
+                        WHEN mnll <= _t2 THEN 'middle'
+                        ELSE 'tail' END AS ppl_bucket
+            FROM pplscores, pplcuts)"""
+
+
 def _sql_lm_ppl() -> str:
-    return f"""WITH {_sql_lm_ppl_ctes()}
+    return f"""WITH {_sql_norm_words_cte()},
+        {_sql_lm_ppl_ctes()}
         SELECT doc_id, n_bigrams, nll_micro_nats, mnll
         FROM pplscores"""
 
 
 def _sql_ppl_buckets() -> str:
-    return f"""WITH {_sql_lm_ppl_ctes()},
-        pplcuts AS (
-            SELECT quantile_cont(mnll, CAST(1.0 AS DOUBLE) / 3.0)
-                       AS _t1,
-                   quantile_cont(mnll, CAST(2.0 AS DOUBLE) / 3.0)
-                       AS _t2
-            FROM pplscores WHERE mnll IS NOT NULL)
-        SELECT doc_id, mnll,
-               CASE WHEN mnll IS NULL THEN 'empty'
-                    WHEN mnll <= _t1 THEN 'head'
-                    WHEN mnll <= _t2 THEN 'middle'
-                    ELSE 'tail' END AS ppl_bucket
-        FROM pplscores, pplcuts"""
+    return f"""WITH {_sql_norm_words_cte()},
+        {_sql_lm_ppl_ctes()},
+        {_sql_ppl_bucket_ctes()}
+        SELECT doc_id, mnll, ppl_bucket FROM pplb"""
+
+
+def q_doc_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed document-quality verdict a curation pass acts on:
+    the full Gopher rule battery AND the CCNet perplexity split in one
+    frame — keep = gopher keep AND ppl_bucket in (head, middle) (the
+    CCNet recipe discards the high-perplexity tail). One join of two
+    already-oracle-gated per-doc frames; both sides are scan-cost
+    operators, so the composition adds a single id-keyed join."""
+    docs = _docs_parallel(spark, sf_dir)
+    g = tx.gopher_rules(
+        docs.select("doc_id", "text"), min_words=_GOPHER_MIN_WORDS
+    ).select("doc_id", F.col("keep").alias("gopher_keep"))
+    scores = tracked_persist(
+        sel.lm_ppl_score(
+            docs.select("doc_id", "text", "lang"),
+            target=F.col("lang") == "en",
+            buckets=_PPL_BUCKETS,
+            seed=_PPL_SEED,
+            scale=_PPL_SCALE,
+        )
+    )
+    p = sel.ppl_buckets(scores).select("doc_id", "ppl_bucket")
+    return g.join(p, "doc_id").select(
+        "doc_id",
+        "gopher_keep",
+        "ppl_bucket",
+        (
+            F.col("gopher_keep")
+            & F.col("ppl_bucket").isin("head", "middle")
+        ).alias("keep"),
+    )
+
+
+def _sql_quality_screen() -> str:
+    return f"""WITH {_sql_norm_words_cte()},
+        {_sql_gopher_ctes()},
+        {_sql_lm_ppl_ctes()},
+        {_sql_ppl_bucket_ctes()}
+        SELECT g.doc_id, g.keep AS gopher_keep, p.ppl_bucket,
+               g.keep AND p.ppl_bucket IN ('head', 'middle') AS keep
+        FROM gsel g JOIN pplb p USING (doc_id)"""
 
 
 _PACK_CTX = 2048
@@ -3946,6 +4017,12 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_gopher_rules(),
         ("documents",),
         "full Gopher quality-rule battery: per-rule booleans + keep",
+    ),
+    "doc_quality_screen": QueryDef(
+        q_doc_quality_screen,
+        _sql_quality_screen(),
+        ("documents",),
+        "composed quality verdict: Gopher battery AND ppl head/middle",
     ),
     "doc_lm_ppl": QueryDef(
         q_doc_lm_ppl,
