@@ -1194,21 +1194,45 @@ _PPL_SEED = "lmppl"
 _PPL_SCALE = 1_000_000
 
 
+_PPL_SCORE_PATHS: dict[str, str] = {}
+
+
+def _ppl_scores_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM score frame (doc_id, n_bigrams, nll_micro_nats, mnll),
+    materialized ONCE to parquet per process (the _lang_quality_for
+    pattern, fingerprint-keyed): doc_lm_ppl, doc_ppl_buckets, and
+    doc_quality_screen all consume the same scores, and each
+    previously re-ran the full explode + LM chain. Longs/doubles
+    round-trip parquet bit-exactly, so oracle parity is unaffected."""
+    key = (
+        f"{sf_dir}:pplscores:{_PPL_BUCKETS}:{_PPL_SEED}:{_PPL_SCALE}"
+        f":{_corpus_fingerprint(sf_dir)}"
+    )
+    path = _PPL_SCORE_PATHS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = _ivf_index_dir(key)
+        docs = _docs_parallel(spark, sf_dir)
+        sel.lm_ppl_score(
+            docs.select("doc_id", "text", "lang"),
+            target=F.col("lang") == "en",
+            buckets=_PPL_BUCKETS,
+            seed=_PPL_SEED,
+            scale=_PPL_SCALE,
+        ).write.mode("overwrite").parquet(path)
+        _PPL_SCORE_PATHS[key] = path
+    return spark.read.parquet(path)
+
+
 def q_doc_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/selection.py:
     lm_ppl_score): mean negative log-likelihood per bigram under a
     hashed-bigram LM trained on the 'en' stratum, on the exact int64
     micro-nat grid — one explode + map-side-combined groupBy, one
-    B-row aggregate, broadcast cost join. Oracle-replayable bit-
-    exactly (integer nll; mnll via two correctly-rounded divisions)."""
-    docs = _docs_parallel(spark, sf_dir)
-    return sel.lm_ppl_score(
-        docs.select("doc_id", "text", "lang"),
-        target=F.col("lang") == "en",
-        buckets=_PPL_BUCKETS,
-        seed=_PPL_SEED,
-        scale=_PPL_SCALE,
-    )
+    B-row aggregate, broadcast cost join; served from the shared
+    at-rest score materialization (_ppl_scores_for). Oracle-replayable
+    bit-exactly (integer nll; mnll via two correctly-rounded
+    divisions)."""
+    return _ppl_scores_for(spark, sf_dir)
 
 
 def q_doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1216,20 +1240,10 @@ def q_doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scoreable docs' mnll (the engine-parity-proven exact
     percentile), broadcast-scalar cross join, map-only CASE. Scoreless
     docs land in 'empty'."""
-    docs = _docs_parallel(spark, sf_dir)
-    # persisted: the tercile aggregate AND the bucket-assignment side
-    # both consume the scores — without the barrier the LM chain above
-    # the (already-persisted) bucket counts runs twice
-    scores = tracked_persist(
-        sel.lm_ppl_score(
-            docs.select("doc_id", "text", "lang"),
-            target=F.col("lang") == "en",
-            buckets=_PPL_BUCKETS,
-            seed=_PPL_SEED,
-            scale=_PPL_SCALE,
-        )
-    )
-    return sel.ppl_buckets(scores)
+    # the parquet-backed score frame (_ppl_scores_for) is its own plan
+    # barrier: the tercile aggregate and the bucket-assignment side
+    # read the same files instead of re-running the LM chain
+    return sel.ppl_buckets(_ppl_scores_for(spark, sf_dir))
 
 
 def _sql_lm_ppl_ctes() -> str:
@@ -1331,15 +1345,9 @@ def q_doc_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = tx.gopher_rules(
         docs.select("doc_id", "text"), min_words=_GOPHER_MIN_WORDS
     ).select("doc_id", F.col("keep").alias("gopher_keep"))
-    scores = tracked_persist(
-        sel.lm_ppl_score(
-            docs.select("doc_id", "text", "lang"),
-            target=F.col("lang") == "en",
-            buckets=_PPL_BUCKETS,
-            seed=_PPL_SEED,
-            scale=_PPL_SCALE,
-        )
-    )
+    # the parquet-backed score frame is its own plan barrier: the
+    # tercile aggregate and the assignment side read the same files
+    scores = _ppl_scores_for(spark, sf_dir)
     p = sel.ppl_buckets(scores).select("doc_id", "ppl_bucket")
     return g.join(p, "doc_id").select(
         "doc_id",
@@ -2573,6 +2581,7 @@ def release_ivf_indexes() -> None:
     _IVF_PQ_BOOKS.clear()
     _TEXT_EMB_PATHS.clear()
     _LANG_QUALITY_PATHS.clear()
+    _PPL_SCORE_PATHS.clear()
     _STAGE9_PATHS.clear()
     if _IVF_ROOT is not None:
         shutil.rmtree(_IVF_ROOT, ignore_errors=True)
