@@ -301,7 +301,13 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
     ``mode``: ``"fake"`` (deterministic md5-derived stand-in, oracle-
     replayable), ``"real"`` (detected codecs for every kind, plan-time
     NotImplementedError naming what is missing), ``"auto"`` (real where a
-    codec was detected, fake elsewhere — never fails on a missing codec).
+    codec was detected, fake elsewhere — never fails at plan time on a
+    missing codec). Note the vendored stdlib codecs mean image/audio are
+    ALWAYS "detected" (falling back to PNG-only / WAV-only decoders when
+    PIL / ffprobe are absent), so under ``auto`` an image or audio payload
+    in a format the stdlib codec can't read (e.g. JPEG without PIL, MP3
+    without ffprobe) is quarantined via ``decode_err`` rather than
+    stub-decoded; only VIDEO without ffprobe falls back to the fake stub.
     """
     if mode not in ("fake", "real", "auto"):
         raise ValueError(f"unknown decode mode: {mode!r}")
@@ -312,8 +318,10 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
             raise NotImplementedError(
                 f"real media decoding for {missing} requires "
                 "PIL (images) / ffmpeg (audio, video), not found in this "
-                'environment; use mode="auto" to fall back to the '
-                "deterministic stub per kind, or install the codecs"
+                'environment; use mode="auto" to fall back to the vendored '
+                "stdlib codecs (PNG / WAV only — other image/audio formats "
+                "are then quarantined via decode_err, and video falls back "
+                "to the deterministic stub), or install the codecs"
             )
     # plan-time, per-kind codec choice: identical on driver + executors
     use_codec = {

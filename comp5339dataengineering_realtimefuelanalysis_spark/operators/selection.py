@@ -400,8 +400,10 @@ def lm_ppl_score(
     Scale shape: one explode + map-side-combined (id, bucket) groupBy
     over bigram occurrences, one B-row target aggregate, a 1-row
     totals aggregate, the broadcast B-row cost join, a map-side-
-    combined per-id sum, and a broadcast left join back to the id
-    spine. Nothing all-pairs, nothing through the driver.
+    combined per-id sum, and a plain shuffled left join back to the
+    id spine (both sides are corpus-sized — only the B-row cost table
+    and the 1-row totals are broadcast). Nothing all-pairs, nothing
+    through the driver.
     """
     from ..functions.caching import tracked_persist
     from .dedup import hash32
@@ -466,7 +468,12 @@ def lm_ppl_score(
         )
     )
     spine = df.select(id_col)
-    return spine.join(F.broadcast(per_doc), id_col, "left").select(
+    # plain shuffled left join: per_doc is one row per scoreable doc —
+    # corpus-sized — so a broadcast hint here would ship the whole
+    # score table through the driver to every executor (driver OOM at
+    # scale); broadcasts in this operator are reserved for the B-row
+    # cost table and the 1-row totals only
+    return spine.join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
         "nll_micro_nats",

@@ -756,14 +756,16 @@ def gopher_rules(
     lower min_words for the short synthetic docs and says so).
 
     Rules: word count in [min,max]; mean word length in [3,10];
-    symbol-to-word ratio ('#' and '...') <= 0.1; >= 80% of words carry
-    an alphabetic character; >= 2 stop-word hits (the 8-word list);
-    < 90% of lines bullet-started; <= 30% of lines ellipsis-ended.
+    symbol-to-word ratio ('#', '...' and the Unicode ellipsis '…')
+    <= 0.1; >= 80% of words carry an alphabetic character; >= 2
+    stop-word hits (the 8-word list); < 90% of lines bullet-started;
+    <= 30% of lines ellipsis-ended.
 
     Scale shape: the per-WORD stats ride ONE explode + map-side-
     combined groupBy (the repetition_signals shape — the row-local HOF
     form runs interpreted) joined back on the id; the per-LINE and
-    per-CHAR rules are row-local regexp counts at scan cost. Every
+    per-CHAR rules are whole-text multiline regexp counts at scan
+    cost (single codegen pass — no interpreted HOF lambdas). Every
     fraction is an int/int IEEE division in fixed order, so the
     booleans replay bit-exactly in the oracle. NULL/empty text yields
     zero words and fails the word-count rule (keep = false), never a
@@ -787,19 +789,23 @@ def gopher_rules(
         )
     )
     t = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.split(t, "\n")
-    n_lines = F.size(lines)
-    bullet_lines = F.size(
-        F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
+    n_lines = F.size(F.split(t, "\n"))
+    # per-line rules as whole-text multiline regexp counts — a single
+    # codegen pass per doc, vs the per-element interpreted HOF-lambda
+    # form (F.filter(lines, ...)) these replace. [^\S\n] is "\s minus
+    # newline", which is exactly what \s meant inside a split("\n")
+    # segment, so the counts (and hence the booleans) are bit-identical
+    # to the per-line form — asserted by
+    # test_gopher_line_rules_match_hof_form.
+    bullet_lines = F.regexp_count(
+        t, F.lit(r"(?m)^[^\S\n]*[-*•]")
     )
-    ellipsis_lines = F.size(
-        F.filter(
-            lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")
-        )
+    ellipsis_lines = F.regexp_count(
+        t, F.lit(r"(?m)(\.\.\.|…)[^\S\n]*$")
     )
     symbols = (
         F.length(t) - F.length(F.regexp_replace(t, "#", ""))
-    ) + F.regexp_count(t, F.lit(r"\.\.\."))
+    ) + F.regexp_count(t, F.lit(r"(\.\.\.|…)"))
     row = df.select(
         id_col,
         symbols.alias("symbols"),

@@ -1117,7 +1117,7 @@ def _sql_gopher_ctes() -> str:
         grow AS (
             SELECT doc_id,
                    (length(t) - length(replace(t, '#', '')))
-                       + len(regexp_extract_all(t, '\.\.\.'))
+                       + len(regexp_extract_all(t, '(\.\.\.|…)'))
                        AS symbols,
                    len(string_split(t, chr(10))) AS n_lines,
                    len(list_filter(string_split(t, chr(10)),

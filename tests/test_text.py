@@ -819,3 +819,62 @@ def test_gopher_rules_battery(spark):
 
     assert got[8].stop_hits == 0
     assert not got[8].stopword_ok and not got[8].keep
+
+
+def test_gopher_line_rules_match_hof_form(spark):
+    """The whole-text multiline regexp_count line rules must be
+    bit-identical to the per-line HOF form they replaced (the count of
+    bullet-started / ellipsis-ended lines), on adversarial strings:
+    whitespace-only lines before a bullet, multiline-spanning
+    whitespace, CRLF endings, Unicode ellipsis, multiple ellipses on
+    one line, empty/null text."""
+    rows = [
+        (1, "- a\n- b\nplain"),
+        (2, "  \n- after blank-ish line"),        # ws-only line, then bullet
+        (3, "\n\n\n- deep\n  \t \n* starred"),    # runs of empty lines
+        (4, "x - not a bullet\n-real"),
+        (5, "end...\nmid... tail\nuni…\n… lead"),
+        (6, "... ...\n......"),                    # two runs / six dots
+        (7, "crlf...\r\nbullet next\r\n- y\r\n"),
+        (8, "trail...   \nspaces after… \t\n"),
+        (9, ""),
+        (10, None),
+        (11, "•bullet\n  •indented\n\t*tabbed"),
+        (12, "only\nplain\nlines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(t, "\n")
+    hof = df.select(
+        "doc_id",
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]")))
+            .alias("bullets"),
+        F.size(F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$")))
+            .alias("ellipses"),
+    )
+    new = df.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(r"(?m)^[^\S\n]*[-*•]"))
+            .alias("bullets"),
+        F.regexp_count(t, F.lit(r"(?m)(\.\.\.|…)[^\S\n]*$"))
+            .alias("ellipses"),
+    )
+    got_hof = {r.doc_id: (r.bullets, r.ellipses) for r in hof.collect()}
+    got_new = {r.doc_id: (r.bullets, r.ellipses) for r in new.collect()}
+    assert got_hof == got_new, {
+        k: (got_hof[k], got_new[k])
+        for k in got_hof
+        if got_hof[k] != got_new[k]
+    }
+
+
+def test_gopher_symbol_counts_unicode_ellipsis(spark):
+    """The symbol counter treats the Unicode ellipsis '…' like '...'
+    (the Gopher symbol-to-word rule covers the ellipsis generally) —
+    a doc dense in '…' must now fail the symbol gate."""
+    rows = [(1, "one two three four five six seven eight … … … …")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = tx.gopher_rules(df, min_words=5).collect()[0]
+    # 12 word tokens (the four '…' tokens count as words), 4 symbols
+    assert r.symbol_ratio == 4.0 / 12.0
+    assert not r.symbol_ok
