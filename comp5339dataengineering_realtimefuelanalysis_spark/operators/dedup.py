@@ -292,6 +292,7 @@ def jaccard_verify_pairs(
     threshold: float = 0.5,
     shingles_df: DataFrame | None = None,
     sets_df: DataFrame | None = None,
+    sets_hint: str | None = "shuffle_hash",
 ) -> DataFrame:
     """Exact Jaccard for a given candidate-pair set (id_a, id_b).
 
@@ -304,6 +305,13 @@ def jaccard_verify_pairs(
     PERSISTED one when the pipeline also needs the distinct shingle sets
     elsewhere (e.g. a downstream contamination screen explodes them back
     to (id, shingle) rows), so the collect_set shuffle runs once.
+
+    ``sets_hint``: join-strategy hint applied to the sets sides,
+    default ``"shuffle_hash"`` (see the inline note — corpus-sized
+    sides must never be auto-broadcast). Pass ``None`` when the caller
+    KNOWS the sets frame is bounded (the streaming path's sets are
+    batch docs + touched corpus docs only) and a broadcast is the
+    right plan.
     """
     from ..functions.caching import tracked_persist
 
@@ -321,12 +329,27 @@ def jaccard_verify_pairs(
             shingles_df.groupBy(id_col)
             .agg(F.collect_set("shingle").alias("sh_set"))  # set-dedups
         )
+    # shuffle_hash pins the join strategy: BOTH sides here are
+    # corpus-sized by contract (sets = one row per doc, candidates =
+    # the LSH pair set), so neither may ever be broadcast — yet both
+    # are highly compressible (repetitive shingle strings; delta-
+    # friendly id pairs), so compressed cache/shuffle statistics can
+    # pass the autoBroadcastJoinThreshold while the deserialized
+    # broadcast relation is GBs. Measured at x100 (500k docs, 28M
+    # candidates): the unpinned plan OOM'd the driver building exactly
+    # such a misestimated broadcast. The hint survives AQE re-planning
+    # (strategy hints take priority over size-based broadcast), builds
+    # the per-partition hash table on the sets side (bounded by
+    # corpus/partitions, the scalable quantity), and skips the sort a
+    # merge-join pin would add.
     a = sets.select(
         F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a")
     )
     b = sets.select(
         F.col(id_col).alias("id_b"), F.col("sh_set").alias("set_b")
     )
+    if sets_hint is not None:
+        a, b = a.hint(sets_hint), b.hint(sets_hint)
     inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
     return (

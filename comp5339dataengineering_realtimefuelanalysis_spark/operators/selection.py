@@ -363,13 +363,14 @@ def dsir_sample_cutoff(
 
 def lm_ppl_score(
     df: DataFrame,
-    target: Column,
+    target: Column | DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 4096,
     smooth: int = 1,
     seed: str = "lmppl",
     scale: int = 1_000_000,
+    target_text_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020,
     "CCNet: Extracting High Quality Monolingual Datasets from Web
@@ -378,6 +379,14 @@ def lm_ppl_score(
     TARGET rows (e.g. a trusted in-domain subset — CCNet's Wikipedia
     role). Low scores read as fluent/in-domain; the standard filter
     keeps the low-perplexity head of the corpus (see ppl_buckets).
+
+    ``target`` is either a boolean Column over ``df`` (train on the
+    matching in-corpus stratum — sugar for the common case) or a
+    SEPARATE DataFrame (CCNet's actual recipe: the LM trains on an
+    external trusted corpus like Wikipedia, disjoint from the frame
+    being scored). A DataFrame target supplies its own text in
+    ``target_text_col`` (defaults to ``text_col``); the scored frame's
+    rows never feed the LM in that form.
 
     Model: word bigrams hashed into ``buckets`` buckets (the dsir
     feature hashing, bigram-only, its own seed); the LM is the
@@ -412,36 +421,65 @@ def lm_ppl_score(
     grams = _word_ngram_arrays(
         F.coalesce(F.col(text_col), F.lit("")), (2,)
     )
-    dbc = (
-        df.select(
-            F.col(id_col),
-            F.coalesce(target.cast("boolean"), F.lit(False)).alias(
-                "_tgt"
-            ),
-            F.explode(grams[2]).alias("feat"),
+
+    def bucket_of(feat: Column) -> Column:
+        return F.pmod(
+            hash32(F.concat(feat, F.lit("#" + seed))), F.lit(buckets)
         )
-        .select(
-            id_col,
-            "_tgt",
-            F.pmod(
-                hash32(F.concat(F.col("feat"), F.lit("#" + seed))),
-                F.lit(buckets),
-            ).alias("bucket"),
+
+    if isinstance(target, DataFrame):
+        # external trusted corpus: its bigrams train the LM; the
+        # scored frame contributes only the cost-table bucket domain
+        ttc = target_text_col or text_col
+        tgrams = _word_ngram_arrays(
+            F.coalesce(F.col(ttc), F.lit("")), (2,)
         )
-        .groupBy(id_col, "_tgt", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    dbc = tracked_persist(dbc)  # feeds target agg, totals, cost join
-    tgt_b = (
-        dbc.filter(F.col("_tgt"))
-        .groupBy("bucket")
-        .agg(F.sum("c").alias("t"))
-    )
-    tot = dbc.agg(
-        F.sum(F.when(F.col("_tgt"), F.col("c")).otherwise(0)).alias(
-            "T_tot"
+        tgt_b = (
+            target.select(F.explode(tgrams[2]).alias("feat"))
+            .select(bucket_of(F.col("feat")).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("t"))
         )
-    )
+        tot = tgt_b.agg(
+            F.coalesce(F.sum("t"), F.lit(0)).alias("T_tot")
+        )
+        dbc = (
+            df.select(F.col(id_col), F.explode(grams[2]).alias("feat"))
+            .select(id_col, bucket_of(F.col("feat")).alias("bucket"))
+            .groupBy(id_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # feeds the cost-table bucket domain AND the per-doc cost join
+        dbc = tracked_persist(dbc)
+    else:
+        dbc = (
+            df.select(
+                F.col(id_col),
+                F.coalesce(target.cast("boolean"), F.lit(False)).alias(
+                    "_tgt"
+                ),
+                F.explode(grams[2]).alias("feat"),
+            )
+            .select(
+                id_col,
+                "_tgt",
+                bucket_of(F.col("feat")).alias("bucket"),
+            )
+            .groupBy(id_col, "_tgt", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # feeds target agg, totals, cost join
+        dbc = tracked_persist(dbc)
+        tgt_b = (
+            dbc.filter(F.col("_tgt"))
+            .groupBy("bucket")
+            .agg(F.sum("c").alias("t"))
+        )
+        tot = dbc.agg(
+            F.sum(
+                F.when(F.col("_tgt"), F.col("c")).otherwise(0)
+            ).alias("T_tot")
+        )
     s, sB = smooth, smooth * buckets
     # cost table over the buckets the CORPUS actually uses (raw side),
     # target-count 0 where the target never hit the bucket
@@ -473,6 +511,123 @@ def lm_ppl_score(
     # score table through the driver to every executor (driver OOM at
     # scale); broadcasts in this operator are reserved for the B-row
     # cost table and the 1-row totals only
+    return spine.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        "nll_micro_nats",
+        (
+            F.col("nll_micro_nats").cast("double")
+            / F.col("n_bigrams").cast("double")
+            / F.lit(float(scale))
+        ).alias("mnll"),
+    )
+
+
+def lm_ppl_cost_table(
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+    smooth: int = 1,
+    seed: str = "lmppl",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The hashed-bigram LM as an AT-REST artifact: the FULL-domain
+    (bucket 0..B-1, nl) micro-nat cost table trained on ``target`` —
+    lm_ppl_score's cost join, decoupled from any particular scored
+    frame so it can be persisted once and reused (a streaming gate
+    scoring micro-batches, repeated scoring passes over growing
+    corpora). Full domain because future rows hash into arbitrary
+    buckets; a bucket the target never hit costs
+    ln(T + sB) - ln(s) — computable, not missing.
+
+    nl values agree bit-exactly with lm_ppl_score(df, target=...) on
+    every bucket both produce: same counts, same formula, same
+    rounding to the int64 micro-nat grid
+    (test_cost_table_matches_inline_lm)."""
+    from .dedup import hash32
+    from .text import _word_ngram_arrays
+
+    grams = _word_ngram_arrays(
+        F.coalesce(F.col(text_col), F.lit("")), (2,)
+    )
+    tgt_b = (
+        target.select(F.explode(grams[2]).alias("feat"))
+        .select(
+            F.pmod(
+                hash32(F.concat(F.col("feat"), F.lit("#" + seed))),
+                F.lit(buckets),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    tot = tgt_b.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("T_tot"))
+    s, sB = smooth, smooth * buckets
+    nl_val = (
+        F.log((F.col("T_tot") + sB).cast("double"))
+        - F.log((F.coalesce(F.col("t"), F.lit(0)) + s).cast("double"))
+    )
+    spark = target.sparkSession
+    return (
+        spark.range(buckets)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(tgt_b, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(nl_val * F.lit(scale), 0).cast("long").alias("nl"),
+        )
+    )
+
+
+def lm_ppl_score_with_costs(
+    df: DataFrame,
+    costs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    seed: str = "lmppl",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Score ``df`` against a pinned full-domain cost table (the
+    lm_ppl_cost_table artifact): same output contract as lm_ppl_score
+    — (id, n_bigrams, nll_micro_nats, mnll), scoreless docs carry
+    n_bigrams=0 with NULL scores. ``buckets``/``seed``/``scale`` must
+    be the values the table was trained with (callers persisting the
+    table persist them beside it).
+
+    Scale shape: one explode + map-side-combined (id, bucket) groupBy
+    of the SCORED frame only, the broadcast B-row cost join, a
+    map-side-combined per-id sum, a shuffled left join to the id
+    spine. The LM itself costs nothing here — that is the point of
+    the at-rest table."""
+    from .dedup import hash32
+    from .text import _word_ngram_arrays
+
+    grams = _word_ngram_arrays(
+        F.coalesce(F.col(text_col), F.lit("")), (2,)
+    )
+    dbc = (
+        df.select(F.col(id_col), F.explode(grams[2]).alias("feat"))
+        .select(
+            id_col,
+            F.pmod(
+                hash32(F.concat(F.col("feat"), F.lit("#" + seed))),
+                F.lit(buckets),
+            ).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = (
+        dbc.join(F.broadcast(costs), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("nl")).alias("nll_micro_nats"),
+        )
+    )
+    spine = df.select(id_col)
     return spine.join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),

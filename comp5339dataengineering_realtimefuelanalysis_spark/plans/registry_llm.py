@@ -1327,6 +1327,85 @@ def _sql_lm_ppl() -> str:
         FROM pplscores"""
 
 
+def q_doc_lm_ppl_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's ACTUAL recipe shape (operators/selection.py:
+    lm_ppl_score with a DataFrame target): the LM trains on an
+    EXTERNAL trusted corpus — here the held-out doc_id%10==0 'en'
+    shard playing the Wikipedia role — and scores the DISJOINT
+    remainder (doc_id%10!=0, all languages). Same exact micro-nat
+    grid, same explode + map-side-combine + B-row-broadcast shape;
+    the target frame's bigrams never mix into the scored spine."""
+    docs = _docs_parallel(spark, sf_dir)
+    tgt = docs.filter(
+        (F.col("doc_id") % 10 == 0) & (F.col("lang") == "en")
+    ).select("text")
+    scored = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", "text"
+    )
+    return sel.lm_ppl_score(
+        scored,
+        target=tgt,
+        buckets=_PPL_BUCKETS,
+        seed=_PPL_SEED,
+        scale=_PPL_SCALE,
+    )
+
+
+def _sql_lm_ppl_external() -> str:
+    """External-target LM oracle: the trusted shard (doc_id%10==0 AND
+    lang='en') trains the bucket multinomial; only the complement is
+    scored. Mirrors _sql_lm_ppl_ctes otherwise (same hashing, same
+    micro-nat rounding, same two-division mnll)."""
+    b, sd, sc = _PPL_BUCKETS, _PPL_SEED, _PPL_SCALE
+    s, sB = 1, b
+    return rf"""WITH {_sql_norm_words_cte()},
+        xfeats AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(words)),
+                       i -> words[i] || ' ' || words[i + 1]) AS feats
+            FROM w),
+        xtgt AS (
+            SELECT ('0x' || substring(md5(feat || '#{sd}'), 1, 8))
+                       ::BIGINT % {b} AS bucket,
+                   COUNT(*) AS t
+            FROM (SELECT unnest(f.feats) AS feat
+                  FROM xfeats f JOIN documents d USING (doc_id)
+                  WHERE d.doc_id % 10 = 0 AND d.lang = 'en')
+            GROUP BY 1),
+        xtot AS (SELECT COALESCE(SUM(t), 0) AS T_tot FROM xtgt),
+        xdbc AS (
+            SELECT doc_id,
+                   ('0x' || substring(md5(feat || '#{sd}'), 1, 8))
+                       ::BIGINT % {b} AS bucket,
+                   COUNT(*) AS c
+            FROM (SELECT f.doc_id, unnest(f.feats) AS feat
+                  FROM xfeats f WHERE f.doc_id % 10 <> 0)
+            GROUP BY 1, 2),
+        xnl AS (
+            SELECT bk.bucket,
+                   CAST(round((
+                       ln(CAST(xtot.T_tot + {sB} AS DOUBLE))
+                       - ln(CAST(COALESCE(tb.t, 0) + {s} AS DOUBLE))
+                   ) * {sc}, 0) AS BIGINT) AS nl
+            FROM (SELECT DISTINCT bucket FROM xdbc) bk
+            LEFT JOIN xtgt tb USING (bucket), xtot),
+        xper AS (
+            SELECT xdbc.doc_id,
+                   CAST(SUM(xdbc.c) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(xdbc.c * xnl.nl) AS BIGINT)
+                       AS nll_micro_nats
+            FROM xdbc JOIN xnl USING (bucket)
+            GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(p.n_bigrams, 0) AS n_bigrams,
+               p.nll_micro_nats,
+               CAST(p.nll_micro_nats AS DOUBLE)
+                   / CAST(p.n_bigrams AS DOUBLE)
+                   / {float(sc)} AS mnll
+        FROM documents d LEFT JOIN xper p USING (doc_id)
+        WHERE d.doc_id % 10 <> 0"""
+
+
 def _sql_ppl_buckets() -> str:
     return f"""WITH {_sql_norm_words_cte()},
         {_sql_lm_ppl_ctes()},
@@ -4039,6 +4118,13 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         ("documents",),
         "CCNet-style LM quality score: mean NLL/bigram under a "
         "hashed-bigram target LM, exact micro-nat grid",
+    ),
+    "doc_lm_ppl_external": QueryDef(
+        q_doc_lm_ppl_external,
+        _sql_lm_ppl_external(),
+        ("documents",),
+        "CCNet LM scoring with an EXTERNAL trusted-corpus LM: "
+        "held-out 'en' shard trains, disjoint remainder is scored",
     ),
     "doc_ppl_buckets": QueryDef(
         q_doc_ppl_buckets,

@@ -62,6 +62,7 @@ from pyspark.sql.types import StructType
 from pyspark.errors import AnalysisException
 
 from ..operators import dedup as dd
+from ..operators import selection as sel
 from ..operators import similarity as sim
 from ..operators import text as tx
 
@@ -151,6 +152,33 @@ class StreamingIncrementalDedup:
     gopher_gate: bool = False
     gopher_rejects_path: str | None = None
     gopher_min_words: int = 10
+    #   ppl_gate: the CCNet perplexity filter as a micro-batch gate.
+    #   Unlike the batch query (terciles over the whole corpus at
+    #   query time), a stream cannot re-rank the past: the LM's
+    #   per-bucket cost table AND the head/middle/tail cuts are
+    #   trained ONCE (train_ppl_model — CCNet's external trusted
+    #   corpus, e.g. a Wikipedia-role frame) and pinned at rest under
+    #   ``ppl_model_path`` (costs/ = the full-domain B-row micro-nat
+    #   table, stats/ = cuts + the hashing params they were trained
+    #   with). Batches are scored against the pinned table (one
+    #   explode + map-side-combined groupBy of batch rows + the B-row
+    #   broadcast join — batch-local, the per-batch corpus-shuffle-
+    #   free contract holds) and docs whose bucket is not in
+    #   ``ppl_keep`` land in ``ppl_rejects_path`` with their scores,
+    #   epoch-partitioned with the same dynamic-overwrite replay
+    #   contract. Retraining (re-calling train_ppl_model) rewrites
+    #   the model; a live instance keeps its memoized table and must
+    #   be restarted to pick the new one up, and epoch replays after
+    #   a retrain may admit differently — the centroid-staleness
+    #   story, verbatim: pin, observe drift, retrain deliberately.
+    ppl_gate: bool = False
+    ppl_model_path: str | None = None
+    ppl_rejects_path: str | None = None
+    ppl_buckets: int = 4096
+    ppl_seed: str = "lmppl"
+    ppl_scale: int = 1_000_000
+    ppl_smooth: int = 1
+    ppl_keep: tuple = ("head", "middle")
     _index_coverage_checked: bool = field(
         default=False, init=False, repr=False
     )
@@ -166,6 +194,13 @@ class StreamingIncrementalDedup:
     _sem_train_q90: float | None = field(
         default=None, init=False, repr=False
     )
+    # memoized pinned LM (B-row cost frame + tercile cuts) — read from
+    # disk once per instance
+    _ppl_costs: DataFrame | None = field(
+        default=None, init=False, repr=False
+    )
+    _ppl_t1: float | None = field(default=None, init=False, repr=False)
+    _ppl_t2: float | None = field(default=None, init=False, repr=False)
 
     def _index_read_schema(self) -> str:
         """Explicit read schema for the at-rest band index. The id
@@ -1057,6 +1092,136 @@ class StreamingIncrementalDedup:
 
     # -- per-batch screening ----------------------------------------------
 
+    # -- pinned-LM perplexity gate -------------------------------------
+
+    def _ppl_costs_path(self) -> str:
+        return os.path.join(self.ppl_model_path, "costs")
+
+    def _ppl_stats_path(self) -> str:
+        return os.path.join(self.ppl_model_path, "stats")
+
+    _PPL_STATS_SCHEMA = (
+        "t1 double, t2 double, buckets long, seed string, "
+        "scale long, smooth long, n_train_bigrams long"
+    )
+
+    def train_ppl_model(
+        self,
+        spark: SparkSession,
+        target_df: DataFrame,
+        target_text_col: str = "text",
+        cuts_df: DataFrame | None = None,
+        cuts_text_col: str | None = None,
+        exact_cuts: bool = True,
+        accuracy: int = 10_000,
+    ) -> None:
+        """Train and PIN the gate's LM: the full-domain B-row cost
+        table from ``target_df`` (the trusted corpus — CCNet's
+        Wikipedia role) and the head/middle/tail cuts from scoring
+        ``cuts_df`` (default: the target itself; pass a reference
+        crawl sample to calibrate the split on in-distribution
+        traffic). Overwrites any previous model — deliberate retrain
+        semantics, see the ppl_gate config note. ``exact_cuts=False``
+        uses the GK sketch for the tercile aggregate (the 100 TB
+        path, same bounded-verdict posture as ppl_buckets)."""
+        if self.ppl_model_path is None:
+            raise ValueError("train_ppl_model requires ppl_model_path")
+        costs = sel.lm_ppl_cost_table(
+            target_df,
+            text_col=target_text_col,
+            buckets=self.ppl_buckets,
+            smooth=self.ppl_smooth,
+            seed=self.ppl_seed,
+            scale=self.ppl_scale,
+        )
+        costs.write.mode("overwrite").parquet(self._ppl_costs_path())
+        # score the cuts frame against the AT-REST table (what batches
+        # will see), never the in-flight plan
+        at_rest = spark.read.schema("bucket long, nl long").parquet(
+            self._ppl_costs_path()
+        )
+        ref = cuts_df if cuts_df is not None else target_df
+        scores = sel.lm_ppl_score_with_costs(
+            ref.select(
+                F.monotonically_increasing_id().alias("__cid"),
+                F.col(cuts_text_col or target_text_col).alias("__ct"),
+            ),
+            at_rest,
+            text_col="__ct",
+            id_col="__cid",
+            buckets=self.ppl_buckets,
+            seed=self.ppl_seed,
+            scale=self.ppl_scale,
+        ).filter(F.col("mnll").isNotNull())
+        if exact_cuts:
+            t1 = F.percentile("mnll", F.lit(1.0 / 3.0))
+            t2 = F.percentile("mnll", F.lit(2.0 / 3.0))
+        else:
+            t1 = F.percentile_approx(
+                "mnll", F.lit(1.0 / 3.0), F.lit(accuracy)
+            )
+            t2 = F.percentile_approx(
+                "mnll", F.lit(2.0 / 3.0), F.lit(accuracy)
+            )
+        stats = scores.agg(
+            t1.cast("double").alias("t1"),
+            t2.cast("double").alias("t2"),
+            F.lit(self.ppl_buckets).cast("long").alias("buckets"),
+            F.lit(self.ppl_seed).alias("seed"),
+            F.lit(self.ppl_scale).cast("long").alias("scale"),
+            F.lit(self.ppl_smooth).cast("long").alias("smooth"),
+            F.sum("n_bigrams").cast("long").alias("n_train_bigrams"),
+        )
+        stats.write.mode("overwrite").parquet(self._ppl_stats_path())
+        row = spark.read.schema(self._PPL_STATS_SCHEMA).parquet(
+            self._ppl_stats_path()
+        ).first()
+        if row is None or row["t1"] is None:
+            raise RuntimeError(
+                "ppl gate cuts could not be computed: the cuts frame "
+                "produced no scoreable documents (every doc < 2 "
+                "words). The gate has no split to apply — refuse to "
+                "fabricate one."
+            )
+
+    def _ppl_model(
+        self, spark: SparkSession
+    ) -> tuple[DataFrame, float, float]:
+        """Memoized pinned LM. Raises if train_ppl_model has not run —
+        a gate with no model must fail loudly, not invent a flat LM
+        that silently admits everything."""
+        if self._ppl_costs is not None:
+            return self._ppl_costs, self._ppl_t1, self._ppl_t2
+        try:
+            row = spark.read.schema(self._PPL_STATS_SCHEMA).parquet(
+                self._ppl_stats_path()
+            ).first()
+        except AnalysisException:
+            row = None
+        if row is None or row["t1"] is None:
+            raise RuntimeError(
+                "ppl_gate=True but no pinned LM at "
+                f"{self.ppl_model_path!r}: run train_ppl_model first"
+            )
+        pinned = (row["buckets"], row["seed"], row["scale"],
+                  row["smooth"])
+        configured = (self.ppl_buckets, self.ppl_seed, self.ppl_scale,
+                      self.ppl_smooth)
+        if pinned != configured:
+            raise RuntimeError(
+                "ppl gate config mismatch: the at-rest model was "
+                f"trained with (buckets, seed, scale, smooth)={pinned} "
+                f"but this instance is configured with {configured}; "
+                "scoring batches with mismatched hashing would be "
+                "silently meaningless — retrain or fix the config"
+            )
+        self._ppl_costs = spark.read.schema(
+            "bucket long, nl long"
+        ).parquet(self._ppl_costs_path())
+        self._ppl_t1 = float(row["t1"])
+        self._ppl_t2 = float(row["t2"])
+        return self._ppl_costs, self._ppl_t1, self._ppl_t2
+
     def _curation_gates(
         self, batch: DataFrame, epoch_id: int
     ) -> tuple[DataFrame, DataFrame | None]:
@@ -1164,6 +1329,50 @@ class StreamingIncrementalDedup:
                 self.id_col,
                 "left_anti",
             )
+        if self.ppl_gate:
+            if self.ppl_rejects_path is None:
+                raise ValueError(
+                    "ppl_gate=True requires ppl_rejects_path: gated "
+                    "docs must be observable, not silently dropped"
+                )
+            costs, t1, t2 = self._ppl_model(batch.sparkSession)
+            scores = sel.lm_ppl_score_with_costs(
+                batch,
+                costs,
+                text_col=self.text_col,
+                id_col=self.id_col,
+                buckets=self.ppl_buckets,
+                seed=self.ppl_seed,
+                scale=self.ppl_scale,
+            )
+            m = F.col("mnll")
+            # the ppl_buckets CASE, against the PINNED cuts
+            scored = scores.withColumn(
+                "ppl_bucket",
+                F.when(m.isNull(), F.lit("empty"))
+                .when(m <= F.lit(t1), F.lit("head"))
+                .when(m <= F.lit(t2), F.lit("middle"))
+                .otherwise(F.lit("tail")),
+            )
+            pbad = scored.filter(
+                ~F.col("ppl_bucket").isin(*self.ppl_keep)
+            )
+            (
+                pbad.withColumn(
+                    "reason",
+                    F.concat(F.lit("ppl_"), F.col("ppl_bucket")),
+                )
+                .withColumn("ingest_epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_epoch")
+                .parquet(self.ppl_rejects_path)
+            )
+            batch = batch.join(
+                F.broadcast(pbad.select(self.id_col)),
+                self.id_col,
+                "left_anti",
+            )
         return batch, handle
 
     def _sink(self, batch: DataFrame, epoch_id: int) -> None:
@@ -1173,7 +1382,8 @@ class StreamingIncrementalDedup:
         # 0. opt-in curation gates (PII scrub, repetition gate) —
         #    batch-local by construction, before any hashing
         gate_handle: DataFrame | None = None
-        if self.pii_scrub or self.repetition_gate or self.gopher_gate:
+        if (self.pii_scrub or self.repetition_gate or self.gopher_gate
+                or self.ppl_gate):
             batch, gate_handle = self._curation_gates(batch, epoch_id)
 
         # 1. within-batch exact: canonical (min-id) per content hash;
@@ -1290,6 +1500,11 @@ class StreamingIncrementalDedup:
                     self.n,
                     self.threshold,
                     sets_df=sets,
+                    # the sets frame here is batch docs + touched
+                    # corpus docs — bounded by batch size, so the
+                    # broadcast plan the default shuffle_hash pin
+                    # forbids is exactly right per micro-batch
+                    sets_hint=None,
                 )
                 drop_ids = verified.select(
                     F.col("id_a").alias(did)

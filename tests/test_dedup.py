@@ -311,3 +311,39 @@ def test_minhash_lsh_join_asymmetric(spark):
     }
     assert (100, 1) in capped
     assert all(b < 200 for a, b in capped)
+
+
+def test_jaccard_verify_sets_join_never_broadcasts(spark):
+    """The verify join's sets sides are corpus-sized by contract and
+    must never be planned as a broadcast — compressed cache/shuffle
+    stats understate deserialized size for repetitive shingle arrays
+    (measured driver OOM at 500k docs). At THIS tiny scale the
+    size-based planner would pick BroadcastHashJoin, so the assert is
+    a real canary that the shuffle_hash pin holds; sets_hint=None
+    restores the size-based (broadcast) plan for callers with bounded
+    sets frames."""
+    d = docs(spark)
+    cands = dd.minhash_lsh_pairs(d)
+    pinned = dd.jaccard_verify_pairs(d, cands, threshold=0.1)
+    unpinned = dd.jaccard_verify_pairs(
+        d, cands, threshold=0.1, sets_hint=None
+    )
+    # execute FIRST: under AQE the join strategy is only visible in
+    # the final plan
+    got_p = {(r.id_a, r.id_b) for r in pinned.collect()}
+    got_u = {(r.id_a, r.id_b) for r in unpinned.collect()}
+    assert got_p == got_u and (1, 2) in got_p
+
+    # key on the JOIN KEYS: the sets joins are the ones on id_a / id_b
+    # (the band-key join inside minhash_lsh_pairs may legitimately
+    # broadcast — different frame, different contract)
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin [id_a" in plan, plan
+    assert "ShuffledHashJoin [id_b" in plan, plan
+    assert "BroadcastHashJoin [id_a" not in plan, plan
+    assert "BroadcastHashJoin [id_b" not in plan, plan
+    uplan = unpinned._jdf.queryExecution().executedPlan().toString()
+    assert (
+        "BroadcastHashJoin [id_a" in uplan
+        or "BroadcastHashJoin [id_b" in uplan
+    ), uplan

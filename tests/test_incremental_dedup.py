@@ -1045,3 +1045,97 @@ def test_streaming_gopher_gate(spark, tmp_path):
         d3._curation_gates(
             spark.createDataFrame([(9, BASE)], SCHEMA), epoch_id=0
         )
+
+
+def test_streaming_ppl_gate(spark, tmp_path):
+    """The CCNet perplexity filter as a streaming gate against a
+    PINNED at-rest LM: train once on a trusted frame (cuts calibrated
+    on a mixed reference), then (a) a fluent doc is admitted and a
+    gibberish doc lands in the ppl rejects store with its scores and
+    bucket, (b) the stream's admission set equals the batch-side
+    verdict computed from the same at-rest model and cuts on the same
+    epoch (batch/stream equivalence), (c) an untrained gate and a
+    config mismatch fail loudly, (d) a replayed epoch converges."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+        selection as sel,
+    )
+
+    FLUENT = [
+        BASE,
+        OTHER,
+        THIRD,
+        "the quick brown fox naps beside the old stone bridge while "
+        "the lazy dog watches the frozen meadow at the village edge",
+    ]
+    GIBBER = [
+        "zxq vprt klmno wfjd qqag hrbx mzpl dkvw ootr yxns blgr epwm",
+        "aaa1 bbb2 ccc3 ddd4 eee5 fff6 ggg7 hhh8 iii9 jjj0 kkk1 lll2",
+    ]
+
+    def mk(model="pplmodel", **kw):
+        kw.setdefault("ppl_buckets", 256)
+        return StreamingIncrementalDedup(
+            spark=spark,
+            landing_dir=str(tmp_path / "landing"),
+            silver_path=str(tmp_path / "silver"),
+            checkpoint_dir=str(tmp_path / "chk"),
+            schema=SCHEMA,
+            ppl_gate=True,
+            ppl_model_path=str(tmp_path / model),
+            ppl_rejects_path=str(tmp_path / "prejects"),
+            **kw,
+        )
+
+    d = mk()
+    # untrained gate fails loudly, admitting nothing silently
+    import pytest
+
+    with pytest.raises(RuntimeError, match="train_ppl_model"):
+        d._curation_gates(
+            spark.createDataFrame([(9, BASE)], SCHEMA), epoch_id=0
+        )
+
+    target = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FLUENT)], SCHEMA
+    )
+    cuts_ref = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(FLUENT + GIBBER)], SCHEMA
+    )
+    d.train_ppl_model(spark, target, cuts_df=cuts_ref)
+
+    # epoch 0: one fluent doc (in-distribution -> head/middle) + one
+    # gibberish doc (unseen bigrams -> tail); no dup relations
+    _land(spark, d, [(1, BASE), (2, GIBBER[0])])
+    _run(d)
+    assert _silver_ids(spark, d) == {1}
+    rej = spark.read.parquet(str(tmp_path / "prejects")).collect()
+    assert {r.doc_id for r in rej} == {2}
+    assert rej[0].ppl_bucket == "tail" and rej[0].reason == "ppl_tail"
+    assert rej[0].mnll is not None and rej[0].ingest_epoch == 0
+
+    # batch/stream equivalence on the SAME epoch: score with the
+    # at-rest table + pinned cuts, apply the keep rule
+    costs, t1, t2 = d._ppl_model(spark)
+    epoch = spark.createDataFrame([(1, BASE), (2, GIBBER[0])], SCHEMA)
+    scores = sel.lm_ppl_score_with_costs(
+        epoch, costs, buckets=256
+    ).collect()
+    keep = {
+        r.doc_id
+        for r in scores
+        if r.mnll is not None and r.mnll <= t2
+    }
+    assert keep == _silver_ids(spark, d)
+
+    # replay converges: same silver, same single reject row
+    d2 = mk()
+    d2._sink(epoch, epoch_id=0)
+    assert _silver_ids(spark, d2) == {1}
+    rej2 = spark.read.parquet(str(tmp_path / "prejects")).collect()
+    assert len(rej2) == 1 and rej2[0].doc_id == 2
+
+    # config mismatch (different bucket count) refuses to score
+    d3 = mk(ppl_buckets=512)
+    d3.ppl_model_path = d.ppl_model_path
+    with pytest.raises(RuntimeError, match="mismatch"):
+        d3._curation_gates(epoch, epoch_id=1)

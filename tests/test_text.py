@@ -878,3 +878,109 @@ def test_gopher_symbol_counts_unicode_ellipsis(spark):
     # 12 word tokens (the four '…' tokens count as words), 4 symbols
     assert r.symbol_ratio == 4.0 / 12.0
     assert not r.symbol_ok
+
+
+def test_lm_ppl_external_target_frame(spark):
+    """DataFrame-target lm_ppl_score (the CCNet external-Wikipedia
+    shape): with a DISJOINT trusted frame training the LM, the scored
+    frame's results must equal the flag-column construction run over
+    the union (the nl cost of any bucket is a function of the target
+    counts alone, and a doc's sum only touches its own buckets)."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        lm_ppl_score,
+    )
+
+    scored_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely different words about query engines"),
+        (3, "single"),
+        (4, None),
+    ]
+    trusted_rows = [
+        (101, "the quick brown fox naps under the old tree"),
+        (102, "the lazy dog sleeps while the quick fox runs"),
+    ]
+    B, SEED, SCALE = 64, "lmppl", 1_000_000
+    scored = spark.createDataFrame(
+        scored_rows, "doc_id long, text string"
+    )
+    trusted = spark.createDataFrame(
+        trusted_rows, "doc_id long, body string"
+    )
+    ext = {
+        r.doc_id: (r.n_bigrams, r.nll_micro_nats, r.mnll)
+        for r in lm_ppl_score(
+            scored, trusted, buckets=B, seed=SEED, scale=SCALE,
+            target_text_col="body",
+        ).collect()
+    }
+    # flag-column construction over the union
+    union = spark.createDataFrame(
+        [(i, t, False) for i, t in scored_rows]
+        + [(i, t, True) for i, t in trusted_rows],
+        "doc_id long, text string, tgt boolean",
+    )
+    col = {
+        r.doc_id: (r.n_bigrams, r.nll_micro_nats, r.mnll)
+        for r in lm_ppl_score(
+            union, F.col("tgt"), buckets=B, seed=SEED, scale=SCALE
+        ).collect()
+    }
+    assert set(ext) == {1, 2, 3, 4}
+    for did in ext:
+        assert ext[did] == col[did], (did, ext[did], col[did])
+    # empty target frame: every bucket costs ln(sB) - ln(s), scores
+    # still total and deterministic (never NULL from the LM side)
+    empty = trusted.filter("doc_id < 0")
+    e = {
+        r.doc_id: r
+        for r in lm_ppl_score(
+            scored, empty, buckets=B, seed=SEED, scale=SCALE,
+            target_text_col="body",
+        ).collect()
+    }
+    import math
+    flat = round(math.log(B) * SCALE)
+    assert e[1].nll_micro_nats == e[1].n_bigrams * flat
+
+
+def test_cost_table_matches_inline_lm(spark):
+    """Scoring against the at-rest full-domain cost table must equal
+    the inline DataFrame-target lm_ppl_score bit-exactly — the
+    streaming gate's batch/stream equivalence rests on this."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        lm_ppl_cost_table,
+        lm_ppl_score,
+        lm_ppl_score_with_costs,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words about query engines"),
+            (3, "single"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    trusted = spark.createDataFrame(
+        [
+            (101, "the quick brown fox naps under the old tree"),
+            (102, "the lazy dog sleeps while the quick fox runs"),
+        ],
+        "doc_id long, text string",
+    )
+    B = 64
+    inline = {
+        r.doc_id: (r.n_bigrams, r.nll_micro_nats, r.mnll)
+        for r in lm_ppl_score(scored, trusted, buckets=B).collect()
+    }
+    costs = lm_ppl_cost_table(trusted, buckets=B)
+    assert costs.count() == B  # full domain, always
+    at_rest = {
+        r.doc_id: (r.n_bigrams, r.nll_micro_nats, r.mnll)
+        for r in lm_ppl_score_with_costs(
+            scored, costs, buckets=B
+        ).collect()
+    }
+    assert inline == at_rest

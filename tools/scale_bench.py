@@ -470,6 +470,14 @@ def main() -> None:
         release_ivf_indexes,
     )
 
+    # the x100 working set (500k-doc shingle-set cache ~1.5 GB, 28M
+    # candidate pairs, 32 concurrent sort/hash tasks) does not fit the
+    # engine's 8g default heap in local mode, where driver memory IS
+    # the whole JVM — measured task OOM at x100 under SMJ. A cluster
+    # scales executor memory with the data; the harness mirrors that
+    # by defaulting its own JVM to 48g (the host has 128 GiB). An
+    # explicit SPARK_GRAFT_DRIVER_MEM still wins.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark("scale_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
