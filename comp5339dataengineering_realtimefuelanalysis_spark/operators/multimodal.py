@@ -12,9 +12,10 @@ Codec availability is DETECTED, not assumed: ``available_codecs()``
 optional-imports PIL (images) and looks for ffprobe (audio/video), and
 falls back to VENDORED stdlib decoders where those are missing — a pure
 zlib/struct PNG decoder (true dimensions + the 4x4 grayscale thumbnail
-feature) for images and the ``wave`` module (true duration) for audio,
-so the real-decode branch executes in codec-less containers too. Video
-has no stdlib fallback (``"real"`` still raises naming ffmpeg there).
+feature) for images, the ``wave`` module (true duration) for audio, and
+a minimal ISO BMFF box walker (true duration + display dimensions from
+mvhd/tkhd headers, no frame pixels) for MP4/MOV video — so the
+real-decode branch executes for every kind in codec-less containers.
 ``decode=...`` modes: ``"fake"`` derives deterministic pseudo-metadata/
 features from the byte content (md5-seeded) so the whole distributed
 plumbing — schemas, batching, partitioning, UDF signatures — is real and
@@ -95,11 +96,12 @@ def available_codecs() -> dict[str, str | None]:
     """Which real codec this environment provides, per media kind —
     the codec NAME (truthy) or None. Preference order: the full
     library (PIL / ffprobe) if present, else the vendored stdlib
-    fallback ("stdlib-png": PNG only; "stdlib-wav": WAV only); video
-    has no stdlib fallback. Driver-side detection — the result is
-    closure-captured into the decode UDF so every executor makes the
-    same choice. Assumes the executor Python matches the driver's (see
-    module docstring caveat on skewed environments)."""
+    fallback ("stdlib-png": PNG only; "stdlib-wav": WAV only;
+    "stdlib-mp4": ISO BMFF header metadata only — duration +
+    dimensions, no frame pixels). Driver-side detection — the result
+    is closure-captured into the decode UDF so every executor makes
+    the same choice. Assumes the executor Python matches the driver's
+    (see module docstring caveat on skewed environments)."""
     try:
         import PIL.Image  # noqa: F401
 
@@ -110,7 +112,7 @@ def available_codecs() -> dict[str, str | None]:
     return {
         "image": "pil" if pil else "stdlib-png",
         "audio": "ffprobe" if ff else "stdlib-wav",
-        "video": "ffprobe" if ff else None,
+        "video": "ffprobe" if ff else "stdlib-mp4",
     }
 
 
@@ -280,11 +282,75 @@ def _stdlib_decode_wav(content: bytes) -> dict:
     }
 
 
+def _stdlib_decode_mp4(content: bytes) -> dict:
+    """Vendored stdlib video decode: a minimal ISO BMFF (MP4/MOV) box
+    walker — true duration from moov/mvhd (duration/timescale), true
+    display dimensions from the first video trak's tkhd (16.16
+    fixed-point). Header parsing only (the PNG-decoder posture: real
+    metadata from real containers with zero dependencies); frame
+    pixels are out of scope, so ``feature`` stays None like the
+    ffprobe path. Non-BMFF payloads raise ValueError -> decode_err
+    quarantine."""
+    import struct
+
+    def boxes(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size, btype = struct.unpack_from(">I4s", buf, pos)
+            hdr = 8
+            if size == 1:
+                if pos + 16 > end:
+                    break
+                (size,) = struct.unpack_from(">Q", buf, pos + 8)
+                hdr = 16
+            elif size == 0:  # box extends to end of file
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("truncated/invalid BMFF box")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    top = {t: (s, e) for t, s, e in boxes(content, 0, len(content))}
+    if b"ftyp" not in top or b"moov" not in top:
+        raise ValueError("not an ISO BMFF container (no ftyp/moov)")
+
+    duration_ms = None
+    width = height = None
+    ms, me = top[b"moov"]
+    for btype, s, e in boxes(content, ms, me):
+        if btype == b"mvhd":
+            ver = content[s]
+            if ver == 1:
+                ts, dur = struct.unpack_from(">IQ", content, s + 20)
+            else:
+                ts, dur = struct.unpack_from(">II", content, s + 12)
+            if ts:
+                duration_ms = round(dur * 1000 / ts)
+        elif btype == b"trak" and width is None:
+            for t2, s2, e2 in boxes(content, s, e):
+                if t2 != b"tkhd":
+                    continue
+                ver = content[s2]
+                off = s2 + (88 if ver == 1 else 76)
+                w_fp, h_fp = struct.unpack_from(">II", content, off)
+                if w_fp and h_fp:  # audio traks carry 0x0
+                    width, height = w_fp >> 16, h_fp >> 16
+    if duration_ms is None:
+        raise ValueError("no mvhd box in moov")
+    return {
+        "width": width,
+        "height": height,
+        "duration_ms": duration_ms,
+        "feature": None,
+    }
+
+
 _REAL_DECODERS = {
     "pil": _real_decode_image,
     "ffprobe": _real_decode_av,
     "stdlib-png": _stdlib_decode_png,
     "stdlib-wav": _stdlib_decode_wav,
+    "stdlib-mp4": _stdlib_decode_mp4,
 }
 
 _NULL_DECODE = {
@@ -302,12 +368,13 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
     replayable), ``"real"`` (detected codecs for every kind, plan-time
     NotImplementedError naming what is missing), ``"auto"`` (real where a
     codec was detected, fake elsewhere — never fails at plan time on a
-    missing codec). Note the vendored stdlib codecs mean image/audio are
-    ALWAYS "detected" (falling back to PNG-only / WAV-only decoders when
-    PIL / ffprobe are absent), so under ``auto`` an image or audio payload
-    in a format the stdlib codec can't read (e.g. JPEG without PIL, MP3
-    without ffprobe) is quarantined via ``decode_err`` rather than
-    stub-decoded; only VIDEO without ffprobe falls back to the fake stub.
+    missing codec). Note the vendored stdlib codecs mean EVERY kind is
+    always "detected" (PNG-only / WAV-only / MP4-header-only decoders
+    when PIL / ffprobe are absent), so under ``auto`` a payload in a
+    format the stdlib codec can't read (e.g. JPEG without PIL, MP3 or
+    AVI without ffprobe) is quarantined via ``decode_err`` rather than
+    stub-decoded; the fake stub only runs when explicitly requested
+    via mode="fake".
     """
     if mode not in ("fake", "real", "auto"):
         raise ValueError(f"unknown decode mode: {mode!r}")
@@ -319,9 +386,9 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                 f"real media decoding for {missing} requires "
                 "PIL (images) / ffmpeg (audio, video), not found in this "
                 'environment; use mode="auto" to fall back to the vendored '
-                "stdlib codecs (PNG / WAV only — other image/audio formats "
-                "are then quarantined via decode_err, and video falls back "
-                "to the deterministic stub), or install the codecs"
+                "stdlib codecs (PNG / WAV / MP4-header only — other "
+                "formats are then quarantined via decode_err), or install "
+                "the codecs"
             )
     # plan-time, per-kind codec choice: identical on driver + executors
     use_codec = {

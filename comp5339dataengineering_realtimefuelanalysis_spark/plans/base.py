@@ -38,6 +38,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Parquet/DuckDB timestamps are naive; pin the session to UTC so Spark's
     # session-TZ rendering can't shift values on a non-UTC driver machine.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Bound plan-string rendering (default ~2^31 chars): the composed
+    # curation pipeline's lineage prints shared subplans once PER
+    # REFERENCE, so the EXPLAIN/log string (not the plan itself) grows
+    # multiplicatively with stages — measured java.lang.OutOfMemoryError
+    # inside StringConcat.append while localCheckpoint stringified the
+    # inline-2l pipeline plan. Truncation affects logs/UI text only,
+    # never execution. Runtime-set for the same reason as the flags
+    # above: the driver may hand us a vanilla session.
+    spark.conf.set("spark.sql.maxPlanStringLength", str(1024 * 1024))
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_NS_COLS.get(name, ()):
         dtype = dict(df.dtypes).get(c)

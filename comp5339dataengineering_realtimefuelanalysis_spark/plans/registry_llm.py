@@ -1083,6 +1083,13 @@ def _sql_dsir_sample() -> str:
 # docs (the paper's 50 would fail most of a corpus whose docs average
 # ~35 words); every other threshold is the published operating point.
 _GOPHER_MIN_WORDS = 10
+# The PIPELINE's quality-screen gate additionally calibrates the
+# stop-word rule to this corpus: the bounded synthetic vocabulary
+# carries at most ONE of the paper's 8 stop-words per doc ('the'), so
+# the published min_stop_hits=2 would zero the corpus (measured:
+# 0/500 pass at sf0.01; 382/500 pass at 1). doc_gopher_rules keeps
+# the paper default — it REPORTS booleans; the pipeline GATES on them.
+_GOPHER_MIN_STOP = 1
 
 
 def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1099,10 +1106,12 @@ def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_gopher_ctes() -> str:
+def _sql_gopher_ctes(min_stop: int = 2) -> str:
     """CTE chain (no leading WITH, no ``w`` — caller supplies the
     shared norm-words CTE) ending in ``gsel``: the full per-doc Gopher
-    stats + per-rule booleans + keep."""
+    stats + per-rule booleans + keep. ``min_stop`` parameterizes the
+    stop-word rule (the pipeline gate passes the corpus-calibrated
+    _GOPHER_MIN_STOP; the reporting query keeps the paper's 2)."""
     stop = ", ".join(f"'{w}'" for w in tx.GOPHER_STOPWORDS)
     mw = _GOPHER_MIN_WORDS
     return rf"""gw AS (SELECT doc_id, unnest(words) AS wd FROM w),
@@ -1157,7 +1166,8 @@ def _sql_gopher_ctes() -> str:
                    COALESCE(symbol_ratio <= 0.1, FALSE) AS symbol_ok,
                    COALESCE(alpha_word_frac >= 0.8, FALSE)
                        AS alpha_ok,
-                   COALESCE(stop_hits >= 2, FALSE) AS stopword_ok,
+                   COALESCE(stop_hits >= {min_stop}, FALSE)
+                       AS stopword_ok,
                    COALESCE(bullet_line_frac < 0.9, FALSE)
                        AS bullet_ok,
                    COALESCE(ellipsis_line_frac <= 0.3, FALSE)
@@ -1168,7 +1178,7 @@ def _sql_gopher_ctes() -> str:
                                     AND mean_word_len <= 10.0, FALSE)
                        AND COALESCE(symbol_ratio <= 0.1, FALSE)
                        AND COALESCE(alpha_word_frac >= 0.8, FALSE)
-                       AND COALESCE(stop_hits >= 2, FALSE)
+                       AND COALESCE(stop_hits >= {min_stop}, FALSE)
                        AND COALESCE(bullet_line_frac < 0.9, FALSE)
                        AND COALESCE(ellipsis_line_frac <= 0.3, FALSE)
                        AS keep
@@ -1627,7 +1637,8 @@ def q_corpus_curation_pipeline(
     filters over the raw corpus):
 
       held-out split -> profile -> quality/lang gate -> PII scrub ->
-      Gopher repetition gate -> exact dedup ->
+      QUALITY SCREEN (Gopher rule battery AND CCNet perplexity split,
+      stage 2b) -> Gopher repetition gate -> exact dedup ->
       LSH(+cap)+Jaccard-verify near-dup clusters (keep representatives) ->
       SEMANTIC dedup (k-means-cell-blocked cosine over the survivors) ->
       contamination screen vs the held-out probes -> stratified sample ->
@@ -1702,15 +1713,67 @@ def q_corpus_curation_pipeline(
             )
         ),
     )
-    # Gopher-style repetition gate over the scrubbed survivors: the
-    # tagged n-gram explode + two map-side-combined shuffles of
+    # Published QUALITY SCREEN over the scrubbed survivors (round 13):
+    # the full Gopher rule battery AND the CCNet perplexity split —
+    # the composed doc_quality_screen verdict, sequentially composed
+    # into the pipeline so the flagship query exercises the complete
+    # published recipe. Both components run on the SCRUBBED text (what
+    # would be trained on); the LM trains on the scrub survivors' own
+    # 'en' stratum and the terciles are over the scrub survivors'
+    # scores (this population, not the raw corpus). Scale shape: one
+    # word explode + combined groupBy (gopher), one bigram explode +
+    # combined groupBy + B-row broadcast join (LM), a 2-value tercile
+    # aggregate + broadcast-scalar cross join; the exact percentile is
+    # the oracle path — ppl_buckets(exact=False) is the documented
+    # 100 TB sketch path. Scores persisted: the tercile aggregate and
+    # the bucket assignment both consume them.
+    def _qscreen() -> DataFrame:
+        g = (
+            tx.gopher_rules(
+                scrub.select("doc_id", "text"),
+                min_words=_GOPHER_MIN_WORDS,
+                min_stop_hits=_GOPHER_MIN_STOP,
+            )
+            .filter(F.col("keep"))
+            .select("doc_id")
+        )
+        scores = tracked_persist(
+            sel.lm_ppl_score(
+                scrub.select("doc_id", "text", "lang"),
+                target=F.col("lang") == "en",
+                buckets=_PPL_BUCKETS,
+                seed=_PPL_SEED,
+                scale=_PPL_SCALE,
+            )
+        )
+        p = (
+            sel.ppl_buckets(scores)
+            .filter(F.col("ppl_bucket").isin("head", "middle"))
+            .select("doc_id")
+        )
+        # localCheckpoint (NOT persist): this stage's logical tree is
+        # the pipeline's largest (the two semi joins duplicate scrub's
+        # subtree and graft on the gopher agg + the whole LM chain),
+        # and EVERY downstream stage embeds it — persist caches the
+        # data but Catalyst re-analyzes the exponential tree per
+        # action (the connected_components pathology, measured here
+        # as 46.6 -> 228 s pipeline total before the barrier).
+        # Checkpointing truncates the lineage to the materialized
+        # blocks; eager because eleven downstream stages consume it.
+        return scrub.join(g, "doc_id", "semi").join(
+            p, "doc_id", "semi"
+        ).localCheckpoint(eager=True)
+
+    qual = stage_cb("2b_quality_screen", _qscreen)
+    # Gopher-style repetition gate over the quality-screen survivors:
+    # the tagged n-gram explode + two map-side-combined shuffles of
     # repetition_signals run on gate survivors only (the cheap map-only
     # quality/lang gate prunes first); thresholds are corpus-calibrated
     # (see _REP_MAX_* note). Not a separate persist: its one consumer is
     # the exact-dedup stage below, so the gate join rides that
     # materialization (and that stage's profiler clock)
-    repgate = scrub.join(
-        tx.repetition_signals(scrub)
+    repgate = qual.join(
+        tx.repetition_signals(qual)
         .filter(
             (F.col("dup_word_frac") <= _REP_MAX_DUP_WORD)
             & (F.col("top_bigram_frac") <= _REP_MAX_TOP_BIGRAM)
@@ -2037,6 +2100,10 @@ def _curation_stage9_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}:stage9:{_QUALITY_KEEP}:{_REP_MAX_DUP_WORD}"
         f":{_REP_MAX_TOP_BIGRAM}:{_REP_MAX_DUP_TRIGRAM}:{_SHINGLE_N}"
         f":{_NUM_HASHES}:{_BANDS}:{_LSH_MAX_BUCKET}:{_JACCARD_THRESHOLD}"
+        # stage 2b (quality screen) constants: the survivor set depends
+        # on them, so a retune must invalidate the cache
+        f":{_GOPHER_MIN_WORDS}:{_GOPHER_MIN_STOP}"
+        f":{_PPL_BUCKETS}:{_PPL_SEED}:{_PPL_SCALE}"
         f":{_corpus_fingerprint(sf_dir)}"
     )
     path = _STAGE9_PATHS.get(key)
@@ -2155,6 +2222,27 @@ def _sql_stage9_ctes() -> str:
         " / (len(sa.sh_set) + len(sb.sh_set)"
         " - len(list_intersect(sa.sh_set, sb.sh_set)))"
     )
+    # stage 2b (quality screen): the shared gopher/ppl builders,
+    # re-targeted from `documents` to the scrub CTE by the same exact
+    # textual substitution the other stages use. The norm-words CTE is
+    # renamed qw_scrub — the semantic stage's embed chain already
+    # defines `w` over ITS survivors later in the same statement.
+    qwords = (
+        _sql_norm_words_cte()
+        .replace("FROM documents", "FROM scrub")
+        .replace("w AS (", "qw_scrub AS (", 1)
+    )
+    qgopher = (
+        _sql_gopher_ctes(min_stop=_GOPHER_MIN_STOP)
+        .replace("FROM documents", "FROM scrub")
+        .replace("FROM w)", "FROM qw_scrub)")
+    )
+    qppl = (
+        _sql_lm_ppl_ctes()
+        .replace("JOIN documents d", "JOIN scrub d")
+        .replace("FROM documents d", "FROM scrub d")
+        .replace("FROM w)", "FROM qw_scrub)")
+    )
     return f"""train AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
         prof AS MATERIALIZED (SELECT doc_id, text, {_sql_lang_id()} AS lang,
                         ({_sql_quality()}) AS quality
@@ -2164,9 +2252,19 @@ def _sql_stage9_ctes() -> str:
         scrub AS MATERIALIZED (SELECT doc_id, {_sql_scrubbed_text()} AS text,
                         lang
                  FROM gated),
-        rep AS MATERIALIZED ({_sql_doc_repetition("scrub")}),
+        {qwords},
+        {qgopher},
+        {qppl},
+        {_sql_ppl_bucket_ctes()},
+        qual AS MATERIALIZED (SELECT s.doc_id, s.text, s.lang
+                 FROM scrub s
+                 JOIN gsel g USING (doc_id)
+                 JOIN pplb pb USING (doc_id)
+                 WHERE g.keep
+                   AND pb.ppl_bucket IN ('head', 'middle')),
+        rep AS MATERIALIZED ({_sql_doc_repetition("qual")}),
         repgate AS MATERIALIZED (SELECT s.doc_id, s.text, s.lang
-                    FROM scrub s JOIN rep USING (doc_id)
+                    FROM qual s JOIN rep USING (doc_id)
                     WHERE dup_word_frac <= {_REP_MAX_DUP_WORD}
                       AND top_bigram_frac <= {_REP_MAX_TOP_BIGRAM}
                       AND dup_trigram_frac <= {_REP_MAX_DUP_TRIGRAM}),

@@ -260,3 +260,79 @@ def test_stdlib_png_unfilters_all_filter_types():
     d1 = mm._stdlib_decode_png(filtered)
     assert (d0["width"], d0["height"]) == (w, h)
     assert d0 == d1
+
+
+def _mp4_bytes(
+    width: int, height: int, duration_ms: int, version: int = 0
+) -> bytes:
+    """Minimal valid ISO BMFF: ftyp + moov{mvhd, trak{tkhd}} with the
+    given display size and duration (timescale 1000)."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    if version == 1:
+        mvhd = box(
+            b"mvhd",
+            bytes([1, 0, 0, 0])          # version 1 + flags
+            + struct.pack(">QQ", 0, 0)   # creation, modification
+            + struct.pack(">I", 1000)    # timescale
+            + struct.pack(">Q", duration_ms)
+            + b"\x00" * 80,
+        )
+        tkhd = box(
+            b"tkhd",
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQ", 0, 0)   # creation, modification
+            + struct.pack(">II", 1, 0)   # track id, reserved
+            + struct.pack(">Q", duration_ms)
+            + b"\x00" * 52               # reserved/layer/volume/matrix
+            + struct.pack(">II", width << 16, height << 16),
+        )
+    else:
+        mvhd = box(
+            b"mvhd",
+            bytes(4)                     # version 0 + flags
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", 1000)
+            + struct.pack(">I", duration_ms)
+            + b"\x00" * 80,
+        )
+        tkhd = box(
+            b"tkhd",
+            bytes(4)
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", 1, 0)
+            + struct.pack(">I", duration_ms)
+            + b"\x00" * 52
+            + struct.pack(">II", width << 16, height << 16),
+        )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + moov
+
+
+def test_decode_auto_real_video_mp4_headers(spark):
+    """The vendored MP4 box walker decodes real container metadata —
+    true duration (mvhd) and display dimensions (tkhd, 16.16 fixed) —
+    for both box versions; a non-BMFF video payload quarantines via
+    decode_err instead of stub-decoding."""
+    if mm.available_codecs()["video"] != "stdlib-mp4":
+        import pytest
+
+        pytest.skip("ffprobe present; stdlib path not selected")
+    df = spark.createDataFrame(
+        [
+            (1, "video", _mp4_bytes(640, 360, 2500), {}),
+            (2, "video", _mp4_bytes(1280, 720, 90000, version=1), {}),
+            (3, "video", b"not a video at all", {}),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.decode_media(df, mode="auto").collect()}
+    assert (out[1].width, out[1].height) == (640, 360)
+    assert out[1].duration_ms == 2500 and out[1].decode_err is None
+    assert out[1].feature is None
+    assert (out[2].width, out[2].height) == (1280, 720)
+    assert out[2].duration_ms == 90000
+    assert out[3].decode_err is not None and out[3].width is None
