@@ -394,3 +394,135 @@ def _corpus_norm(vec_col: str):
 
     sv = scaled_vec(F.col(vec_col))
     return F.sqrt(dot_scaled(sv, sv).cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the high-fidelity compression tier beside PQ
+# ---------------------------------------------------------------------------
+
+
+def sq8_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-DIMENSION 8-bit affine codebook ``(dim, vmin, step)`` on the
+    int64 grid — scalar quantization (the FAISS "SQ8" tier): each
+    element compresses to one byte against its dimension's observed
+    range, 4x smaller than float32 at far higher fidelity than PQ's
+    m-byte codes (PQ is the 64x read-volume axis, SQ8 the cheap
+    accuracy-preserving one; both scan code columns, never vectors).
+
+    Integer-exact by construction: values live on the 1e9 grid,
+    ``step = max((vmax - vmin + 254) div 255, 1)`` is CEIL division so
+    codes fit 0..255 with no clamp branch, and train/encode/distance
+    all replay in the oracle as integer arithmetic. Deterministic —
+    no RNG, no iteration; the codebook is two aggregates.
+
+    Scale shape: one posexplode + map-side-combined groupBy over
+    (dim) — dim rows out, broadcast-sized forever."""
+    ex = corpus.select(
+        F.posexplode(
+            scaled_vec(_dim_guard(F.col(vec_col), dim, F.col(vec_col)))
+        ).alias("dim", "v")
+    )
+    return (
+        ex.groupBy("dim")
+        .agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+        .select(
+            "dim",
+            "vmin",
+            F.greatest(
+                F.expr("(vmax - vmin + 254) div 255"), F.lit(1)
+            ).cast("long").alias("step"),
+        )
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SQ8 codes ``(id_col, dim, code)`` — exploded columnar form (the
+    at-rest layout and the join shape sq8_topk consumes), code =
+    (v - vmin) div step in 0..255 by the ceil-step construction.
+    Scale: n*dim narrow rows through one broadcast dim-row join —
+    map-only, no shuffle."""
+    ex = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            scaled_vec(_dim_guard(F.col(vec_col), dim, F.col(vec_col)))
+        ).alias("dim", "v"),
+    )
+    return ex.join(F.broadcast(stats), "dim").select(
+        id_col,
+        "dim",
+        F.expr("(v - vmin) div step").cast("int").alias("code"),
+    )
+
+
+def sq8_topk(
+    codes: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k against SQ8 codes by asymmetric distance —
+    the pq_adc_topk shape with (sub -> dim, ks -> 256): per query
+    build the (dim, code) -> squared-distance LUT against the
+    MIDPOINT reconstruction (recon = vmin + code*step + step div 2 —
+    halves the worst-case error vs left-edge), codes join their LUT
+    entry, distances sum per (query, vector). Output ``(qid, vec_id,
+    sq_dist, rank)``; sq_dist is the exact integer grid distance to
+    the reconstruction (bigint — the dim-term total is the full-vector
+    squared grid distance |q - recon|^2 <= (|q| + |recon|)^2, the same
+    unit-norm ledger as PQ with |recon| <= |x| + sqrt(dim)*step slack).
+
+    Scale shape: codes join a BROADCAST lut of q*dim*256 rows — the
+    candidate scan reads n*dim one-byte codes and never the vector
+    column; one map-side-combined (qid, id) sum; one per-query top-k
+    window. Compose with the IVF cell index exactly as PQ does when
+    the corpus outgrows a flat scan."""
+    lutbase = stats.select(
+        "dim",
+        "vmin",
+        "step",
+        F.explode(F.sequence(F.lit(0), F.lit(255))).alias("code"),
+    ).select(
+        "dim",
+        "code",
+        F.expr("vmin + code * step + (step div 2)").alias("recon"),
+    )
+    q = queries.select(
+        F.col(qid_col),
+        F.posexplode(
+            scaled_vec(_dim_guard(F.col(qvec_col), dim, F.col(qvec_col)))
+        ).alias("dim", "qv"),
+    )
+    lut = q.join(F.broadcast(lutbase), "dim").select(
+        qid_col,
+        "dim",
+        "code",
+        (
+            (F.col("qv") - F.col("recon"))
+            * (F.col("qv") - F.col("recon"))
+        ).alias("_sd"),
+    )
+    dists = (
+        codes.join(F.broadcast(lut), ["dim", "code"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("_sd").alias("sq_dist"))
+    )
+    w = Window.partitionBy(qid_col).orderBy("sq_dist", id_col)
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "sq_dist", "rank")
+    )

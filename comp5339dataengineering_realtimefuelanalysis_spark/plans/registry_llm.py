@@ -3650,6 +3650,89 @@ def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization (operators/quantization.py: sq8_train /
+    sq8_encode): each element compresses to one byte against its
+    dimension's observed range — the high-fidelity 4x tier beside
+    PQ's 64x. Codebook = two aggregates (no RNG, no iteration);
+    codes = one broadcast dim-row join, map-only. Integer-exact end
+    to end on the 1e9 grid, so the oracle replays train AND encode."""
+    emb = _emb_parallel(spark, sf_dir)
+    stats = qz.sq8_train(emb, dim=_EMB_DIM)
+    return qz.sq8_encode(emb, stats, dim=_EMB_DIM)
+
+
+def q_emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k by SQ8 asymmetric distance (sq8_topk — the
+    pq_adc_topk shape at sub=dim, ks=256, midpoint reconstruction):
+    the candidate scan reads one-byte codes, never the vector column.
+    Exact integer grid distances; oracle-replayable."""
+    emb = _emb_parallel(spark, sf_dir)
+    stats = qz.sq8_train(emb, dim=_EMB_DIM)
+    codes = qz.sq8_encode(emb, stats, dim=_EMB_DIM)
+    queries, _ = _queries_vecs(spark, sf_dir)
+    return qz.sq8_topk(codes, stats, queries, k=_TOPK_K, dim=_EMB_DIM)
+
+
+def _sql_sq8_ctes() -> str:
+    """Shared CTE chain: per-(vector, dim) grid values -> per-dim
+    (vmin, step) codebook (ceil-div 255, floor 1) -> codes. Ends in
+    ``sqenc`` (vec_id, dim, code) and ``sqstats`` (dim, vmin, step)."""
+    d = _EMB_DIM
+    return f"""sqsrc AS (
+            SELECT vec_id, CAST(j.range AS INT) AS dim,
+                   CAST(round(CAST(
+                       embedding[CAST(j.range AS INT) + 1] AS DOUBLE)
+                       * {_SCALE}) AS BIGINT) AS v
+            FROM embeddings CROSS JOIN range({d}) j),
+        sqstats AS (
+            SELECT dim, MIN(v) AS vmin,
+                   GREATEST((MAX(v) - MIN(v) + 254) // 255, 1) AS step
+            FROM sqsrc GROUP BY dim),
+        sqenc AS (
+            SELECT s.vec_id, s.dim,
+                   CAST((s.v - t.vmin) // t.step AS INT) AS code
+            FROM sqsrc s JOIN sqstats t USING (dim))"""
+
+
+def _sql_sq8_codes() -> str:
+    return f"""WITH {_sql_sq8_ctes()}
+        SELECT vec_id, dim, code FROM sqenc"""
+
+
+def _sql_sq8_topk() -> str:
+    return f"""WITH {_sql_sq8_ctes()},
+        sqlutbase AS (
+            SELECT dim, CAST(c.range AS INT) AS code,
+                   vmin + CAST(c.range AS INT) * step + step // 2
+                       AS recon
+            FROM sqstats CROSS JOIN range(256) c),
+        sqq AS (SELECT vec_id AS qid, dim, v AS qv FROM sqsrc
+                WHERE vec_id < {_TOPK_NQ}),
+        sqlut AS (
+            SELECT q.qid, l.dim, l.code,
+                   (CAST(q.qv AS HUGEINT) - CAST(l.recon AS HUGEINT))
+                   * (CAST(q.qv AS HUGEINT) - CAST(l.recon AS HUGEINT))
+                       AS sd
+            FROM sqq q JOIN sqlutbase l USING (dim)),
+        sqdists AS (
+            -- BIGINT cast: the dim-term total is the full-vector
+            -- squared grid distance to the reconstruction, inside the
+            -- unit-norm ledger; Spark emits bigint — match.
+            SELECT l.qid, e.vec_id,
+                   CAST(SUM(l.sd) AS BIGINT) AS sq_dist
+            FROM sqenc e JOIN sqlut l
+                 ON l.dim = e.dim AND l.code = e.code
+            GROUP BY 1, 2)
+        SELECT qid, vec_id, sq_dist, rank FROM (
+            SELECT qid, vec_id, sq_dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY sq_dist, vec_id) AS rank
+            FROM sqdists)
+        WHERE rank <= {_TOPK_K}"""
+
+
 def _sql_pq_ctes() -> str:
     """Shared CTE chain: per-subspace sliced sources -> m exact Lloyd
     chains (the SAME _sql_kmeans_chain builder the full-space queries
@@ -4371,6 +4454,20 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         ("embeddings",),
         "PQ asymmetric-distance top-k: broadcast per-query LUT over "
         "codes — the scan never reads the vector column",
+    ),
+    "emb_sq8_codes": QueryDef(
+        q_emb_sq8_codes,
+        _sql_sq8_codes(),
+        ("embeddings",),
+        "SQ8 scalar quantization: per-dim 8-bit affine codes — the "
+        "high-fidelity 4x tier beside PQ's 64x",
+    ),
+    "emb_sq8_topk": QueryDef(
+        q_emb_sq8_topk,
+        _sql_sq8_topk(),
+        ("embeddings",),
+        "SQ8 asymmetric-distance top-k over one-byte codes (midpoint "
+        "reconstruction; never reads the vector column)",
     ),
     "emb_ivf_pq_topk": QueryDef(
         q_emb_ivf_pq_topk,

@@ -257,3 +257,61 @@ def test_ivf_pq_rerank_recovers_exact_cosine(spark, tmp_path):
     # that IS in the brute-force top-10 carries the identical score
     for pair, (cos, _r) in full.items():
         assert truth[pair][0] == cos
+
+
+def test_sq8_python_replay_and_topk(spark):
+    """SQ8 train/encode/distance replayed exactly in plain Python from
+    the same inputs (codebook = per-dim (min, ceil-step), codes =
+    floor-div, distance = midpoint-reconstruction squared L2 on the
+    grid), plus the rank contract and the 0..255 code bound."""
+    df = _corpus(spark, n=30)
+    stats = qz.sq8_train(df, dim=DIM)
+    codes = qz.sq8_encode(df, stats, dim=DIM)
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {
+        (r.qid, r.rank): (r.vec_id, r.sq_dist)
+        for r in qz.sq8_topk(codes, stats, queries, k=5, dim=DIM)
+        .collect()
+    }
+
+    # plain-Python replay — through float32 (the column type) and
+    # HALF_UP rounding (Spark's F.round), like the engine
+    import struct
+    from decimal import ROUND_HALF_UP, Decimal
+
+    S = 1_000_000_000
+
+    def grid(x: float) -> int:
+        f = struct.unpack("f", struct.pack("f", x))[0]
+        return int(Decimal(f * S).quantize(0, ROUND_HALF_UP))
+
+    vecs = {i: [grid(x) for x in _vec(i)] for i in range(30)}
+    vmin = [min(v[j] for v in vecs.values()) for j in range(DIM)]
+    vmax = [max(v[j] for v in vecs.values()) for j in range(DIM)]
+    step = [max((vmax[j] - vmin[j] + 254) // 255, 1) for j in range(DIM)]
+    code = {
+        i: [(v[j] - vmin[j]) // step[j] for j in range(DIM)]
+        for i, v in vecs.items()
+    }
+    assert all(0 <= c <= 255 for cs in code.values() for c in cs)
+    recon = {
+        i: [vmin[j] + cs[j] * step[j] + step[j] // 2
+            for j in range(DIM)]
+        for i, cs in code.items()
+    }
+    for q in range(3):
+        dists = sorted(
+            (sum((vecs[q][j] - recon[i][j]) ** 2 for j in range(DIM)), i)
+            for i in vecs
+        )
+        for rank, (dist, i) in enumerate(dists[:5], start=1):
+            assert got[(q, rank)] == (i, dist), (q, rank)
+
+    # encode parity with the replay (spot-check shape + values)
+    enc = {(r.vec_id, r.dim): r.code for r in codes.collect()}
+    assert len(enc) == 30 * DIM
+    for i in (0, 7, 29):
+        for j in range(DIM):
+            assert enc[(i, j)] == code[i][j]

@@ -97,6 +97,64 @@ def main() -> None:
             ),
         )
 
+    # quantization tiers (round 13): how much recall each compression
+    # level costs on top of the blocking. SQ8 (4x, per-dim bytes)
+    # should be near-lossless; flat PQ ADC (64x, m codes) pays real
+    # recall; IVF-PQ+rerank recovers it by exact-rescoring a candidate
+    # pool (candidates/n of vector bytes).
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+        quantization as qz,
+    )
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry_llm import (
+        _PQ_M, _PQ_KS, _PQ_ITERS, _EMB_DIM,
+    )
+
+    # control: EXACT squared-L2 top-k vs the cosine ground truth — the
+    # quantized tiers rank by L2-to-reconstruction, so any gap between
+    # this row and 1.000 is metric mismatch (vectors are not exactly
+    # unit-norm), not quantization loss; a quantizer matching this row
+    # is lossless for retrieval purposes. Diagnostic-tool-only local
+    # compute (2k x 64 floats).
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    qvecs = {r.qid: r.qvec for r in qs.collect()}
+    l2got = set()
+    for qid, qv in qvecs.items():
+        d = sorted(
+            (sum((a - b) ** 2 for a, b in zip(qv, v)), i)
+            for i, v in vecs.items()
+        )
+        l2got |= {(qid, i) for _, i in d[:_TOPK_K]}
+    print(f"| exact-L2 control | all | 1 (raw floats) | "
+          f"{len(l2got & truth) / len(truth):.3f} | - |")
+
+    stats = qz.sq8_train(emb, dim=_EMB_DIM)
+    sq_codes = qz.sq8_encode(emb, stats, dim=_EMB_DIM).persist()
+    measure(
+        "sq8 flat | all",
+        "1 (codes 4x smaller)",
+        lambda: qz.sq8_topk(sq_codes, stats, qs, k=_TOPK_K, dim=_EMB_DIM),
+    )
+    books = qz.pq_train(emb, m=_PQ_M, ks=_PQ_KS, iters=_PQ_ITERS,
+                        dim=_EMB_DIM)
+    pq_codes = qz.pq_encode(emb, books, m=_PQ_M, dim=_EMB_DIM).persist()
+    measure(
+        "pq flat adc | all",
+        "1 (codes 64x smaller)",
+        lambda: qz.pq_adc_topk(pq_codes, books, qs, k=_TOPK_K,
+                               m=_PQ_M, dim=_EMB_DIM),
+    )
+    pq_path = os.path.join(root, "ivfpq")
+    qz.ivf_pq_write(emb, cents, books, pq_path, m=_PQ_M, dim=_EMB_DIM)
+    for p, cand in ((2, 50), (4, 100)):
+        measure(
+            f"ivf-pq rerank | {p}",
+            f"{p}/{_KMEANS_K} cells, {cand} cand",
+            lambda p=p, cand=cand: qz.ivf_pq_rerank_topk(
+                spark, pq_path, books, qs, cents, emb, k=_TOPK_K,
+                probes=p, candidates=cand, m=_PQ_M, dim=_EMB_DIM,
+            ),
+        )
+
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
