@@ -155,6 +155,32 @@ def main() -> None:
             ),
         )
 
+    # PRODUCTION codebooks (m=8, ks=256 — 1 B/code, the Jégou et al.
+    # operating point the registry's tiny oracle-bounded m=4/ks=16
+    # stands in for): substantiates the claim that flat-ADC recall is
+    # a codebook-size artifact, not a PQ ceiling.
+    mp, ksp = 8, 256
+    books_p = qz.pq_train(emb, m=mp, ks=ksp, iters=_PQ_ITERS,
+                          dim=_EMB_DIM)
+    pq_codes_p = qz.pq_encode(emb, books_p, m=mp, dim=_EMB_DIM).persist()
+    measure(
+        f"pq flat adc (m={mp},ks={ksp}) | all",
+        "1 (codes 8x smaller)",
+        lambda: qz.pq_adc_topk(pq_codes_p, books_p, qs, k=_TOPK_K,
+                               m=mp, dim=_EMB_DIM),
+    )
+    pqp_path = os.path.join(root, "ivfpq_prod")
+    qz.ivf_pq_write(emb, cents, books_p, pqp_path, m=mp, dim=_EMB_DIM)
+    for p, cand in ((2, 50), (4, 100)):
+        measure(
+            f"ivf-pq rerank (m={mp},ks={ksp}) | {p}",
+            f"{p}/{_KMEANS_K} cells, {cand} cand",
+            lambda p=p, cand=cand: qz.ivf_pq_rerank_topk(
+                spark, pqp_path, books_p, qs, cents, emb, k=_TOPK_K,
+                probes=p, candidates=cand, m=mp, dim=_EMB_DIM,
+            ),
+        )
+
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
