@@ -3700,9 +3700,12 @@ def _sql_sq8_codes() -> str:
         SELECT vec_id, dim, code FROM sqenc"""
 
 
-def _sql_sq8_topk() -> str:
-    return f"""WITH {_sql_sq8_ctes()},
-        sqlutbase AS (
+def _sql_sq8_lut_ctes() -> str:
+    """Query-side CTEs shared by the flat and IVF-composed SQ8
+    oracles: ``sqlutbase`` (dim x 256 midpoint reconstructions),
+    ``sqq`` (query grid values), ``sqlut`` (per-(query, dim, code)
+    squared distance). Requires ``sqsrc``/``sqstats``."""
+    return f"""sqlutbase AS (
             SELECT dim, CAST(c.range AS INT) AS code,
                    vmin + CAST(c.range AS INT) * step + step // 2
                        AS recon
@@ -3714,7 +3717,12 @@ def _sql_sq8_topk() -> str:
                    (CAST(q.qv AS HUGEINT) - CAST(l.recon AS HUGEINT))
                    * (CAST(q.qv AS HUGEINT) - CAST(l.recon AS HUGEINT))
                        AS sd
-            FROM sqq q JOIN sqlutbase l USING (dim)),
+            FROM sqq q JOIN sqlutbase l USING (dim))"""
+
+
+def _sql_sq8_topk() -> str:
+    return f"""WITH {_sql_sq8_ctes()},
+        {_sql_sq8_lut_ctes()},
         sqdists AS (
             -- BIGINT cast: the dim-term total is the full-vector
             -- squared grid distance to the reconstruction, inside the
@@ -3938,6 +3946,82 @@ def _sql_ivf_pq_topk() -> str:
                        PARTITION BY qid
                        ORDER BY adc_dist, vec_id) AS rank
             FROM pqdists)
+        WHERE rank <= {_TOPK_K}"""
+
+
+def _ivf_sq8_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame, DataFrame]:
+    """Path of the materialized IVF-SQ8 index (SQ8 codes partitioned
+    by k-means cell, no vector column at rest) plus the centroid and
+    per-dim stats frames. Centroids reuse _ivf_kmeans_index_for's
+    training; the dim-row stats codebook is deterministic (two
+    aggregates) and cheap enough to rebuild per process — identical
+    every time by construction, so it always matches the at-rest
+    codes."""
+    _path0, cents = _ivf_kmeans_index_for(spark, sf_dir)
+    emb = _emb_parallel(spark, sf_dir)
+    stats = qz.sq8_train(emb, dim=_EMB_DIM)
+    key = f"{sf_dir}:ivfsq8:{_KMEANS_K}:{_KMEANS_ITERS}"
+    path = _IVF_INDEX_PATHS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = _ivf_index_dir(key)
+        qz.ivf_sq8_write(emb, cents, stats, path, dim=_EMB_DIM)
+        _IVF_INDEX_PATHS[key] = path
+    return path, cents, stats
+
+
+def q_emb_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8: the cell-pruned composition at the high-fidelity
+    quantization tier (operators/quantization.py: ivf_sq8_topk) —
+    k-means probe selection through a DPP-pruned scan of the at-rest
+    SQ8 code index, midpoint-reconstruction asymmetric distance within
+    the probed cells. The measured best-of-both config on this
+    embedding family: SQ8's 0.963 flat recall with IVF's probes/k scan
+    cut (SCALE_MEASURED.json ann_recall_quantized). Integer-exact end
+    to end; the oracle replays training, assignment, probing, the
+    affine codebook, encoding, and the distance sums."""
+    path, cents, stats = _ivf_sq8_index_for(spark, sf_dir)
+    queries, _ = _queries_vecs(spark, sf_dir)
+    return qz.ivf_sq8_topk(
+        spark, path, stats, queries, cents,
+        k=_TOPK_K, probes=_KMEANS_PROBES, dim=_EMB_DIM,
+    )
+
+
+def _sql_ivf_sq8_topk() -> str:
+    n1 = _KMEANS_ITERS + 1
+    return f"""WITH {_sql_kmeans_chain(n1)},
+        {_sql_sq8_ctes()},
+        {_sql_sq8_lut_ctes()},
+        ivfqd AS (
+            SELECT q.vec_id AS qid, s.cid,
+                   list_sum(list_transform(list_zip(q.svec, s.c_svec),
+                       p -> (CAST(p[1] AS HUGEINT) - CAST(p[2] AS HUGEINT))
+                            * (CAST(p[1] AS HUGEINT)
+                               - CAST(p[2] AS HUGEINT)))) AS dist
+            FROM c q CROSS JOIN cents{_KMEANS_ITERS} s
+            WHERE q.vec_id < {_TOPK_NQ}),
+        probe AS (
+            SELECT qid, cid FROM ivfqd
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY dist, cid)
+                <= {_KMEANS_PROBES}),
+        cand AS (
+            SELECT p.qid, a.vec_id
+            FROM probe p JOIN asg{n1} a ON a.cid = p.cid),
+        sq8dists AS (
+            SELECT cd.qid, e.vec_id,
+                   CAST(SUM(l.sd) AS BIGINT) AS sq_dist
+            FROM cand cd
+            JOIN sqenc e ON e.vec_id = cd.vec_id
+            JOIN sqlut l ON l.qid = cd.qid AND l.dim = e.dim
+                        AND l.code = e.code
+            GROUP BY 1, 2)
+        SELECT qid, vec_id, sq_dist, rank FROM (
+            SELECT qid, vec_id, sq_dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid
+                       ORDER BY sq_dist, vec_id) AS rank
+            FROM sq8dists)
         WHERE rank <= {_TOPK_K}"""
 
 
@@ -4468,6 +4552,13 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         ("embeddings",),
         "SQ8 asymmetric-distance top-k over one-byte codes (midpoint "
         "reconstruction; never reads the vector column)",
+    ),
+    "emb_ivf_sq8_topk": QueryDef(
+        q_emb_ivf_sq8_topk,
+        _sql_ivf_sq8_topk(),
+        ("embeddings",),
+        "IVF-SQ8: cell-pruned (DPP) scan of the at-rest SQ8 code "
+        "index + asymmetric distance within probed cells",
     ),
     "emb_ivf_pq_topk": QueryDef(
         q_emb_ivf_pq_topk,

@@ -315,3 +315,63 @@ def test_sq8_python_replay_and_topk(spark):
     for i in (0, 7, 29):
         for j in range(DIM):
             assert enc[(i, j)] == code[i][j]
+
+
+def test_ivf_sq8_probes_all_equals_flat_and_prunes(spark, tmp_path):
+    """IVF-SQ8 vs flat SQ8: probing EVERY cell must reproduce sq8_topk
+    exactly; the at-rest index stores codes only; the probe join
+    partition-prunes the code-index scan."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+        similarity as sim,
+    )
+
+    df = _corpus(spark, n=40)
+    qs = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    k_cells = 3
+    cents = sim.kmeans_train_centroids(df, k=k_cells, iters=2, dim=DIM)
+    stats = qz.sq8_train(df, dim=DIM)
+    path = str(tmp_path / "ivf_sq8")
+    qz.ivf_sq8_write(df, cents, stats, path, dim=DIM)
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"vec_id", "dim", "code", "cluster_id"}
+
+    codes = qz.sq8_encode(df, stats, dim=DIM)
+    flat = {
+        (r.qid, r.vec_id): (int(r.sq_dist), r.rank)
+        for r in qz.sq8_topk(codes, stats, qs, k=10, dim=DIM).collect()
+    }
+    full = {
+        (r.qid, r.vec_id): (int(r.sq_dist), r.rank)
+        for r in qz.ivf_sq8_topk(
+            spark, path, stats, qs, cents, k=10, probes=k_cells, dim=DIM
+        ).collect()
+    }
+    assert full == flat
+
+    # fewer probes shrink the candidate pool: every returned distance
+    # is still the exact flat-SQ8 distance for that pair (pruning
+    # changes WHICH pairs rank, never a surviving value)
+    all_flat = {
+        (r.qid, r.vec_id): int(r.sq_dist)
+        for r in qz.sq8_topk(codes, stats, qs, k=40, dim=DIM).collect()
+    }
+    got1 = {
+        (r.qid, r.vec_id): int(r.sq_dist)
+        for r in qz.ivf_sq8_topk(
+            spark, path, stats, qs, cents, k=10, probes=1, dim=DIM
+        ).collect()
+    }
+    for pair, dist in got1.items():
+        assert all_flat[pair] == dist, pair
+
+    plan = (
+        qz.ivf_sq8_topk(
+            spark, path, stats, qs, cents, k=10, probes=2, dim=DIM
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
