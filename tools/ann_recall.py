@@ -155,6 +155,18 @@ def main() -> None:
             ),
         )
 
+    sq8_path = os.path.join(root, "ivfsq8")
+    qz.ivf_sq8_write(emb, cents, stats, sq8_path, dim=_EMB_DIM)
+    for p in (1, 2, 4):
+        measure(
+            f"ivf-sq8 | {p}",
+            f"{p}/{_KMEANS_K} cells (codes 4x smaller)",
+            lambda p=p: qz.ivf_sq8_topk(
+                spark, sq8_path, stats, qs, cents, k=_TOPK_K,
+                probes=p, dim=_EMB_DIM,
+            ),
+        )
+
     # PRODUCTION codebooks (m=8, ks=256 — 1 B/code, the Jégou et al.
     # operating point the registry's tiny oracle-bounded m=4/ks=16
     # stands in for): substantiates the claim that flat-ADC recall is
