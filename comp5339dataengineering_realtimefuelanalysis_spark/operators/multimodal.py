@@ -96,9 +96,10 @@ def available_codecs() -> dict[str, str | None]:
     """Which real codec this environment provides, per media kind —
     the codec NAME (truthy) or None. Preference order: the full
     library (PIL / ffprobe) if present, else the vendored stdlib
-    fallback ("stdlib-png": PNG only; "stdlib-wav": WAV only;
-    "stdlib-mp4": ISO BMFF header metadata only — duration +
-    dimensions, no frame pixels). Driver-side detection — the result
+    fallback ("stdlib-image": full PNG decode + JPEG header
+    dimensions; "stdlib-wav": WAV only; "stdlib-mp4": ISO BMFF
+    header metadata only — duration + dimensions, no frame pixels).
+    Driver-side detection — the result
     is closure-captured into the decode UDF so every executor makes
     the same choice. Assumes the executor Python matches the driver's
     (see module docstring caveat on skewed environments)."""
@@ -110,7 +111,7 @@ def available_codecs() -> dict[str, str | None]:
         pil = False
     ff = shutil.which("ffprobe") is not None
     return {
-        "image": "pil" if pil else "stdlib-png",
+        "image": "pil" if pil else "stdlib-image",
         "audio": "ffprobe" if ff else "stdlib-wav",
         "video": "ffprobe" if ff else "stdlib-mp4",
     }
@@ -265,6 +266,70 @@ def _stdlib_decode_png(content: bytes) -> dict:
     }
 
 
+def _stdlib_decode_jpeg(content: bytes) -> dict:
+    """Vendored stdlib JPEG header parse: true dimensions from the
+    first SOF marker (SOF0 baseline, SOF2 progressive, and the other
+    frame markers), the same header-only posture as the MP4 box
+    walker — real metadata with zero dependencies, no pixel decode,
+    so ``feature`` stays None (install PIL for pixels). Marker walk
+    per ITU T.81: length-prefixed segments, standalone RST/TEM
+    markers skipped, fill bytes tolerated; a stream with no SOF
+    before SOS (or a non-JPEG payload) raises -> decode_err
+    quarantine."""
+    import struct
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG byte stream (no SOI)")
+    # SOF markers: C0-CF minus C4 (DHT), C8 (JPG extension), CC (DAC)
+    sof = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+    pos = 2
+    while pos + 2 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker sync at byte {pos}")
+        marker = content[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        if pos + 4 > len(content):
+            break
+        (length,) = struct.unpack_from(">H", content, pos + 2)
+        if length < 2 or pos + 2 + length > len(content):
+            raise ValueError("truncated JPEG segment")
+        if marker in sof:
+            if length < 7:
+                raise ValueError("truncated SOF segment")
+            h, w = struct.unpack_from(">HH", content, pos + 5)
+            return {
+                "width": w,
+                "height": h,
+                "duration_ms": None,
+                "feature": None,
+            }
+        if marker == 0xDA:  # SOS: entropy-coded data, SOF must precede
+            break
+        pos += 2 + length
+    raise ValueError("no SOF frame header found")
+
+
+def _stdlib_decode_image(content: bytes) -> dict:
+    """PIL-less image dispatch: full PNG decode (dimensions + 16-dim
+    feature) or JPEG header parse (dimensions only); anything else
+    raises -> decode_err quarantine."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _stdlib_decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        return _stdlib_decode_jpeg(content)
+    raise ValueError(
+        "unsupported image format (stdlib codec reads PNG and JPEG "
+        "headers); install PIL for full coverage"
+    )
+
+
 def _stdlib_decode_wav(content: bytes) -> dict:
     """Vendored stdlib audio decode: the ``wave`` module reads RIFF/WAV
     headers — true duration from nframes/framerate. Same output shape
@@ -348,7 +413,7 @@ def _stdlib_decode_mp4(content: bytes) -> dict:
 _REAL_DECODERS = {
     "pil": _real_decode_image,
     "ffprobe": _real_decode_av,
-    "stdlib-png": _stdlib_decode_png,
+    "stdlib-image": _stdlib_decode_image,
     "stdlib-wav": _stdlib_decode_wav,
     "stdlib-mp4": _stdlib_decode_mp4,
 }
@@ -369,12 +434,12 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
     NotImplementedError naming what is missing), ``"auto"`` (real where a
     codec was detected, fake elsewhere — never fails at plan time on a
     missing codec). Note the vendored stdlib codecs mean EVERY kind is
-    always "detected" (PNG-only / WAV-only / MP4-header-only decoders
-    when PIL / ffprobe are absent), so under ``auto`` a payload in a
-    format the stdlib codec can't read (e.g. JPEG without PIL, MP3 or
-    AVI without ffprobe) is quarantined via ``decode_err`` rather than
-    stub-decoded; the fake stub only runs when explicitly requested
-    via mode="fake".
+    always "detected" (PNG+JPEG-header / WAV-only / MP4-header-only
+    decoders when PIL / ffprobe are absent), so under ``auto`` a
+    payload in a format the stdlib codec can't read (e.g. GIF or WebP
+    without PIL, MP3 or AVI without ffprobe) is quarantined via
+    ``decode_err`` rather than stub-decoded; the fake stub only runs
+    when explicitly requested via mode="fake".
     """
     if mode not in ("fake", "real", "auto"):
         raise ValueError(f"unknown decode mode: {mode!r}")

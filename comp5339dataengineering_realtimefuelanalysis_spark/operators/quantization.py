@@ -450,7 +450,17 @@ def sq8_encode(
     at-rest layout and the join shape sq8_topk consumes), code =
     (v - vmin) div step in 0..255 by the ceil-step construction.
     Scale: n*dim narrow rows through one broadcast dim-row join —
-    map-only, no shuffle."""
+    map-only, no shuffle.
+
+    Values OUTSIDE the trained per-dim [vmin, vmax] range (encoding a
+    batch the codebook wasn't trained on) SATURATE to code 0 / 255 —
+    the FAISS SQ8 posture. Without the clamp an out-of-range code
+    would silently vanish from sq8_topk's distance sum (its LUT inner
+    join covers 0..255 only), understating sq_dist and corrupting
+    ranks; saturation keeps every dim in the sum with the boundary
+    reconstruction as its (distribution-shift-bounded) stand-in. The
+    codebook is only VALID for the training distribution — retrain on
+    drift, don't rely on saturation fidelity."""
     ex = corpus.select(
         F.col(id_col),
         F.posexplode(
@@ -460,7 +470,10 @@ def sq8_encode(
     return ex.join(F.broadcast(stats), "dim").select(
         id_col,
         "dim",
-        F.expr("(v - vmin) div step").cast("int").alias("code"),
+        F.least(
+            F.greatest(F.expr("(v - vmin) div step"), F.lit(0)),
+            F.lit(255),
+        ).cast("int").alias("code"),
     )
 
 

@@ -796,12 +796,15 @@ def gopher_rules(
     # newline", which is exactly what \s meant inside a split("\n")
     # segment, so the counts (and hence the booleans) are bit-identical
     # to the per-line form — asserted by
-    # test_gopher_line_rules_match_hof_form.
+    # test_gopher_line_rules_match_hof_form. (?d) (UNIX_LINES) pins
+    # "line" to \n-delimited: plain (?m) would also let ^/$ fire at
+    # bare \r, U+0085, U+2028, U+2029 — terminators the split("\n")
+    # form and the chr(10)-splitting DuckDB oracle never recognize.
     bullet_lines = F.regexp_count(
-        t, F.lit(r"(?m)^[^\S\n]*[-*•]")
+        t, F.lit(r"(?dm)^[^\S\n]*[-*•]")
     )
     ellipsis_lines = F.regexp_count(
-        t, F.lit(r"(?m)(\.\.\.|…)[^\S\n]*$")
+        t, F.lit(r"(?dm)(\.\.\.|…)[^\S\n]*$")
     )
     symbols = (
         F.length(t) - F.length(F.regexp_replace(t, "#", ""))

@@ -1630,7 +1630,11 @@ def _semantic_drop_ids(
 
 
 def q_corpus_curation_pipeline(
-    spark: SparkSession, sf_dir: str, stage_cb=None, sem_mode: str = "auto"
+    spark: SparkSession,
+    sf_dir: str,
+    stage_cb=None,
+    sem_mode: str = "auto",
+    barrier: str = "local",
 ) -> DataFrame:
     """The END-TO-END curation pipeline, every stage sequentially composed
     (each operates on the previous stage's survivors, not independent
@@ -1664,9 +1668,28 @@ def q_corpus_curation_pipeline(
     (O(n^(4/3)) — the measured scale path), ``"auto"`` (default) =
     pick by the stage's survivor count vs _SEM_MODE_CROSSOVER. The
     oracle replays all three (auto as count-guarded branches).
+
+    ``barrier`` selects stage 2b's lineage barrier. ``"local"``
+    (default) = eager ``localCheckpoint``: right on a single-node
+    session (this bench, a notebook) — blocks live on executor-local
+    disk, zero write amplification, and the barrier's whole purpose
+    (truncating the exponentially re-analyzed logical tree, measured
+    46.6 -> 228 s without it) is plan-side. ``"durable"`` = write the
+    survivor frame to parquet under the managed temp root and re-read:
+    the CLUSTER posture — localCheckpoint blocks have no lineage to
+    recompute, so one lost executor mid-pipeline fails the query,
+    while the write-read form (pointed at the job's at-rest store in
+    production) survives executor loss AND provides the identical
+    plan barrier. Output is bit-identical either way (parquet
+    round-trips every column type here exactly); both paths are
+    asserted equal in tests and both are scale-measured in SCALE.md.
     """
     if sem_mode not in ("auto", "1l", "2l"):
         raise ValueError(f"sem_mode must be auto|1l|2l, got {sem_mode!r}")
+    if barrier not in ("local", "durable"):
+        raise ValueError(
+            f"barrier must be local|durable, got {barrier!r}"
+        )
     if stage_cb is None:
         stage_cb = lambda _name, thunk: thunk()  # noqa: E731
     docs = _docs_parallel(spark, sf_dir)
@@ -1751,18 +1774,26 @@ def q_corpus_curation_pipeline(
             .filter(F.col("ppl_bucket").isin("head", "middle"))
             .select("doc_id")
         )
-        # localCheckpoint (NOT persist): this stage's logical tree is
-        # the pipeline's largest (the two semi joins duplicate scrub's
-        # subtree and graft on the gopher agg + the whole LM chain),
-        # and EVERY downstream stage embeds it — persist caches the
-        # data but Catalyst re-analyzes the exponential tree per
-        # action (the connected_components pathology, measured here
-        # as 46.6 -> 228 s pipeline total before the barrier).
-        # Checkpointing truncates the lineage to the materialized
-        # blocks; eager because eleven downstream stages consume it.
-        return scrub.join(g, "doc_id", "semi").join(
-            p, "doc_id", "semi"
-        ).localCheckpoint(eager=True)
+        # a HARD plan barrier (NOT persist): this stage's logical tree
+        # is the pipeline's largest (the two semi joins duplicate
+        # scrub's subtree and graft on the gopher agg + the whole LM
+        # chain), and EVERY downstream stage embeds it — persist
+        # caches the data but Catalyst re-analyzes the exponential
+        # tree per action (the connected_components pathology,
+        # measured here as 46.6 -> 228 s pipeline total before the
+        # barrier). Two forms (see the ``barrier`` docstring): eager
+        # localCheckpoint for a single-node session, write-read
+        # through the at-rest store for the cluster posture.
+        surv = scrub.join(g, "doc_id", "semi").join(p, "doc_id", "semi")
+        if barrier == "local":
+            return surv.localCheckpoint(eager=True)
+        global _BARRIER_SEQ
+        _BARRIER_SEQ += 1
+        path = _ivf_index_dir(
+            f"pipeline_qscreen_barrier_{_BARRIER_SEQ}"
+        )
+        surv.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     qual = stage_cb("2b_quality_screen", _qscreen)
     # Gopher-style repetition gate over the quality-screen survivors:
@@ -2731,6 +2762,9 @@ def _sql_kmeans_step() -> str:
 # probe cost only; the one-time build lands in the discarded first pass.
 _IVF_INDEX_PATHS: dict[str, str] = {}
 _IVF_ROOT: str | None = None
+# fresh path per durable stage-2b barrier write (a barrier, not a
+# cache — reruns must pay the stage, unlike the keyed index caches)
+_BARRIER_SEQ = 0
 
 
 def _ivf_index_dir(key: str) -> str:
@@ -3691,7 +3725,8 @@ def _sql_sq8_ctes() -> str:
             FROM sqsrc GROUP BY dim),
         sqenc AS (
             SELECT s.vec_id, s.dim,
-                   CAST((s.v - t.vmin) // t.step AS INT) AS code
+                   CAST(LEAST(GREATEST((s.v - t.vmin) // t.step, 0),
+                              255) AS INT) AS code
             FROM sqsrc s JOIN sqstats t USING (dim))"""
 
 

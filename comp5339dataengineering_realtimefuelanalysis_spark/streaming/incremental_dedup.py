@@ -1357,16 +1357,28 @@ class StreamingIncrementalDedup:
             pbad = scored.filter(
                 ~F.col("ppl_bucket").isin(*self.ppl_keep)
             )
+            # STATIC overwrite of THIS epoch's partition directory, not
+            # dynamic partition overwrite: the ppl gate's reject set is
+            # the one gate output that can legitimately CHANGE on epoch
+            # replay (the LM cost table may have been deliberately
+            # retrained in between), including changing to EMPTY — and
+            # dynamic mode only replaces partitions present in the
+            # written data, so an empty replay would leave the prior
+            # run's stale reject rows contradicting the new admission
+            # set. Writing the partition path directly replaces the
+            # directory even for zero rows; the ingest_epoch column
+            # comes back via partition discovery on read, same schema
+            # as before.
             (
                 pbad.withColumn(
                     "reason",
                     F.concat(F.lit("ppl_"), F.col("ppl_bucket")),
                 )
-                .withColumn("ingest_epoch", F.lit(int(epoch_id)))
                 .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_epoch")
-                .parquet(self.ppl_rejects_path)
+                .parquet(
+                    f"{self.ppl_rejects_path}/"
+                    f"ingest_epoch={int(epoch_id)}"
+                )
             )
             batch = batch.join(
                 F.broadcast(pbad.select(self.id_col)),

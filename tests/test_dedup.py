@@ -347,3 +347,39 @@ def test_jaccard_verify_sets_join_never_broadcasts(spark):
         "BroadcastHashJoin [id_a" in uplan
         or "BroadcastHashJoin [id_b" in uplan
     ), uplan
+
+
+def test_jaccard_verify_length_bound_identical_and_sound(spark):
+    """The size-only pre-filter (J <= min/max, so min/max < t is
+    provably below threshold) must leave the verified pair set
+    BIT-IDENTICAL — including the case the bound cannot decide:
+    equal-size sets with small overlap (bound passes at 1.0, the
+    exact Jaccard still rejects), and the case it prunes: a short
+    doc banded together with a long one (min/max < t kills the pair
+    before any shingle array moves)."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog every day"),
+        (2, "the quick brown fox jumps over the lazy dog every night"),
+        # same length as 3-gram source but disjoint words vs 1/2
+        (3, "completely different subject matter entirely other words"),
+        (4, "tiny doc"),  # much shorter: any pair with 1/2 fails bound
+    ]
+    d = docs(spark, rows)
+    # force ALL pairs as candidates so the bound (not LSH) decides
+    ids = [r[0] for r in rows]
+    cands = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long"
+    )
+    on = dd.jaccard_verify_pairs(d, cands, threshold=0.5)
+    off = dd.jaccard_verify_pairs(
+        d, cands, threshold=0.5, length_bound=False
+    )
+    got_on = {(r.id_a, r.id_b): r.jaccard for r in on.collect()}
+    got_off = {(r.id_a, r.id_b): r.jaccard for r in off.collect()}
+    assert got_on == got_off
+    assert (1, 2) in got_on          # true near-dup survives
+    assert (1, 3) not in got_on      # bound passes, exact Jaccard rejects
+    assert (1, 4) not in got_on      # bound prunes (size ratio << 0.5)
+    # the pruned path really is size-only: its first joins carry __sz
+    plan = on._jdf.queryExecution().executedPlan().toString()
+    assert "__sz_a" in plan and "__sz_b" in plan, plan

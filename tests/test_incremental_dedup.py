@@ -1139,3 +1139,16 @@ def test_streaming_ppl_gate(spark, tmp_path):
     d3.ppl_model_path = d.ppl_model_path
     with pytest.raises(RuntimeError, match="mismatch"):
         d3._curation_gates(epoch, epoch_id=1)
+
+    # a replay whose gate now rejects NOTHING (the deliberate
+    # retrain/reconfigure case the retrain contract contemplates)
+    # must CLEAR epoch 0's stale reject rows, not leave them
+    # contradicting the new admission set — static epoch-partition
+    # overwrite; dynamic partition overwrite would no-op on an empty
+    # frame and keep doc 2's stale row
+    d4 = mk(ppl_keep=("head", "middle", "tail"))
+    d4._sink(epoch, epoch_id=0)
+    assert _silver_ids(spark, d4) == {1, 2}
+    rej3 = spark.read.parquet(str(tmp_path / "prejects"))
+    assert rej3.filter("ingest_epoch = 0").count() == 0
+    assert rej3.count() == 0

@@ -336,3 +336,52 @@ def test_decode_auto_real_video_mp4_headers(spark):
     assert (out[2].width, out[2].height) == (1280, 720)
     assert out[2].duration_ms == 90000
     assert out[3].decode_err is not None and out[3].width is None
+
+
+def _jpeg_bytes(w: int, h: int, progressive: bool = False) -> bytes:
+    """Minimal spec-valid JPEG header stream: SOI, APP0/JFIF, a DQT,
+    SOF0 (or SOF2), then EOI — enough structure that a header parser
+    must actually walk length-prefixed segments to find the frame."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    dqt = bytes([0]) + bytes(64)
+    comps = b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    sof = struct.pack(">BHHB", 8, h, w, 3) + comps
+    marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+        + b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+        + marker + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"
+    )
+
+
+def test_decode_auto_real_image_jpeg_headers(spark):
+    """The stdlib image path reads JPEG dimensions from the SOF frame
+    header (baseline SOF0 and progressive SOF2) — the same header-only
+    posture as the MP4 walker, so feature stays None — while PNG in
+    the SAME column still full-decodes, and a truncated JPEG (no SOF
+    before EOI) quarantines via decode_err."""
+    if mm.available_codecs()["image"] != "stdlib-image":
+        import pytest
+
+        pytest.skip("PIL present; stdlib path not selected")
+    df = spark.createDataFrame(
+        [
+            (1, "image", _jpeg_bytes(800, 600), {}),
+            (2, "image", _jpeg_bytes(321, 123, progressive=True), {}),
+            (3, "image", _png_bytes(5, 3), {}),
+            (4, "image", b"\xff\xd8\xff\xd9", {}),  # SOI+EOI, no SOF
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.decode_media(df, mode="auto").collect()}
+    assert (out[1].width, out[1].height) == (800, 600)
+    assert out[1].feature is None and out[1].decode_err is None
+    assert out[1].duration_ms is None
+    assert (out[2].width, out[2].height) == (321, 123)
+    assert (out[3].width, out[3].height) == (5, 3)
+    assert out[3].feature is not None  # PNG keeps the pixel feature
+    assert out[4].decode_err is not None and out[4].width is None

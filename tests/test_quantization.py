@@ -317,6 +317,40 @@ def test_sq8_python_replay_and_topk(spark):
             assert enc[(i, j)] == code[i][j]
 
 
+def test_sq8_encode_out_of_range_saturates(spark):
+    """Encoding vectors OUTSIDE the trained per-dim range saturates to
+    code 0 / 255 (the FAISS SQ8 posture) instead of emitting codes the
+    0..255 distance LUT silently drops: every dim keeps contributing
+    to sq8_topk's sum, so an off-distribution vector still gets a
+    full-rank (if shift-degraded) distance."""
+    df = _corpus(spark, n=30)
+    stats = qz.sq8_train(df, dim=DIM)
+    far = spark.createDataFrame(
+        [
+            (100, [10.0] * DIM),    # above every trained vmax
+            (101, [-10.0] * DIM),   # below every trained vmin
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    codes = qz.sq8_encode(far, stats, dim=DIM)
+    got = {(r.vec_id, r.dim): r.code for r in codes.collect()}
+    assert len(got) == 2 * DIM
+    assert all(got[(100, j)] == 255 for j in range(DIM))
+    assert all(got[(101, j)] == 0 for j in range(DIM))
+    # the saturated codes join the full LUT: all DIM terms present in
+    # the distance sum, both far vectors ranked for every query
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    all_codes = qz.sq8_encode(df, stats, dim=DIM).union(codes)
+    top = qz.sq8_topk(all_codes, stats, q, k=32, dim=DIM)
+    by_q: dict[int, set[int]] = {}
+    for r in top.collect():
+        by_q.setdefault(r.qid, set()).add(r.vec_id)
+    for qid in (0, 1):
+        assert {100, 101} <= by_q[qid]
+
+
 def test_ivf_sq8_probes_all_equals_flat_and_prunes(spark, tmp_path):
     """IVF-SQ8 vs flat SQ8: probing EVERY cell must reproduce sq8_topk
     exactly; the at-rest index stores codes only; the probe join

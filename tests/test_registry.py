@@ -88,6 +88,32 @@ def test_curation_pipeline_sem_mode_auto_switches(spark, monkeypatch):
     assert run(sem_mode="auto") == run(sem_mode="2l")
 
 
+def test_curation_pipeline_durable_barrier_identical(spark):
+    """barrier='durable' (stage 2b's survivors written to the at-rest
+    store and re-read — the cluster posture: localCheckpoint blocks
+    die with an executor and cannot be recomputed) must reproduce the
+    default localCheckpoint pipeline bit-exactly, and its physical
+    plan must actually read stage 2b from a parquet scan."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans import (
+        registry_llm as rl,
+    )
+
+    local = rl.q_corpus_curation_pipeline(spark, SF_SMOKE)
+    durable = rl.q_corpus_curation_pipeline(
+        spark, SF_SMOKE, barrier="durable"
+    )
+    got_l = sorted(map(tuple, local.collect()))
+    got_d = sorted(map(tuple, durable.collect()))
+    assert got_l == got_d and got_l
+    plan = durable._jdf.queryExecution().executedPlan().toString()
+    assert "pipeline_qscreen_barrier" in plan, plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="barrier"):
+        rl.q_corpus_curation_pipeline(spark, SF_SMOKE, barrier="bogus")
+
+
 def test_every_query_runs_at_smoke_sf(spark):
     for name, qd in REGISTRY.items():
         df = qd.fn(spark, SF_SMOKE)

@@ -827,7 +827,10 @@ def test_gopher_line_rules_match_hof_form(spark):
     bullet-started / ellipsis-ended lines), on adversarial strings:
     whitespace-only lines before a bullet, multiline-spanning
     whitespace, CRLF endings, Unicode ellipsis, multiple ellipses on
-    one line, empty/null text."""
+    one line, empty/null text — and the non-\n Java line terminators
+    (bare \r, U+0085, U+2028, U+2029) that plain (?m) would treat as
+    line breaks but split('\n') / the chr(10) oracle never do; (?d)
+    (UNIX_LINES) in the production pattern pins those four cases."""
     rows = [
         (1, "- a\n- b\nplain"),
         (2, "  \n- after blank-ish line"),        # ws-only line, then bullet
@@ -841,6 +844,11 @@ def test_gopher_line_rules_match_hof_form(spark):
         (10, None),
         (11, "•bullet\n  •indented\n\t*tabbed"),
         (12, "only\nplain\nlines"),
+        (13, "x\r- bare CR is not a line break"),  # (?m) alone: false ^
+        (14, "a \u2028- after LS \u2029* after PS"),  # LS/PS mid-line
+        (15, "dots...\rmore\ndots...\u2028more2\nreal... tail"),
+        (16, "nel\u0085- after NEL\nnel end...\u0085x"),  # NEL
+        (17, "ls end...\u2028 \nps end\u2026\u2029 \n"),  # term + real \n
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     t = F.coalesce(F.col("text"), F.lit(""))
@@ -854,9 +862,9 @@ def test_gopher_line_rules_match_hof_form(spark):
     )
     new = df.select(
         "doc_id",
-        F.regexp_count(t, F.lit(r"(?m)^[^\S\n]*[-*•]"))
+        F.regexp_count(t, F.lit(r"(?dm)^[^\S\n]*[-*•]"))
             .alias("bullets"),
-        F.regexp_count(t, F.lit(r"(?m)(\.\.\.|…)[^\S\n]*$"))
+        F.regexp_count(t, F.lit(r"(?dm)(\.\.\.|…)[^\S\n]*$"))
             .alias("ellipses"),
     )
     got_hof = {r.doc_id: (r.bullets, r.ellipses) for r in hof.collect()}
