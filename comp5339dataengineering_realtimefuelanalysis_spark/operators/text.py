@@ -253,6 +253,102 @@ def vocab_top(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    salts: int = 32,
+) -> DataFrame:
+    """Top-k documents per query by BM25 (Robertson/Okapi, the standard
+    lexical retrieval baseline a curation pipeline needs beside the
+    embedding ANN tier — e.g. for eval-set leakage probes phrased as
+    keyword queries).
+
+        score(q, d) = sum over distinct terms t of q:
+            ln((N + 1) / (df_t + 0.5))                  [idf]
+            * tf * (k1 + 1)
+              / (tf + k1 * (1 - b + b * dl/avgdl))       [saturation]
+
+    Determinism contract (the oracle hash compares exact values): every
+    per-term score is computed in ONE IEEE-double expression with a
+    FIXED operation order (mirrored token-for-token in the oracle SQL),
+    then floored to integer micro-score units; the per-query SUM runs
+    over int64 micro-scores, so float addition order — the one
+    nondeterministic ingredient of a distributed sum — never touches
+    the result. dl/avgdl is evaluated as the exact integer ratio
+    (dl * N) / S (S = total corpus tokens) so no intermediate average
+    materializes. ln() is shared with the CCNet LM stack's posture
+    (selection.py): identical doubles in, identical doubles out on
+    both engines.
+
+    Scale shape: one (doc, term) tf shuffle (map-side combined), one
+    term-df shuffle, the query side is a BROADCAST of exploded query
+    terms (queries are few by contract), and the top-k is TWO-PHASE:
+    a per-(query, salt) local top-k over ``salts`` deterministic
+    buckets, then the global window over only ``salts * k`` survivors
+    — a single window partitioned by qid alone would funnel the whole
+    corpus' scored rows through #queries tasks at 100 TB. Ties broken
+    by id ascending; identical output to the naive single window.
+    """
+    tf = tokens(df, text_col, id_col).groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).alias("n_tf")
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("n_tf").alias("dl"))
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n_df"))
+    scalars = F.broadcast(
+        df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+            tokens(df, text_col, id_col).agg(
+                F.count(F.lit(1)).alias("s_toks")
+            )
+        )
+    )
+    qt = F.broadcast(
+        tokens(queries, qtext_col, qid_col).distinct()
+    )
+    idf = F.log(
+        (F.col("n_docs").cast("double") + F.lit(1.0))
+        / (F.col("n_df").cast("double") + F.lit(0.5))
+    )
+    denom = F.col("n_tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b)
+        * (
+            (F.col("dl") * F.col("n_docs")).cast("double")
+            / F.col("s_toks").cast("double")
+        )
+    )
+    tfc = (F.col("n_tf").cast("double") * F.lit(k1 + 1.0)) / denom
+    micro = F.floor(idf * tfc * F.lit(1e6)).cast("long")
+    scored = (
+        tf.join(qt, "tok")
+        .join(dl, id_col)
+        .join(F.broadcast(dfc.join(qt, "tok").select("tok", "n_df")
+                          .distinct()), "tok")
+        .crossJoin(scalars)
+        .groupBy(qid_col, id_col)
+        .agg(F.sum(micro).alias("score_micro"))
+    )
+    local_w = Window.partitionBy(
+        qid_col, F.pmod(F.xxhash64(id_col), F.lit(salts))
+    ).orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    final_w = Window.partitionBy(qid_col).orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "score_micro", "rank")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -759,6 +759,74 @@ def _sql_tfidf() -> str:
         SELECT * FROM ranked WHERE rank <= {_TFIDF_K}"""
 
 
+_BM25_K = 10
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+# fixed keyword probes with spread document frequencies on the corpus
+# vocabulary — the lexical-retrieval analog of the ANN queries
+_BM25_QUERIES = (
+    ("q1", "fast table scan"),
+    ("q2", "stream window agg"),
+    ("q3", "customer query join vector"),
+)
+
+
+def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 docs per fixed keyword query (Robertson idf,
+    k1=1.2 / b=0.75), integer micro-score determinism, two-phase
+    top-k (see operators/text.py:bm25_topk)."""
+    docs = _docs_parallel(spark, sf_dir)
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), ["qid", "qtext"]
+    )
+    return tx.bm25_topk(
+        docs, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _sql_bm25() -> str:
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+    qnorm = "trim(regexp_replace(lower(qtext), '\\s+', ' ', 'g'))"
+    # literals via Python repr so both engines parse the IDENTICAL
+    # doubles the Spark expression embeds (1.2 + 1.0 == 2.2 exactly)
+    k1, k1p1, one_b, bb = (
+        repr(_BM25_K1), repr(_BM25_K1 + 1.0),
+        repr(1.0 - _BM25_B), repr(_BM25_B),
+    )
+    return f"""WITH q(qid, qtext) AS (VALUES {vals}),
+        t AS ({_SQL_TOKENS}),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS n_tf FROM t GROUP BY 1, 2),
+        dl AS (SELECT doc_id, SUM(n_tf) AS dl FROM tf GROUP BY 1),
+        dfc AS (SELECT tok, COUNT(*) AS n_df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        s AS (SELECT COUNT(*) AS s_toks FROM t),
+        qt AS (SELECT DISTINCT qid, tok FROM (
+                   SELECT qid, unnest(string_split({qnorm}, ' ')) AS tok
+                   FROM q) x
+               WHERE tok <> ''),
+        term AS (
+            SELECT qt.qid, tf.doc_id,
+                   CAST(FLOOR(
+                       ln((CAST(n.n_docs AS DOUBLE) + 1.0)
+                          / (CAST(dfc.n_df AS DOUBLE) + 0.5))
+                       * ((CAST(tf.n_tf AS DOUBLE) * {k1p1})
+                          / (CAST(tf.n_tf AS DOUBLE) + {k1} * ({one_b}
+                             + {bb} * (CAST(dl.dl * n.n_docs AS DOUBLE)
+                                       / CAST(s.s_toks AS DOUBLE)))))
+                       * 1000000.0) AS BIGINT) AS micro
+            FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id)
+                 JOIN dfc USING (tok) CROSS JOIN n CROSS JOIN s),
+        sc AS (SELECT qid, doc_id, SUM(micro) AS score_micro
+               FROM term GROUP BY 1, 2),
+        ranked AS (SELECT qid, doc_id, score_micro,
+                          CAST(ROW_NUMBER() OVER (
+                              PARTITION BY qid
+                              ORDER BY score_micro DESC, doc_id
+                          ) AS INT) AS rank
+                   FROM sc)
+        SELECT * FROM ranked WHERE rank <= {_BM25_K}"""
+
+
 _VOCAB_K = 200
 
 
@@ -4364,6 +4432,13 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_vocab(),
         ("documents",),
         "corpus vocabulary head: top-200 tokens with doc frequencies",
+    ),
+    "doc_bm25_topk": QueryDef(
+        q_doc_bm25_topk,
+        _sql_bm25(),
+        ("documents",),
+        "BM25 top-10 docs per keyword query (micro-score determinism, "
+        "two-phase top-k)",
     ),
     "doc_stratified_sample": QueryDef(
         q_doc_stratified_sample,

@@ -992,3 +992,62 @@ def test_cost_table_matches_inline_lm(spark):
         ).collect()
     }
     assert inline == at_rest
+
+
+def test_bm25_topk_two_phase_equals_naive_window(spark):
+    """The salted two-phase top-k must return exactly what a single
+    qid-partitioned window would — and basic BM25 ordering sanity: a
+    doc matching more query terms with rarer terms outranks one
+    matching a single common term."""
+    from pyspark.sql import Window, functions as F
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+        text as tx,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast table scan over the big table"),
+            (2, "fast fast fast"),
+            (3, "table scan"),
+            (4, "slow row store"),
+            (5, "fast scan"),
+            (6, "the quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("qa", "fast table scan"), ("qb", "slow store")],
+        "qid string, qtext string",
+    )
+    got = tx.bm25_topk(docs, queries, k=3, salts=4)
+    rows = {(r.qid, r.rank): (r.doc_id, r.score_micro)
+            for r in got.collect()}
+    # qb: only doc 4 matches either term
+    assert rows[("qb", 1)][0] == 4
+    assert ("qb", 2) not in rows
+    # qa: only matching docs may appear, non-matching (4, 6) never
+    assert {rows[("qa", i)][0] for i in (1, 2, 3)} <= {1, 2, 3, 5}
+    # and the winner carries the highest micro-score (rank agrees
+    # with score order, ties broken by id)
+    qa = sorted(
+        (v for (q, _), v in rows.items() if q == "qa"),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert [rows[("qa", i)][0] for i in (1, 2, 3)] == [
+        d for d, _ in qa
+    ]
+
+    # equivalence to the naive single-window top-k over the same scores
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    naive = (
+        tx.bm25_topk(docs, queries, k=100, salts=1)
+        .drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, naive.collect())
+    )

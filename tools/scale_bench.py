@@ -452,6 +452,9 @@ def main() -> None:
     ap.add_argument("--skip-emb", action="store_true")
     ap.add_argument("--skip-gen", action="store_true",
                     help="reuse previously generated corpora")
+    ap.add_argument("--skip-cc", action="store_true",
+                    help="skip the hybrid-vs-distributed CC comparison "
+                         "(already measured; expensive at x100)")
     ap.add_argument("--extras-only", action="store_true",
                     help="only the bucket-census + production-threshold "
                          "measurements, merged into an existing JSON")
@@ -571,14 +574,15 @@ def main() -> None:
                 }
                 print(f"[x{mult}] {name}: ERROR {exc}", file=sys.stderr)
         release_ivf_indexes()
-        try:
-            scale_res["connected_components"] = cc_comparison(
-                spark, sf_dir, args.passes
-            )
-            print(f"[x{mult}] cc: {scale_res['connected_components']}",
-                  file=sys.stderr)
-        except Exception as exc:  # noqa: BLE001
-            scale_res["connected_components"] = {"error": str(exc)[:300]}
+        if not args.skip_cc:
+            try:
+                scale_res["connected_components"] = cc_comparison(
+                    spark, sf_dir, args.passes
+                )
+                print(f"[x{mult}] cc: {scale_res['connected_components']}",
+                      file=sys.stderr)
+            except Exception as exc:  # noqa: BLE001
+                scale_res["connected_components"] = {"error": str(exc)[:300]}
         results["scales"][f"x{mult}"] = scale_res
         with open(args.json, "w") as f:
             json.dump(results, f, indent=1)
