@@ -233,6 +233,7 @@ def ngram_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     max_df: int | None = None,
+    join_hint: str | None = "shuffle_hash",
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
@@ -248,6 +249,16 @@ def ngram_jaccard_pairs(
     by half the corpus carries no dedup signal but dominates the join
     cost). At 100 TB always set it, or prune with minhash_lsh_pairs +
     jaccard_verify_pairs instead.
+
+    ``join_hint``: strategy pin on every corpus-sized join side — the
+    rare-shingle semi-join, the inverted-index self-join, and the two
+    size joins. Same hazard class as ``jaccard_verify_pairs``'s pin,
+    and again MEASURED, not hypothetical: at 500k docs (r14 x100
+    sweep) the unpinned plan died on "Cannot broadcast the table that
+    is larger than 8.0 GiB: 10.3 GiB" — highly compressible shingle
+    strings pass the broadcast threshold on compressed stats while
+    the deserialized relation is GBs. Pass ``None`` to restore
+    size-based planning for bounded inputs.
     """
     sh = shingles(df, text_col, id_col, n)
     if max_df is not None:
@@ -257,11 +268,19 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
+        if join_hint is not None:
+            # at open vocabulary the rare-shingle set IS the corpus
+            # vocabulary — never broadcast; the shuffle it forces is
+            # on "shingle", the exact key the self-join below needs,
+            # so the pin adds no extra exchange
+            rare = rare.hint(join_hint)
         sh = sh.join(rare, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    if join_hint is not None:
+        a, b = a.hint(join_hint), b.hint(join_hint)
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -270,6 +289,8 @@ def ngram_jaccard_pairs(
     )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    if join_hint is not None:
+        sz_a, sz_b = sz_a.hint(join_hint), sz_b.hint(join_hint)
     return (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")

@@ -25,6 +25,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Pin the Python workers to THIS interpreter unless the caller
+    # already chose one: PySpark otherwise resolves `python3` from
+    # PATH, and a PATH where another distribution shadows the driver's
+    # python fails every task with PYTHON_VERSION_MISMATCH (observed
+    # locally: conda 3.13 shadowing the 3.11 driver). sys.executable
+    # is by definition version-matched to the driver.
+    import sys
+
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus

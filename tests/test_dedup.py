@@ -383,3 +383,27 @@ def test_jaccard_verify_length_bound_identical_and_sound(spark):
     # the pruned path really is size-only: its first joins carry __sz
     plan = on._jdf.queryExecution().executedPlan().toString()
     assert "__sz_a" in plan and "__sz_b" in plan, plan
+
+
+def test_ngram_jaccard_joins_never_broadcast(spark):
+    """ngram_jaccard_pairs' corpus-sized sides (the rare-shingle
+    semi-join, the inverted-index self-join, the size joins) must not
+    be planned as broadcasts — the r14 x100 sweep measured the
+    unpinned plan dying on a 10.3 GiB deserialized broadcast that
+    compressed stats had passed under the 64 MB threshold. At this
+    tiny scale the size-based planner WOULD broadcast, so the assert
+    is a live canary; join_hint=None restores size-based planning."""
+    d = docs(spark)
+    pinned = dd.ngram_jaccard_pairs(d, threshold=0.1, max_df=50)
+    unpinned = dd.ngram_jaccard_pairs(
+        d, threshold=0.1, max_df=50, join_hint=None
+    )
+    got_p = {(r.id_a, r.id_b) for r in pinned.collect()}
+    got_u = {(r.id_a, r.id_b) for r in unpinned.collect()}
+    assert got_p == got_u and (1, 2) in got_p
+
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    uplan = unpinned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in uplan, uplan

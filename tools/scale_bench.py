@@ -521,7 +521,9 @@ def main() -> None:
         results = {"seed": SEED, "passes": args.passes, "scales": {}}
     results.setdefault("vocab", args.vocab)
     queries = DOC_QUERIES + ([] if args.skip_emb else EMB_QUERIES)
-    if args.queries:
+    if args.queries is not None:
+        # --queries "" means generate-only (an explicit empty list),
+        # NOT "fall back to the full sweep"
         queries = [q for q in args.queries.split(",") if q]
 
     for mult in mults:
