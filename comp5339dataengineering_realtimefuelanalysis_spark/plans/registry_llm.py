@@ -123,24 +123,26 @@ _LSH_MAX_BUCKET = 256
 _SIMHASH_MAX_BUCKET = 2000
 
 
-def _sql_minhash_sig() -> str:
+def _sql_minhash_sig(num_hashes: int = _NUM_HASHES) -> str:
     mins = ", ".join(
         f"MIN(({_SQL_H32} * {a} + {b}) % {dd.MINHASH_PRIME}) AS mh_{i}"
-        for i, (a, b) in enumerate(dd.permutation_constants(_NUM_HASHES))
+        for i, (a, b) in enumerate(dd.permutation_constants(num_hashes))
     )
     return f"SELECT doc_id, {mins} FROM ({_SQL_SHINGLES}) sh GROUP BY doc_id"
 
 
-def _sql_lsh_pairs() -> str:
-    rows = _NUM_HASHES // _BANDS
+def _sql_lsh_pairs(
+    num_hashes: int = _NUM_HASHES, bands: int = _BANDS
+) -> str:
+    rows = num_hashes // bands
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, concat_ws('_', "
         + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
         + ") AS key FROM sig"
-        for b in range(_BANDS)
+        for b in range(bands)
     )
     return f"""
-        WITH sig AS ({_sql_minhash_sig()}),
+        WITH sig AS ({_sql_minhash_sig(num_hashes)}),
         bands AS (SELECT * FROM ({band_selects})
                   QUALIFY COUNT(*) OVER (PARTITION BY band, key)
                           <= {_LSH_MAX_BUCKET})
@@ -660,8 +662,49 @@ def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lsh_verified() -> str:
-    return f"""WITH cands AS ({_sql_lsh_pairs()}),
+# The measured S-curve knee (r14 x30 sweep, SCALE_MEASURED.json:
+# lsh_band_sweep): K=48 / b=8 / r=6 produces 12x fewer candidates than
+# the K=16 / b=4 default at HIGHER union recall (0.971 vs 0.959) and
+# 5x faster verify — r=6 suppresses the J~0.3 noise floor while
+# doubled bands restore recall at the planted-dup J~0.7. The default
+# queries keep (16, 4) for continuity with the at-rest band_keys
+# layout; this is the operating point a bulk 100 TB dedup should run.
+_KNEE_NUM_HASHES = 48
+_KNEE_BANDS = 8
+
+
+def q_doc_lsh_verified_pairs_knee(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The verified-dedup composition at the measured S-curve knee
+    (K=48, b=8, r=6) — same operators as doc_lsh_verified_pairs, two
+    constructor arguments moved to where the r14 sweep measured the
+    best candidate-precision/recall trade."""
+    docs = _docs_parallel(spark, sf_dir)
+    sh = tracked_persist(dd.shingles(docs, n=_SHINGLE_N, distinct=False))
+    cands = tracked_persist(
+        dd.minhash_lsh_pairs(
+            docs,
+            n=_SHINGLE_N,
+            num_hashes=_KNEE_NUM_HASHES,
+            bands=_KNEE_BANDS,
+            shingles_df=sh,
+            max_bucket=_LSH_MAX_BUCKET,
+        )
+    )
+    return dd.jaccard_verify_pairs(
+        docs,
+        cands,
+        n=_SHINGLE_N,
+        threshold=_JACCARD_THRESHOLD,
+        shingles_df=sh,
+    )
+
+
+def _sql_lsh_verified(
+    num_hashes: int = _NUM_HASHES, bands: int = _BANDS
+) -> str:
+    return f"""WITH cands AS ({_sql_lsh_pairs(num_hashes, bands)}),
         sh AS ({_SQL_SHINGLES}),
         sets AS (SELECT doc_id, list_distinct(list(shingle)) AS sh_set
                  FROM sh GROUP BY doc_id)
@@ -4390,6 +4433,13 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         _sql_lsh_verified(),
         ("documents",),
         "LSH candidates + exact Jaccard verify (scale composition)",
+    ),
+    "doc_lsh_verified_pairs_knee": QueryDef(
+        q_doc_lsh_verified_pairs_knee,
+        _sql_lsh_verified(_KNEE_NUM_HASHES, _KNEE_BANDS),
+        ("documents",),
+        "verified dedup at the measured S-curve knee (K48/b8/r6: 12x "
+        "fewer candidates, higher recall)",
     ),
     "doc_chunks": QueryDef(
         q_doc_chunks,
