@@ -1,0 +1,187 @@
+"""Fixed-point base-2 logarithm over int64 — the cross-engine
+determinism kernel for scores that need a logarithm inside an
+exact-hash oracle contract.
+
+Why this exists: round 14 shipped BM25 with an in-plan ``ln()`` and
+the driver recorded ``hash_match: false`` while the same query passed
+bit-exact locally — the JVM's ``Math.log`` and the driver's DuckDB
+libm disagreed by 1 ulp on at least one argument, and
+``floor(x * 1e6)`` amplified that into a different int64. The durable
+fix is to remove the transcendental from the hashed value entirely:
+this module computes
+
+    log2fix(p, q, frac) = an int64 ~= log2(p / q) * 2**frac
+
+using ONLY int64 multiply / truncating-divide / modulo / compare —
+operations every engine executes bit-identically. The result is not
+"log2 correctly rounded"; it is a DEFINED deterministic function of
+(p, q) — the contract both engines implement by running the same
+integer recurrence, so local green implies driver green on any
+platform.
+
+Algorithm (all intermediates provably fit in signed int64):
+
+1. integer part  ``e = floor(log2(p / q))`` via ``len(bin(p // q)) - 1``
+   (for p >= q >= 1, ``floor(log2(p/q)) == floor(log2(p // q))``:
+   with k = p // q and e = floor(log2 k), k <= p/q < k + 1 <= 2^(e+1)).
+2. mantissa ``M = floor(p * 2^30 / (q * 2^e))`` in [2^30, 2^31) by
+   staged base-2^10 long division (three shift-mod-divide rounds —
+   digit-group long division is EXACT, so the staging only bounds the
+   intermediates: the shifted remainder never exceeds Q * 2^10).
+3. ``frac`` iterations of the classic square-and-shift bit recurrence:
+   ``s = (y * y) >> 30``; if ``s >= 2^31`` emit bit 1 and halve.
+   y stays in [2^30, 2^31) so y*y < 2^62.
+
+Domain: p >= q >= 1 and p < 2^52 (so ``(p % Q) << 10`` fits). At the
+100 TB design point BM25's p = 2N + 2 ~ 2^38 (N docs) and dsir's
+p = R_tot + sB ~ 2^48 (corpus feature occurrences) — both inside the
+bound.
+
+Signed wrapper: callers whose ratio can fall below 1 (e.g. a
+log-likelihood RATIO) evaluate ``log2fix(a, b) - log2fix(c, d)`` with
+each call's arguments ordered p >= q — a difference of two exact
+int64s, never a negative-log domain.
+
+EMISSION SHAPE — layered projections, never one lateral-alias chain:
+both Spark's and DuckDB's binders resolve a lateral column alias by
+INLINING the producing expression at every reference site. The
+recurrence references each previous value 2-4 times per step, so a
+single 60-alias SELECT expands to a ~4^20-node expression tree and
+the analyzer never returns (observed on both engines). Emitting each
+step as its own projection layer (a nested ``SELECT *, step FROM
+(...)`` in DuckDB, a ``withColumn`` batch in Spark) makes every
+reference a real resolved column — linear work, and Spark's
+CollapseProject keeps multiply-referenced non-cheap aliases in their
+own Project, so the plan stays linear after optimization too.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "log2fix_py",
+    "log2fix_layers",
+    "spark_apply",
+    "duckdb_nested",
+]
+
+_M30 = 1 << 30
+_M31 = 1 << 31
+
+
+def log2fix_py(p: int, q: int, frac: int = 20) -> int:
+    """Pure-Python reference of the kernel (exactly the int64 ops both
+    engines run; Python ints are exact so this is the ground truth the
+    cross-engine tests compare against)."""
+    if not (1 <= q <= p):
+        raise ValueError("log2fix requires p >= q >= 1")
+    if p >= 1 << 52:
+        raise ValueError("log2fix domain is p < 2^52")
+    k = p // q
+    e = k.bit_length() - 1
+    qq = q << e
+    a = p // qq
+    r1 = (p % qq) << 10
+    b = r1 // qq
+    r2 = (r1 % qq) << 10
+    c = r2 // qq
+    r3 = (r2 % qq) << 10
+    d = r3 // qq
+    y = a * _M30 + b * (1 << 20) + c * (1 << 10) + d
+    f = 0
+    for _ in range(frac):
+        s = (y * y) >> 30
+        if s >= _M31:
+            f = f * 2 + 1
+            y = s >> 1
+        else:
+            f = f * 2
+            y = s
+    return e * (1 << frac) + f
+
+
+def log2fix_layers(
+    p: str, q: str, out: str, frac: int = 20, div: str = "//",
+    shl1: str = "(cast(1 as bigint) << cast({e} as int))",
+) -> List[List[Tuple[str, str]]]:
+    """Emit the kernel as layers of ``(alias, expr)`` — every expr
+    references only ``p`` / ``q`` or aliases from STRICTLY EARLIER
+    layers (see module docstring for why lateral chains are banned).
+    ``p`` / ``q`` are SQL expressions yielding positive BIGINTs;
+    ``out`` is the final alias and the intermediate prefix. ``div`` is
+    the dialect's truncating integer division; ``shl1`` renders
+    ``2^e`` (the one variable shift — constant shifts are literal
+    multiplies, shared by every dialect)."""
+    n = out
+    layers: List[List[Tuple[str, str]]] = [
+        [(f"{n}__k", f"({p}) {div} ({q})")],
+        [(f"{n}__e", f"cast(length(bin({n}__k)) as bigint) - 1")],
+        [(f"{n}__q2", f"({q}) * " + shl1.format(e=f"{n}__e"))],
+        [(f"{n}__r1", f"(({p}) % {n}__q2) * 1024")],
+        [(f"{n}__r2", f"({n}__r1 % {n}__q2) * 1024")],
+        [(f"{n}__r3", f"({n}__r2 % {n}__q2) * 1024")],
+        [
+            (
+                f"{n}__y0",
+                f"(({p}) {div} {n}__q2) * 1073741824"
+                f" + ({n}__r1 {div} {n}__q2) * 1048576"
+                f" + ({n}__r2 {div} {n}__q2) * 1024"
+                f" + ({n}__r3 {div} {n}__q2)",
+            ),
+            (f"{n}__f0", "cast(0 as bigint)"),
+        ],
+    ]
+    for i in range(1, frac + 1):
+        layers.append(
+            [(f"{n}__s{i}",
+              f"({n}__y{i - 1} * {n}__y{i - 1}) {div} 1073741824")]
+        )
+        layers.append(
+            [
+                (f"{n}__y{i}",
+                 f"case when {n}__s{i} >= 2147483648"
+                 f" then {n}__s{i} {div} 2 else {n}__s{i} end"),
+                (f"{n}__f{i}",
+                 f"{n}__f{i - 1} * 2"
+                 f" + (case when {n}__s{i} >= 2147483648"
+                 f" then 1 else 0 end)"),
+            ]
+        )
+    layers.append([(n, f"{n}__e * {1 << frac} + {n}__f{frac}")])
+    return layers
+
+
+def spark_apply(
+    df: DataFrame, p: str, q: str, out: str, frac: int = 20
+) -> DataFrame:
+    """Append column ``out`` = log2fix(p, q) to ``df`` (and drop the
+    kernel's intermediates). One Project per recurrence layer — a
+    narrow map-only chain, no shuffle, no UDF; run it on the SMALL
+    frame (per-term, per-bucket), never per scored row."""
+    names: List[str] = []
+    for layer in log2fix_layers(
+        p, q, out, frac, div="div",
+        shl1="shiftleft(cast(1 as bigint), cast({e} as int))",
+    ):
+        df = df.selectExpr(
+            "*", *[f"{e} AS {a}" for a, e in layer]
+        )
+        names.extend(a for a, _ in layer)
+    return df.drop(*[a for a in names if a != out])
+
+
+def duckdb_nested(
+    source: str, p: str, q: str, out: str, frac: int = 20
+) -> str:
+    """A DuckDB subquery string computing ``SELECT *, {out} FROM
+    (source)`` via one nested SELECT per recurrence layer (kernel
+    intermediates remain in the output — wrap with an outer SELECT to
+    prune). ``source`` is any ``SELECT ...`` string."""
+    sql = f"SELECT * FROM ({source})"
+    for layer in log2fix_layers(p, q, out, frac):
+        items = ", ".join(f"{e} AS {a}" for a, e in layer)
+        sql = f"SELECT *, {items} FROM ({sql})"
+    return sql

@@ -253,6 +253,18 @@ def vocab_top(
     )
 
 
+def bm25_rationals(k1: float, b: float) -> tuple[int, int, int, int]:
+    """BM25 parameters as exact small rationals ``k1 = a/c, b = u/v``
+    (lowest terms via Fraction.limit_denominator — deterministic pure
+    Python, so both the Spark plan and the oracle SQL embed the SAME
+    integers). Defaults 1.2 / 0.75 become 6/5 and 3/4."""
+    from fractions import Fraction
+
+    fk1 = Fraction(k1).limit_denominator(1000)
+    fb = Fraction(b).limit_denominator(1000)
+    return (fk1.numerator, fk1.denominator, fb.numerator, fb.denominator)
+
+
 def bm25_topk(
     df: DataFrame,
     queries: DataFrame,
@@ -265,37 +277,62 @@ def bm25_topk(
     b: float = 0.75,
     salts: int = 32,
 ) -> DataFrame:
-    """Top-k documents per query by BM25 (Robertson/Okapi, the standard
+    """Top-k documents per query by BM25 with the LUCENE idf (the
+    always-non-negative ``log((N + 1) / (df + 0.5))`` variant — NOT
+    Robertson's ``log((N - df + 0.5) / (df + 0.5))``, which goes
+    negative for terms in more than half the corpus), the standard
     lexical retrieval baseline a curation pipeline needs beside the
     embedding ANN tier — e.g. for eval-set leakage probes phrased as
-    keyword queries).
+    keyword queries.
 
         score(q, d) = sum over distinct terms t of q:
-            ln((N + 1) / (df_t + 0.5))                  [idf]
+            log2fix((2N + 2) / (2df_t + 1))              [idf, base 2]
             * tf * (k1 + 1)
               / (tf + k1 * (1 - b + b * dl/avgdl))       [saturation]
 
-    Determinism contract (the oracle hash compares exact values): every
-    per-term score is computed in ONE IEEE-double expression with a
-    FIXED operation order (mirrored token-for-token in the oracle SQL),
-    then floored to integer micro-score units; the per-query SUM runs
-    over int64 micro-scores, so float addition order — the one
-    nondeterministic ingredient of a distributed sum — never touches
-    the result. dl/avgdl is evaluated as the exact integer ratio
-    (dl * N) / S (S = total corpus tokens) so no intermediate average
-    materializes. ln() is shared with the CCNet LM stack's posture
-    (selection.py): identical doubles in, identical doubles out on
-    both engines.
+    Base-2 vs natural log rescales every term by the same 1/ln(2), so
+    the RANKING is identical to ln-idf BM25; only the score unit
+    changes.
+
+    Determinism contract (the oracle hash compares exact values): the
+    score contains NO floating point and NO transcendental anywhere —
+    round 14 proved the ln()-based contract is not portable (a 1-ulp
+    libm divergence between the JVM and one DuckDB build, amplified by
+    floor(x * 1e6), flipped the driver hash while local runs passed
+    bit-exact). Here the idf is functions/fixlog.py's fixed-point
+    base-2 log (20 fractional bits) over the exact integer rational
+    (2N + 2) / (2df + 1); the saturation is evaluated as an int64
+    fixed-point rational with k1 = a/c, b = u/v (exact small
+    fractions): with R = fix20(dl * N / S) (staged truncating
+    division; S = total corpus tokens, so dl/avgdl never materializes
+    a float average),
+
+        den  = c*v * tf * 2^20  +  a*(v-u) * 2^20  +  a*u * R
+        sat  = (tf * (a+c)*v * 2^36) div den          [16 frac bits]
+        term = idf_fix20 * sat16                      [36 frac bits]
+
+    and the per-(query, doc) score is SUM(term) over int64 — float
+    addition order, the one nondeterministic ingredient of a
+    distributed sum, never exists. int64 bounds (all proven, see
+    fixlog.py): N < 2^50, dl * N < 2^62, S < 2^52, tf < 2^21 — orders
+    beyond the 100 TB design point.
 
     Scale shape: one (doc, term) tf shuffle (map-side combined), one
     term-df shuffle, the query side is a BROADCAST of exploded query
-    terms (queries are few by contract), and the top-k is TWO-PHASE:
-    a per-(query, salt) local top-k over ``salts`` deterministic
-    buckets, then the global window over only ``salts * k`` survivors
-    — a single window partitioned by qid alone would funnel the whole
-    corpus' scored rows through #queries tasks at 100 TB. Ties broken
-    by id ascending; identical output to the naive single window.
+    terms (queries are few by contract), the idf is computed once per
+    TERM on the broadcast-sized term frame (not per scored row), and
+    the top-k is TWO-PHASE: a per-(query, salt) local top-k over
+    ``salts`` deterministic buckets, then the global window over only
+    ``salts * k`` survivors — a single window partitioned by qid alone
+    would funnel the whole corpus' scored rows through #queries tasks
+    at 100 TB. Ties broken by id ascending; identical output to the
+    naive single window. Corpus token total S is derived from the dl
+    frame (SUM(dl)) rather than re-tokenizing the corpus a second
+    time.
     """
+    from ..functions import fixlog
+
+    a, c, u, v = bm25_rationals(k1, b)
     tf = tokens(df, text_col, id_col).groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).alias("n_tf")
     )
@@ -303,49 +340,56 @@ def bm25_topk(
     dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n_df"))
     scalars = F.broadcast(
         df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-            tokens(df, text_col, id_col).agg(
-                F.count(F.lit(1)).alias("s_toks")
-            )
+            dl.agg(F.sum("dl").alias("s_toks"))
         )
     )
     qt = F.broadcast(
         tokens(queries, qtext_col, qid_col).distinct()
     )
-    idf = F.log(
-        (F.col("n_docs").cast("double") + F.lit(1.0))
-        / (F.col("n_df").cast("double") + F.lit(0.5))
+    # per-TERM fixed-point idf on the tiny query-term frame: the
+    # 60-odd-step integer log2 recurrence runs once per distinct
+    # query term, then joins into scoring as a 2-column broadcast
+    idf_terms = F.broadcast(
+        fixlog.spark_apply(
+            dfc.join(qt.select("tok").distinct(), "tok")
+            .crossJoin(scalars),
+            "2 * n_docs + 2", "2 * n_df + 1", "idf_fix",
+        ).select("tok", "idf_fix")
     )
-    denom = F.col("n_tf").cast("double") + F.lit(k1) * (
-        F.lit(1.0 - b)
-        + F.lit(b)
-        * (
-            (F.col("dl") * F.col("n_docs")).cast("double")
-            / F.col("s_toks").cast("double")
-        )
-    )
-    tfc = (F.col("n_tf").cast("double") * F.lit(k1 + 1.0)) / denom
-    micro = F.floor(idf * tfc * F.lit(1e6)).cast("long")
+    term_items = [
+        "dl * n_docs AS _t",
+        "_t div s_toks AS _ra",
+        "(_t % s_toks) * 1024 AS _rr1",
+        "_rr1 div s_toks AS _rb",
+        "(_rr1 % s_toks) * 1024 AS _rr2",
+        "_rr2 div s_toks AS _rc",
+        "_ra * 1048576 + _rb * 1024 + _rc AS _r",
+        f"{c * v} * n_tf * 1048576 + {a * (v - u)} * 1048576"
+        f" + {a * u} * _r AS _den",
+        f"(n_tf * {(a + c) * v} * 68719476736) div _den AS _sat",
+        "idf_fix * _sat AS _sterm",
+    ]
     scored = (
         tf.join(qt, "tok")
         .join(dl, id_col)
-        .join(F.broadcast(dfc.join(qt, "tok").select("tok", "n_df")
-                          .distinct()), "tok")
+        .join(idf_terms, "tok")
         .crossJoin(scalars)
+        .selectExpr(qid_col, id_col, *term_items)
         .groupBy(qid_col, id_col)
-        .agg(F.sum(micro).alias("score_micro"))
+        .agg(F.sum("_sterm").alias("score_fix"))
     )
     local_w = Window.partitionBy(
         qid_col, F.pmod(F.xxhash64(id_col), F.lit(salts))
-    ).orderBy(F.col("score_micro").desc(), F.col(id_col).asc())
+    ).orderBy(F.col("score_fix").desc(), F.col(id_col).asc())
     final_w = Window.partitionBy(qid_col).orderBy(
-        F.col("score_micro").desc(), F.col(id_col).asc()
+        F.col("score_fix").desc(), F.col(id_col).asc()
     )
     return (
         scored.withColumn("_lr", F.row_number().over(local_w))
         .filter(F.col("_lr") <= k)
         .withColumn("rank", F.row_number().over(final_w))
         .filter(F.col("rank") <= k)
-        .select(qid_col, id_col, "score_micro", "rank")
+        .select(qid_col, id_col, "score_fix", "rank")
     )
 
 

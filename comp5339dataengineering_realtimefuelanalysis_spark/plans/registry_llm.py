@@ -815,9 +815,10 @@ _BM25_QUERIES = (
 
 
 def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-10 docs per fixed keyword query (Robertson idf,
-    k1=1.2 / b=0.75), integer micro-score determinism, two-phase
-    top-k (see operators/text.py:bm25_topk)."""
+    """BM25 top-10 docs per fixed keyword query (Lucene idf in
+    fixed-point base-2 log — zero transcendentals, zero floats, so
+    the hash contract is portable across engine builds), k1=1.2 /
+    b=0.75, two-phase top-k (see operators/text.py:bm25_topk)."""
     docs = _docs_parallel(spark, sf_dir)
     queries = spark.createDataFrame(
         list(_BM25_QUERIES), ["qid", "qtext"]
@@ -828,43 +829,57 @@ def q_doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_bm25() -> str:
+    """DuckDB mirror of bm25_topk: the identical int64 fixed-point
+    recurrence (functions/fixlog.py emits the same step list for both
+    dialects), so the two engines agree bit-for-bit by construction —
+    no libm anywhere in the hashed value (the round-14 driver red)."""
+    from ..functions import fixlog
+
+    a, c, u, v = tx.bm25_rationals(_BM25_K1, _BM25_B)
     vals = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
     qnorm = "trim(regexp_replace(lower(qtext), '\\s+', ' ', 'g'))"
-    # literals via Python repr so both engines parse the IDENTICAL
-    # doubles the Spark expression embeds (1.2 + 1.0 == 2.2 exactly)
-    k1, k1p1, one_b, bb = (
-        repr(_BM25_K1), repr(_BM25_K1 + 1.0),
-        repr(1.0 - _BM25_B), repr(_BM25_B),
+    idf_nested = fixlog.duckdb_nested(
+        "SELECT dfc.tok, dfc.n_df, n.n_docs FROM dfc"
+        " JOIN (SELECT DISTINCT tok FROM qt) qk USING (tok)"
+        " CROSS JOIN n",
+        "2 * n_docs + 2", "2 * n_df + 1", "idf_fix",
     )
     return f"""WITH q(qid, qtext) AS (VALUES {vals}),
         t AS ({_SQL_TOKENS}),
         tf AS (SELECT doc_id, tok, COUNT(*) AS n_tf FROM t GROUP BY 1, 2),
-        dl AS (SELECT doc_id, SUM(n_tf) AS dl FROM tf GROUP BY 1),
+        dl AS (SELECT doc_id, CAST(SUM(n_tf) AS BIGINT) AS dl
+               FROM tf GROUP BY 1),
         dfc AS (SELECT tok, COUNT(*) AS n_df FROM tf GROUP BY 1),
         n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        s AS (SELECT COUNT(*) AS s_toks FROM t),
+        s AS (SELECT CAST(SUM(dl) AS BIGINT) AS s_toks FROM dl),
         qt AS (SELECT DISTINCT qid, tok FROM (
                    SELECT qid, unnest(string_split({qnorm}, ' ')) AS tok
                    FROM q) x
                WHERE tok <> ''),
+        idf AS (SELECT tok, idf_fix FROM ({idf_nested}) z),
         term AS (
-            SELECT qt.qid, tf.doc_id,
-                   CAST(FLOOR(
-                       ln((CAST(n.n_docs AS DOUBLE) + 1.0)
-                          / (CAST(dfc.n_df AS DOUBLE) + 0.5))
-                       * ((CAST(tf.n_tf AS DOUBLE) * {k1p1})
-                          / (CAST(tf.n_tf AS DOUBLE) + {k1} * ({one_b}
-                             + {bb} * (CAST(dl.dl * n.n_docs AS DOUBLE)
-                                       / CAST(s.s_toks AS DOUBLE)))))
-                       * 1000000.0) AS BIGINT) AS micro
-            FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id)
-                 JOIN dfc USING (tok) CROSS JOIN n CROSS JOIN s),
-        sc AS (SELECT qid, doc_id, SUM(micro) AS score_micro
+            SELECT qid, doc_id, idf_fix * _sat AS sterm FROM (
+                SELECT qt.qid, tf.doc_id, idf.idf_fix,
+                       dl.dl * n.n_docs AS _t,
+                       _t // s.s_toks AS _ra,
+                       (_t % s.s_toks) * 1024 AS _rr1,
+                       _rr1 // s.s_toks AS _rb,
+                       (_rr1 % s.s_toks) * 1024 AS _rr2,
+                       _rr2 // s.s_toks AS _rc,
+                       _ra * 1048576 + _rb * 1024 + _rc AS _r,
+                       {c * v} * tf.n_tf * 1048576
+                           + {a * (v - u)} * 1048576
+                           + {a * u} * _r AS _den,
+                       (tf.n_tf * {(a + c) * v} * 68719476736)
+                           // _den AS _sat
+                FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id)
+                     JOIN idf USING (tok) CROSS JOIN n CROSS JOIN s) y),
+        sc AS (SELECT qid, doc_id, SUM(sterm) AS score_fix
                FROM term GROUP BY 1, 2),
-        ranked AS (SELECT qid, doc_id, score_micro,
+        ranked AS (SELECT qid, doc_id, score_fix,
                           CAST(ROW_NUMBER() OVER (
                               PARTITION BY qid
-                              ORDER BY score_micro DESC, doc_id
+                              ORDER BY score_fix DESC, doc_id
                           ) AS INT) AS rank
                    FROM sc)
         SELECT * FROM ranked WHERE rank <= {_BM25_K}"""
@@ -4487,7 +4502,8 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         q_doc_bm25_topk,
         _sql_bm25(),
         ("documents",),
-        "BM25 top-10 docs per keyword query (micro-score determinism, "
+        "BM25 top-10 docs per keyword query (Lucene idf via integer "
+        "fixed-point log2 — transcendental-free hash contract, "
         "two-phase top-k)",
     ),
     "doc_stratified_sample": QueryDef(

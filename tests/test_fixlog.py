@@ -1,0 +1,144 @@
+"""Cross-engine determinism of the fixed-point log2 kernel
+(functions/fixlog.py) — the transcendental-free idf backbone that
+replaced the round-14 ln()-based BM25 hash contract.
+
+The contract under test: the Python reference, the DuckDB lateral-
+alias SELECT, and the Spark selectExpr projection are the SAME int64
+recurrence, so all three agree EXACTLY on every input — that is what
+makes a local oracle pass imply a driver pass on any libm."""
+
+import math
+import random
+
+import duckdb
+import pytest
+
+from comp5339dataengineering_realtimefuelanalysis_spark.functions import (
+    fixlog,
+)
+
+
+def _cases(n=300, seed=1234):
+    rng = random.Random(seed)
+    edge = [
+        (1, 1),
+        (2, 1),
+        (3, 2),
+        (1002, 3),          # sf0.01-sized BM25 idf argument
+        (2**52 - 1, 1),     # domain ceiling: e = 51
+        (2**52 - 1, 2**52 - 1),
+        (2**40 + 7, 12345),
+        (2**48 + 11, 2**47),  # dsir-scale corpus totals
+        (2**21 + 1, 2**21),  # mantissa just above 1
+        (2**22 - 1, 2**21),  # mantissa just below 2
+    ]
+    out = list(edge)
+    for _ in range(n):
+        q = rng.randint(1, 2**40)
+        out.append((rng.randint(q, 2**52 - 1), q))
+    return sorted(set(out))
+
+
+def test_log2fix_python_vs_duckdb():
+    cases = _cases()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(p BIGINT, q BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", cases)
+    nested = fixlog.duckdb_nested("SELECT p, q FROM t", "p", "q", "lf")
+    got = con.execute(
+        f"SELECT p, q, lf FROM ({nested}) ORDER BY p, q"
+    ).fetchall()
+    ref = [(p, q, fixlog.log2fix_py(p, q)) for p, q in cases]
+    assert got == ref
+
+
+def test_log2fix_python_vs_spark(spark):
+    cases = _cases(n=60, seed=77)
+    df = spark.createDataFrame(cases, "p long, q long")
+    got = sorted(
+        map(
+            tuple,
+            fixlog.spark_apply(df, "p", "q", "lf")
+            .select("p", "q", "lf")
+            .collect(),
+        )
+    )
+    ref = [(p, q, fixlog.log2fix_py(p, q)) for p, q in cases]
+    assert got == ref
+
+
+def test_log2fix_accuracy_and_monotonicity():
+    """The defined function tracks true log2 to ~2^-20 relative scale
+    (it is floor-biased, never above true), and is monotone in p/q —
+    the property BM25 ranking actually relies on."""
+    cases = _cases(n=500, seed=9)
+    worst = 0.0
+    for p, q in cases:
+        lf = fixlog.log2fix_py(p, q)
+        true = math.log2(p / q)
+        err = true - lf / 2**20
+        assert err >= -1e-6, (p, q)   # never overshoots
+        worst = max(worst, err)
+    assert worst < 5e-5, worst
+    # monotone on a fixed denominator sweep
+    prev = -1
+    for p in range(1000, 4000, 7):
+        lf = fixlog.log2fix_py(p, 999)
+        assert lf >= prev
+        prev = lf
+
+
+def test_log2fix_domain_errors():
+    with pytest.raises(ValueError):
+        fixlog.log2fix_py(1, 2)       # p < q
+    with pytest.raises(ValueError):
+        fixlog.log2fix_py(3, 0)       # q < 1
+    with pytest.raises(ValueError):
+        fixlog.log2fix_py(2**52, 1)   # beyond staged-shift bound
+
+
+def test_bm25_score_tracks_float_reference(spark):
+    """End-to-end: the int64 fixed-point BM25 score agrees with a
+    float log2-BM25 reference to fixed-point precision, on a corpus
+    where every doc matches (so every score participates)."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+        text as tx,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha alpha beta beta beta"),
+            (3, "gamma gamma delta alpha"),
+            (4, "beta delta delta"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "alpha beta")], "qid string, qtext string"
+    )
+    got = {
+        r.doc_id: r.score_fix
+        for r in tx.bm25_topk(docs, queries, k=10, salts=2).collect()
+    }
+    # float reference: Lucene idf in base 2, k1=1.2, b=0.75
+    texts = {
+        1: "alpha beta gamma alpha".split(),
+        2: "alpha alpha beta beta beta".split(),
+        3: "gamma gamma delta alpha".split(),
+        4: "beta delta delta".split(),
+    }
+    n = len(texts)
+    s = sum(len(t) for t in texts.values())
+    for d, toks in texts.items():
+        ref = 0.0
+        for term in ("alpha", "beta"):
+            tf = toks.count(term)
+            if not tf:
+                continue
+            df = sum(term in t for t in texts.values())
+            idf = math.log2((n + 1) / (df + 0.5))
+            dl = len(toks)
+            sat = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n / s))
+            ref += idf * sat
+        assert abs(got[d] / 2**36 - ref) < 1e-3, (d, got[d], ref)

@@ -1021,7 +1021,7 @@ def test_bm25_topk_two_phase_equals_naive_window(spark):
         "qid string, qtext string",
     )
     got = tx.bm25_topk(docs, queries, k=3, salts=4)
-    rows = {(r.qid, r.rank): (r.doc_id, r.score_micro)
+    rows = {(r.qid, r.rank): (r.doc_id, r.score_fix)
             for r in got.collect()}
     # qb: only doc 4 matches either term
     assert rows[("qb", 1)][0] == 4
@@ -1040,7 +1040,7 @@ def test_bm25_topk_two_phase_equals_naive_window(spark):
 
     # equivalence to the naive single-window top-k over the same scores
     w = Window.partitionBy("qid").orderBy(
-        F.col("score_micro").desc(), F.col("doc_id").asc()
+        F.col("score_fix").desc(), F.col("doc_id").asc()
     )
     naive = (
         tx.bm25_topk(docs, queries, k=100, salts=1)

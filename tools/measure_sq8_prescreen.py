@@ -114,7 +114,11 @@ def main() -> None:
     codes_idx = spark.read.parquet(f"{tmp}/codes")
 
     # ---- the query batch: BATCH docs probing their PROBES nearest cells
-    batch = emb.filter(F.col("doc_id") % (n // BATCH) == 0).select(
+    # max(1, ...) so corpora smaller than BATCH degrade to "every doc
+    # is a query" instead of dividing by zero
+    batch = emb.filter(
+        F.col("doc_id") % max(1, n // BATCH) == 0
+    ).select(
         F.col("doc_id").alias("qid"),
         sim.scaled_vec(F.col("embedding")).alias("q_svec"),
     )
