@@ -110,7 +110,6 @@ def dsir_weights(
     buckets: int = 1024,
     smooth: int = 1,
     seed: str = "dsir",
-    scale: int = 1_000_000,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document
@@ -123,20 +122,24 @@ def dsir_weights(
     Model: word uni+bigram features hashed into ``buckets`` buckets
     (the same feature hashing as embed_text, different seed); both
     distributions are add-``smooth`` smoothed multinomials over
-    buckets. The log-likelihood ratio of bucket b,
+    buckets. The log-likelihood ratio of bucket b (base 2 — a global
+    constant factor vs natural log, so selection order is unchanged),
 
-        lr_b = ln((t_b + s)/(T + sB)) - ln((r_b + s)/(R + sB)),
+        lr_b = log2((t_b + s)/(T + sB)) - log2((r_b + s)/(R + sB))
+             = log2fix(R + sB, r_b + s) - log2fix(T + sB, t_b + s),
 
-    is QUANTIZED to an int64 grid of ``1/scale`` nats (micro-nats at
-    the default), and a document's weight is the exact integer sum
-    sum_b c_db * lr_b over its bucket counts. The grid is what makes
-    the operator oracle-replayable: only B+4 transcendental
-    evaluations happen per corpus (each ln takes an exact-integer
-    argument, so both engines see identical inputs and a 1-ulp libm
-    difference flips a 1e-6-grid rounding with probability ~1e-9 per
-    bucket); every per-document number is integer arithmetic after
-    that — no float accumulation order to disagree on. Weights are in
-    micro-nats: divide by ``scale`` for the real log-ratio.
+    is computed ENTIRELY in int64 via functions/fixlog.py's
+    fixed-point base-2 log (20 fractional bits) — each of the two
+    calls has its arguments ordered p >= q, so the signed ratio is a
+    difference of two exact non-negative int64s. A document's weight
+    is the exact integer sum sum_b c_db * lr_b over its bucket
+    counts. Round 14's BM25 driver red proved the previous posture
+    (B ln() evaluations rounded to a micro-nat grid) is NOT portable
+    — a 1-ulp libm divergence near a rounding boundary flips an
+    int64; the fixed-point kernel removes libm from the value
+    entirely, so local oracle green implies driver green on any
+    build. Weights are in 2^-20 log2 units: divide by 2^20 for the
+    real base-2 log-ratio (multiply by ln 2 for nats).
 
     Scale shape: one explode + map-side-combined groupBy over token
     occurrences (the same cost class as minhash signatures), two
@@ -191,26 +194,73 @@ def dsir_weights(
             "T_tot"
         ),
     )
+    from ..functions import fixlog
+
     s, sB = smooth, smooth * buckets
-    lr_val = (
-        F.log((F.coalesce(F.col("t"), F.lit(0)) + s).cast("double"))
-        - F.log((F.coalesce(F.col("T_tot"), F.lit(0)) + sB).cast("double"))
-        - F.log((F.col("r") + s).cast("double"))
-        + F.log((F.col("R_tot") + sB).cast("double"))
-    )
-    lr = (
+    # lr = log2fix(R+sB, r+s) - log2fix(T+sB, t+s): two kernel passes
+    # over the B-row bucket frame (p >= q holds in both: r <= R_tot,
+    # t <= T_tot, s <= sB), then one subtraction — all int64
+    lr_base = (
         raw_b.join(tgt_b, "bucket", "left")
         .crossJoin(F.broadcast(tot))
-        .select(
+        .selectExpr(
             "bucket",
-            F.round(lr_val * F.lit(scale), 0).cast("long").alias("lr"),
+            f"R_tot + {sB} AS _pa",
+            f"r + {s} AS _qa",
+            f"coalesce(T_tot, 0) + {sB} AS _pb",
+            f"coalesce(t, 0) + {s} AS _qb",
         )
+    )
+    lr = (
+        fixlog.spark_apply(
+            fixlog.spark_apply(lr_base, "_pa", "_qa", "_lra"),
+            "_pb", "_qb", "_lrb",
+        )
+        .selectExpr("bucket", "_lra - _lrb AS lr")
     )
     return (
         dbc.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
         .agg(F.sum(F.col("c") * F.col("lr")).alias("dsir_weight"))
     )
+
+
+def _gumbel2_fix(df: DataFrame, id_col: str, seed: str) -> DataFrame:
+    """Append ``_g``: hash-derived BASE-2 Gumbel noise on the 2^-20
+    fixed-point grid, all int64 (the fixlog posture — no libm in any
+    hashed value). With u = (2h + 1)/2^33 (h the 32-bit id hash),
+
+        _g = -log2(-log2(u))
+           = sign-swapped log2fix(max(A, 2^20), min(A, 2^20)),
+             A = max(1, log2fix(2^33, 2h + 1))
+
+    Base-2 Gumbel-top-k selects the SAME set as natural-log Gumbel:
+    -log2(-log2 u) = (-ln(-ln u))/ln2 + log2(ln 2), and the weights
+    are also in log2 units, so every score is the old nat-score
+    scaled by 1/ln2 plus a global constant — a strictly monotone
+    transform of the old ordering (the A >= 1 clamp touches only
+    u > 1 - 2^-2^20, unreachable from a 32-bit hash)."""
+    from ..functions import fixlog
+    from .dedup import hash32
+
+    df = df.withColumn(
+        "_h",
+        hash32(
+            F.concat(F.col(id_col).cast("string"), F.lit("#g" + seed))
+        ),
+    )
+    df = fixlog.spark_apply(df, "8589934592", "2 * _h + 1", "_ga")
+    df = df.selectExpr("*", "greatest(_ga, 1) AS _ga0")
+    df = df.selectExpr(
+        "*",
+        "greatest(_ga0, 1048576) AS _ghi",
+        "least(_ga0, 1048576) AS _glo",
+    )
+    df = fixlog.spark_apply(df, "_ghi", "_glo", "_gm")
+    return df.selectExpr(
+        "*",
+        "case when _ga0 <= 1048576 then _gm else -_gm end AS _g",
+    ).drop("_h", "_ga", "_ga0", "_ghi", "_glo", "_gm")
 
 
 def dsir_sample(
@@ -222,20 +272,19 @@ def dsir_sample(
     buckets: int = 1024,
     smooth: int = 1,
     seed: str = "dsir",
-    scale: int = 1_000_000,
     gumbel: bool = True,
 ) -> DataFrame:
     """DSIR importance RESAMPLING: keep ceil(frac * n) documents by
     Gumbel-top-k over the importance weights — equivalent to sampling
     without replacement with probability proportional to
-    exp(weight/scale), the paper's selection rule (hash-derived Gumbel
+    2^(weight/2^20), the paper's selection rule (hash-derived Gumbel
     noise keeps diversity: hard top-k by weight alone would fill the
     quota with near-copies of the most target-like boilerplate;
     ``gumbel=False`` gives that hard variant). The noise is a pure
-    function of the id — u = (hash32(id||'#g'||seed)+0.5)/2^32,
-    g = round(-ln(-ln(u)) * scale) — so selection is deterministic,
-    layout-independent, and engine-replayable on the same micro-nat
-    grid as the weights (score = weight + g stays exact int64).
+    int64 function of the id (see _gumbel2_fix) on the same 2^-20
+    log2 grid as the weights — selection is deterministic,
+    layout-independent, and engine-replayable with NO transcendental
+    anywhere (score = weight + g stays exact int64).
 
     The top-k itself runs as orderBy(score, id).limit(k) —
     TakeOrderedAndProject, a per-partition top-k + driver merge, never
@@ -249,7 +298,6 @@ def dsir_sample(
     registry's ``doc_dsir_sample`` pins this exact-rank gumbel variant
     for oracle parity (plans/registry_llm.py:q_doc_dsir_sample).
     """
-    from .dedup import hash32
     from ..functions.caching import tracked_persist
 
     w = dsir_weights(
@@ -260,18 +308,10 @@ def dsir_sample(
         buckets=buckets,
         smooth=smooth,
         seed=seed,
-        scale=scale,
     )
     if gumbel:
-        u = (
-            hash32(
-                F.concat(
-                    F.col(id_col).cast("string"), F.lit("#g" + seed)
-                )
-            )
-            + F.lit(0.5)
-        ) / F.lit(4294967296.0)
-        g = F.round(-F.log(-F.log(u)) * F.lit(scale), 0).cast("long")
+        w = _gumbel2_fix(w, id_col, seed)
+        g = F.col("_g")
     else:
         g = F.lit(0).cast("long")
     # persist before the count: the k-sizing action and the top-k plan
@@ -301,7 +341,6 @@ def dsir_sample_cutoff(
     buckets: int = 1024,
     smooth: int = 1,
     seed: str = "dsir",
-    scale: int = 1_000_000,
     gumbel: bool = True,
     accuracy: int = 10_000,
 ) -> DataFrame:
@@ -319,7 +358,6 @@ def dsir_sample_cutoff(
     within the boundary band (tested). The exact-rank variant stays
     the oracle-gated one (approx sketches are not cross-engine
     replayable); use this one when k is selection-at-scale."""
-    from .dedup import hash32
     from ..functions.caching import tracked_persist
 
     w = dsir_weights(
@@ -330,18 +368,10 @@ def dsir_sample_cutoff(
         buckets=buckets,
         smooth=smooth,
         seed=seed,
-        scale=scale,
     )
     if gumbel:
-        u = (
-            hash32(
-                F.concat(
-                    F.col(id_col).cast("string"), F.lit("#g" + seed)
-                )
-            )
-            + F.lit(0.5)
-        ) / F.lit(4294967296.0)
-        g = F.round(-F.log(-F.log(u)) * F.lit(scale), 0).cast("long")
+        w = _gumbel2_fix(w, id_col, seed)
+        g = F.col("_g")
     else:
         g = F.lit(0).cast("long")
     scored = tracked_persist(
@@ -369,7 +399,6 @@ def lm_ppl_score(
     buckets: int = 4096,
     smooth: int = 1,
     seed: str = "lmppl",
-    scale: int = 1_000_000,
     target_text_col: str | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring (Wenzek et al. 2020,
@@ -391,20 +420,21 @@ def lm_ppl_score(
     Model: word bigrams hashed into ``buckets`` buckets (the dsir
     feature hashing, bigram-only, its own seed); the LM is the
     add-``smooth`` multinomial over target bucket counts,
-    p(b) = (t_b + s)/(T + sB). Per-bucket cost
-    nl_b = -ln p(b) is QUANTIZED to an int64 grid of 1/``scale`` nats
-    (the dsir_weights replay argument: B transcendental evaluations
-    per corpus on exact-integer arguments, then pure integer
-    arithmetic per document), and a document's
-    nll_micro_nats = sum_g c_dg * nl_bucket(g) is an exact integer.
-    ``mnll`` divides it back to mean nats per bigram as
-    (nll / n) / scale — two correctly-rounded IEEE divisions both
-    engines replay bit-exactly.
+    p(b) = (t_b + s)/(T + sB). Per-bucket cost nl_b = -log2 p(b) =
+    log2fix(T + sB, t_b + s) is computed ENTIRELY in int64 on the
+    2^-20 fixed-point grid (functions/fixlog.py — the dsir_weights
+    posture; base 2 instead of nats is a global constant factor, so
+    every ordering/tercile downstream is unchanged). A document's
+    nll_fix = sum_g c_dg * nl_bucket(g) is an exact integer with NO
+    transcendental anywhere in its derivation — portable across
+    engine builds by construction. ``mnll`` divides it back to mean
+    BITS per bigram as (nll / n) / 2^20 — two correctly-rounded IEEE
+    divisions both engines replay bit-exactly.
 
-    Output: one row per input row — (id_col, n_bigrams,
-    nll_micro_nats, mnll); a doc with fewer than two words has no
-    bigram and carries n_bigrams=0 with NULL nll/mnll (scoreless, not
-    silently fluent).
+    Output: one row per input row — (id_col, n_bigrams, nll_fix,
+    mnll); a doc with fewer than two words has no bigram and carries
+    n_bigrams=0 with NULL nll/mnll (scoreless, not silently
+    fluent).
 
     Scale shape: one explode + map-side-combined (id, bucket) groupBy
     over bigram occurrences, one B-row target aggregate, a 1-row
@@ -480,29 +510,31 @@ def lm_ppl_score(
                 F.when(F.col("_tgt"), F.col("c")).otherwise(0)
             ).alias("T_tot")
         )
+    from ..functions import fixlog
+
     s, sB = smooth, smooth * buckets
     # cost table over the buckets the CORPUS actually uses (raw side),
-    # target-count 0 where the target never hit the bucket
-    nl_val = (
-        F.log((F.coalesce(F.col("T_tot"), F.lit(0)) + sB).cast("double"))
-        - F.log((F.coalesce(F.col("t"), F.lit(0)) + s).cast("double"))
-    )
-    nl = (
+    # target-count 0 where the target never hit the bucket;
+    # nl = -log2 p(b) = log2fix(T + sB, t + s), p >= q since t <= T
+    # and s <= sB — the B-row kernel pass, then a broadcast join
+    nl = fixlog.spark_apply(
         dbc.select("bucket")
         .distinct()
         .join(tgt_b, "bucket", "left")
         .crossJoin(F.broadcast(tot))
-        .select(
+        .selectExpr(
             "bucket",
-            F.round(nl_val * F.lit(scale), 0).cast("long").alias("nl"),
-        )
-    )
+            f"coalesce(T_tot, 0) + {sB} AS _p",
+            f"coalesce(t, 0) + {s} AS _q",
+        ),
+        "_p", "_q", "nl",
+    ).select("bucket", "nl")
     per_doc = (
         dbc.join(F.broadcast(nl), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_bigrams"),
-            F.sum(F.col("c") * F.col("nl")).alias("nll_micro_nats"),
+            F.sum(F.col("c") * F.col("nl")).alias("nll_fix"),
         )
     )
     spine = df.select(id_col)
@@ -514,11 +546,11 @@ def lm_ppl_score(
     return spine.join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-        "nll_micro_nats",
+        "nll_fix",
         (
-            F.col("nll_micro_nats").cast("double")
+            F.col("nll_fix").cast("double")
             / F.col("n_bigrams").cast("double")
-            / F.lit(float(scale))
+            / F.lit(1048576.0)
         ).alias("mnll"),
     )
 
@@ -529,21 +561,20 @@ def lm_ppl_cost_table(
     buckets: int = 4096,
     smooth: int = 1,
     seed: str = "lmppl",
-    scale: int = 1_000_000,
 ) -> DataFrame:
     """The hashed-bigram LM as an AT-REST artifact: the FULL-domain
-    (bucket 0..B-1, nl) micro-nat cost table trained on ``target`` —
-    lm_ppl_score's cost join, decoupled from any particular scored
+    (bucket 0..B-1, nl) fixed-point cost table trained on ``target``
+    — lm_ppl_score's cost join, decoupled from any particular scored
     frame so it can be persisted once and reused (a streaming gate
     scoring micro-batches, repeated scoring passes over growing
     corpora). Full domain because future rows hash into arbitrary
     buckets; a bucket the target never hit costs
-    ln(T + sB) - ln(s) — computable, not missing.
+    log2fix(T + sB, s) — computable, not missing.
 
     nl values agree bit-exactly with lm_ppl_score(df, target=...) on
-    every bucket both produce: same counts, same formula, same
-    rounding to the int64 micro-nat grid
-    (test_cost_table_matches_inline_lm)."""
+    every bucket both produce: same counts, same int64 kernel, no
+    libm anywhere (test_cost_table_matches_inline_lm)."""
+    from ..functions import fixlog
     from .dedup import hash32
     from .text import _word_ngram_arrays
 
@@ -563,21 +594,19 @@ def lm_ppl_cost_table(
     )
     tot = tgt_b.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("T_tot"))
     s, sB = smooth, smooth * buckets
-    nl_val = (
-        F.log((F.col("T_tot") + sB).cast("double"))
-        - F.log((F.coalesce(F.col("t"), F.lit(0)) + s).cast("double"))
-    )
     spark = target.sparkSession
-    return (
+    return fixlog.spark_apply(
         spark.range(buckets)
         .select(F.col("id").cast("long").alias("bucket"))
         .join(tgt_b, "bucket", "left")
         .crossJoin(F.broadcast(tot))
-        .select(
+        .selectExpr(
             "bucket",
-            F.round(nl_val * F.lit(scale), 0).cast("long").alias("nl"),
-        )
-    )
+            f"coalesce(T_tot, 0) + {sB} AS _p",
+            f"coalesce(t, 0) + {s} AS _q",
+        ),
+        "_p", "_q", "nl",
+    ).select("bucket", "nl")
 
 
 def lm_ppl_score_with_costs(
@@ -587,14 +616,13 @@ def lm_ppl_score_with_costs(
     id_col: str = "doc_id",
     buckets: int = 4096,
     seed: str = "lmppl",
-    scale: int = 1_000_000,
 ) -> DataFrame:
     """Score ``df`` against a pinned full-domain cost table (the
     lm_ppl_cost_table artifact): same output contract as lm_ppl_score
-    — (id, n_bigrams, nll_micro_nats, mnll), scoreless docs carry
-    n_bigrams=0 with NULL scores. ``buckets``/``seed``/``scale`` must
-    be the values the table was trained with (callers persisting the
-    table persist them beside it).
+    — (id, n_bigrams, nll_fix, mnll), scoreless docs carry
+    n_bigrams=0 with NULL scores. ``buckets``/``seed`` must be the
+    values the table was trained with (callers persisting the table
+    persist them beside it).
 
     Scale shape: one explode + map-side-combined (id, bucket) groupBy
     of the SCORED frame only, the broadcast B-row cost join, a
@@ -624,18 +652,18 @@ def lm_ppl_score_with_costs(
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_bigrams"),
-            F.sum(F.col("c") * F.col("nl")).alias("nll_micro_nats"),
+            F.sum(F.col("c") * F.col("nl")).alias("nll_fix"),
         )
     )
     spine = df.select(id_col)
     return spine.join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
-        "nll_micro_nats",
+        "nll_fix",
         (
-            F.col("nll_micro_nats").cast("double")
+            F.col("nll_fix").cast("double")
             / F.col("n_bigrams").cast("double")
-            / F.lit(float(scale))
+            / F.lit(1048576.0)
         ).alias("mnll"),
     )
 

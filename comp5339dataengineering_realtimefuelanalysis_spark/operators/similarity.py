@@ -474,11 +474,15 @@ def ivf_topk(
             ]
         )
     )
+    # 2^plane via a literal int array lookup — pure integer (pow()
+    # is a libm call with no cross-engine exactness guarantee, and
+    # the bucket id it feeds reaches the output set)
+    pow2 = F.array(*[F.lit(1 << p) for p in range(planes)])
     probe_list = [F.col("bucket0")] + [
         F.col("bucket0").bitwiseXOR(
-            # 2^plane as int (shiftleft needs a literal shift amount)
-            F.pow(F.lit(2.0), F.element_at(flip_order, i + 1)["plane"])
-            .cast("int")
+            F.element_at(
+                pow2, F.element_at(flip_order, i + 1)["plane"] + 1
+            )
         )
         for i in range(max(0, min(probes - 1, planes)))
     ]

@@ -22,6 +22,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import fixlog
 from ..functions.caching import tracked_persist
 from ..functions.scalars import dec_avg
 from ..operators import dedup as dd
@@ -833,8 +834,6 @@ def _sql_bm25() -> str:
     recurrence (functions/fixlog.py emits the same step list for both
     dialects), so the two engines agree bit-for-bit by construction —
     no libm anywhere in the hashed value (the round-14 driver red)."""
-    from ..functions import fixlog
-
     a, c, u, v = tx.bm25_rationals(_BM25_K1, _BM25_B)
     vals = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
     qnorm = "trim(regexp_replace(lower(qtext), '\\s+', ' ', 'g'))"
@@ -1065,7 +1064,6 @@ def _sql_temperature_mix() -> str:
 # so query and oracle agree by construction.
 _DSIR_BUCKETS = 1024
 _DSIR_SEED = "dsir"
-_DSIR_SCALE = 1_000_000
 _DSIR_FRAC = 0.25
 
 
@@ -1073,24 +1071,26 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/selection.py:dsir_weights):
     per-doc log-likelihood ratio of hashed uni+bigram features under
     the target (lang='en') vs raw corpus distributions, on the exact
-    int64 micro-nat grid — one explode + map-side-combined groupBy,
-    two B-row aggregates, a broadcast lr join. Oracle-replayable
-    bit-exactly because every per-doc number is integer arithmetic."""
+    int64 2^-20 fixed-point log2 grid (functions/fixlog.py — zero
+    transcendentals, portable across engine builds) — one explode +
+    map-side-combined groupBy, two B-row aggregates, a broadcast lr
+    join. Oracle-replayable bit-exactly because every number is
+    integer arithmetic end to end."""
     docs = _docs_parallel(spark, sf_dir)
     return sel.dsir_weights(
         docs.select("doc_id", "text", "lang"),
         target=F.col("lang") == "en",
         buckets=_DSIR_BUCKETS,
         seed=_DSIR_SEED,
-        scale=_DSIR_SCALE,
     )
 
 
 def q_doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (operators/selection.py:dsir_sample):
-    Gumbel-top-k over the micro-nat weights, k = ceil(frac*n), noise a
-    pure hash of the doc id — deterministic, layout-independent, and
-    replayed exactly by the DuckDB oracle (exact-rank variant)."""
+    base-2 Gumbel-top-k over the fixed-point weights, k = ceil(frac*n),
+    noise a pure int64 function of the doc id hash — deterministic,
+    layout-independent, and replayed exactly by the DuckDB oracle
+    (exact-rank variant)."""
     docs = _docs_parallel(spark, sf_dir)
     return sel.dsir_sample(
         docs.select("doc_id", "text", "lang"),
@@ -1098,7 +1098,6 @@ def q_doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac=_DSIR_FRAC,
         buckets=_DSIR_BUCKETS,
         seed=_DSIR_SEED,
-        scale=_DSIR_SCALE,
         gumbel=True,
     )
 
@@ -1128,7 +1127,6 @@ def q_doc_dsir_sample_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         frac=_DSIR_FRAC,
         buckets=_DSIR_BUCKETS,
         seed=_DSIR_SEED,
-        scale=_DSIR_SCALE,
         gumbel=True,
         accuracy=_DSIR_CUTOFF_ACCURACY,
     )
@@ -1138,8 +1136,17 @@ def _sql_dsir_weights_ctes() -> str:
     """CTE chain ending in wts(doc_id, dsir_weight): mirrors
     dsir_weights — uni+bigram features (the embed_text feats_cte shape,
     different hash seed), add-1-smoothed bucket multinomials, the lr
-    grid as CAST(round(...*scale) AS BIGINT), integer dot product."""
-    b, s, sc = _DSIR_BUCKETS, _DSIR_SEED, _DSIR_SCALE
+    grid as a difference of two fixlog int64 kernels (no libm),
+    integer dot product."""
+    b, s = _DSIR_BUCKETS, _DSIR_SEED
+    lr_nested = fixlog.duckdb_nested(
+        fixlog.duckdb_nested(
+            "SELECT rb.bucket, rb.r, tb.t, tot.R_tot, tot.T_tot"
+            " FROM raw_b rb LEFT JOIN tgt_b tb USING (bucket), tot",
+            f"R_tot + {b}", "r + 1", "lrA",
+        ),
+        f"COALESCE(T_tot, 0) + {b}", "COALESCE(t, 0) + 1", "lrB",
+    )
     return rf"""{_sql_norm_words_cte()},
         feats_cte AS (
             SELECT doc_id,
@@ -1160,21 +1167,15 @@ def _sql_dsir_weights_ctes() -> str:
                        ::BIGINT % {b} AS bucket,
                    COUNT(*) AS c
             FROM expl GROUP BY 1, 2, 3),
-        raw_b AS (SELECT bucket, SUM(c) AS r FROM dbc GROUP BY bucket),
-        tgt_b AS (SELECT bucket, SUM(c) AS t FROM dbc
+        raw_b AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS r
+                  FROM dbc GROUP BY bucket),
+        tgt_b AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS t FROM dbc
                   WHERE tgt GROUP BY bucket),
-        tot AS (SELECT SUM(c) AS R_tot,
-                       SUM(CASE WHEN tgt THEN c ELSE 0 END) AS T_tot
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS R_tot,
+                       CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END)
+                            AS BIGINT) AS T_tot
                 FROM dbc),
-        lr AS (
-            SELECT rb.bucket,
-                   CAST(round((
-                       ln(CAST(COALESCE(tb.t, 0) + 1 AS DOUBLE))
-                       - ln(CAST(COALESCE(tot.T_tot, 0) + {b} AS DOUBLE))
-                       - ln(CAST(rb.r + 1 AS DOUBLE))
-                       + ln(CAST(tot.R_tot + {b} AS DOUBLE))
-                   ) * {sc}, 0) AS BIGINT) AS lr
-            FROM raw_b rb LEFT JOIN tgt_b tb USING (bucket), tot),
+        lr AS (SELECT bucket, lrA - lrB AS lr FROM ({lr_nested}) z),
         wts AS (
             SELECT dbc.doc_id,
                    CAST(SUM(dbc.c * lr.lr) AS BIGINT) AS dsir_weight
@@ -1187,18 +1188,35 @@ def _sql_dsir_weights() -> str:
         SELECT doc_id, dsir_weight FROM wts"""
 
 
-def _sql_dsir_sample() -> str:
-    sc, frac = _DSIR_SCALE, _DSIR_FRAC
-    g = (
-        "CAST(round(-ln(-ln((('0x' || substring(md5("
-        f"CAST(doc_id AS VARCHAR) || '#g{_DSIR_SEED}'), 1, 8))::BIGINT"
-        f" + 0.5) / 4294967296.0)) * {sc}, 0) AS BIGINT)"
+def _sql_dsir_gumbel_ctes() -> str:
+    """CTE chain from ``wts`` to ``scored(doc_id, dsir_weight,
+    score)``: the base-2 Gumbel noise as two chained fixlog kernels
+    (mirrors selection._gumbel2_fix — all int64)."""
+    h = (
+        "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || "
+        f"'#g{_DSIR_SEED}'), 1, 8))::BIGINT"
     )
-    return f"""WITH {_sql_dsir_weights_ctes()},
-        scored AS (
+    n1 = fixlog.duckdb_nested(
+        f"SELECT doc_id, dsir_weight, {h} AS h FROM wts",
+        "8589934592", "2 * h + 1", "ga",
+    )
+    src2 = (
+        "SELECT *, greatest(CASE WHEN ga < 1 THEN 1 ELSE ga END,"
+        " 1048576) AS ghi, least(CASE WHEN ga < 1 THEN 1 ELSE ga END,"
+        f" 1048576) AS glo FROM ({n1})"
+    )
+    n2 = fixlog.duckdb_nested(src2, "ghi", "glo", "gm")
+    return f"""scored AS (
             SELECT doc_id, dsir_weight,
-                   dsir_weight + {g} AS score
-            FROM wts)
+                   dsir_weight + (CASE WHEN ghi = 1048576 THEN gm
+                                       ELSE -gm END) AS score
+            FROM ({n2}) z)"""
+
+
+def _sql_dsir_sample() -> str:
+    frac = _DSIR_FRAC
+    return f"""WITH {_sql_dsir_weights_ctes()},
+        {_sql_dsir_gumbel_ctes()}
         SELECT doc_id, dsir_weight, score
         FROM scored
         QUALIFY ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
@@ -1327,21 +1345,18 @@ def _sql_gopher_rules() -> str:
 # oracle agree by construction.
 _PPL_BUCKETS = 4096
 _PPL_SEED = "lmppl"
-_PPL_SCALE = 1_000_000
-
-
 _PPL_SCORE_PATHS: dict[str, str] = {}
 
 
 def _ppl_scores_for(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LM score frame (doc_id, n_bigrams, nll_micro_nats, mnll),
+    """The LM score frame (doc_id, n_bigrams, nll_fix, mnll),
     materialized ONCE to parquet per process (the _lang_quality_for
     pattern, fingerprint-keyed): doc_lm_ppl, doc_ppl_buckets, and
     doc_quality_screen all consume the same scores, and each
     previously re-ran the full explode + LM chain. Longs/doubles
     round-trip parquet bit-exactly, so oracle parity is unaffected."""
     key = (
-        f"{sf_dir}:pplscores:{_PPL_BUCKETS}:{_PPL_SEED}:{_PPL_SCALE}"
+        f"{sf_dir}:pplscores:fix20:{_PPL_BUCKETS}:{_PPL_SEED}"
         f":{_corpus_fingerprint(sf_dir)}"
     )
     path = _PPL_SCORE_PATHS.get(key)
@@ -1353,7 +1368,6 @@ def _ppl_scores_for(spark: SparkSession, sf_dir: str) -> DataFrame:
             target=F.col("lang") == "en",
             buckets=_PPL_BUCKETS,
             seed=_PPL_SEED,
-            scale=_PPL_SCALE,
         ).write.mode("overwrite").parquet(path)
         _PPL_SCORE_PATHS[key] = path
     return spark.read.parquet(path)
@@ -1361,13 +1375,13 @@ def _ppl_scores_for(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality scoring (operators/selection.py:
-    lm_ppl_score): mean negative log-likelihood per bigram under a
-    hashed-bigram LM trained on the 'en' stratum, on the exact int64
-    micro-nat grid — one explode + map-side-combined groupBy, one
-    B-row aggregate, broadcast cost join; served from the shared
-    at-rest score materialization (_ppl_scores_for). Oracle-replayable
-    bit-exactly (integer nll; mnll via two correctly-rounded
-    divisions)."""
+    lm_ppl_score): mean negative log-likelihood per bigram (base 2)
+    under a hashed-bigram LM trained on the 'en' stratum, on the
+    exact int64 2^-20 fixed-point grid — one explode +
+    map-side-combined groupBy, one B-row kernel aggregate, broadcast
+    cost join; served from the shared at-rest score materialization
+    (_ppl_scores_for). Oracle-replayable bit-exactly with no libm in
+    the integer nll (mnll via two correctly-rounded divisions)."""
     return _ppl_scores_for(spark, sf_dir)
 
 
@@ -1383,15 +1397,21 @@ def q_doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_lm_ppl_ctes() -> str:
-    """CTE chain ending in pplscores(doc_id, n_bigrams,
-    nll_micro_nats, mnll): mirrors lm_ppl_score — bigram features over
-    the shared norm-words CTE (``w``, supplied by the caller — no
-    leading WITH and no ``w`` here, so gopher and ppl chains compose
-    in one statement), hashed target multinomial, per-bucket
-    micro-nat costs, exact integer per-doc sums, the two-division
-    mnll."""
-    b, sd, sc = _PPL_BUCKETS, _PPL_SEED, _PPL_SCALE
+    """CTE chain ending in pplscores(doc_id, n_bigrams, nll_fix,
+    mnll): mirrors lm_ppl_score — bigram features over the shared
+    norm-words CTE (``w``, supplied by the caller — no leading WITH
+    and no ``w`` here, so gopher and ppl chains compose in one
+    statement), hashed target multinomial, per-bucket fixed-point
+    log2 costs (the fixlog kernel — no libm), exact integer per-doc
+    sums, the two-division mnll."""
+    b, sd = _PPL_BUCKETS, _PPL_SEED
     s, sB = 1, b
+    nl_nested = fixlog.duckdb_nested(
+        "SELECT bk.bucket, tb.t, ppltot.T_tot"
+        " FROM (SELECT DISTINCT bucket FROM ppldbc) bk"
+        " LEFT JOIN ppltgt tb USING (bucket), ppltot",
+        f"COALESCE(T_tot, 0) + {sB}", f"COALESCE(t, 0) + {s}", "nl",
+    )
     return rf"""pplfeats AS (
             SELECT doc_id,
                    list_transform(range(1, len(words)),
@@ -1408,33 +1428,26 @@ def _sql_lm_ppl_ctes() -> str:
                        ::BIGINT % {b} AS bucket,
                    COUNT(*) AS c
             FROM pplexpl GROUP BY 1, 2, 3),
-        ppltgt AS (SELECT bucket, SUM(c) AS t FROM ppldbc
-                   WHERE tgt GROUP BY bucket),
-        ppltot AS (SELECT SUM(CASE WHEN tgt THEN c ELSE 0 END) AS T_tot
+        ppltgt AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS t
+                   FROM ppldbc WHERE tgt GROUP BY bucket),
+        ppltot AS (SELECT CAST(SUM(CASE WHEN tgt THEN c ELSE 0 END)
+                               AS BIGINT) AS T_tot
                    FROM ppldbc),
-        pplnl AS (
-            SELECT bk.bucket,
-                   CAST(round((
-                       ln(CAST(COALESCE(ppltot.T_tot, 0) + {sB}
-                               AS DOUBLE))
-                       - ln(CAST(COALESCE(tb.t, 0) + {s} AS DOUBLE))
-                   ) * {sc}, 0) AS BIGINT) AS nl
-            FROM (SELECT DISTINCT bucket FROM ppldbc) bk
-            LEFT JOIN ppltgt tb USING (bucket), ppltot),
+        pplnl AS (SELECT bucket, nl FROM ({nl_nested}) z),
         pplper AS (
             SELECT ppldbc.doc_id,
                    CAST(SUM(ppldbc.c) AS BIGINT) AS n_bigrams,
                    CAST(SUM(ppldbc.c * pplnl.nl) AS BIGINT)
-                       AS nll_micro_nats
+                       AS nll_fix
             FROM ppldbc JOIN pplnl USING (bucket)
             GROUP BY 1),
         pplscores AS (
             SELECT d.doc_id,
                    COALESCE(p.n_bigrams, 0) AS n_bigrams,
-                   p.nll_micro_nats,
-                   CAST(p.nll_micro_nats AS DOUBLE)
+                   p.nll_fix,
+                   CAST(p.nll_fix AS DOUBLE)
                        / CAST(p.n_bigrams AS DOUBLE)
-                       / {float(sc)} AS mnll
+                       / 1048576.0 AS mnll
             FROM documents d LEFT JOIN pplper p USING (doc_id))"""
 
 
@@ -1459,7 +1472,7 @@ def _sql_ppl_bucket_ctes() -> str:
 def _sql_lm_ppl() -> str:
     return f"""WITH {_sql_norm_words_cte()},
         {_sql_lm_ppl_ctes()}
-        SELECT doc_id, n_bigrams, nll_micro_nats, mnll
+        SELECT doc_id, n_bigrams, nll_fix, mnll
         FROM pplscores"""
 
 
@@ -1468,9 +1481,10 @@ def q_doc_lm_ppl_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm_ppl_score with a DataFrame target): the LM trains on an
     EXTERNAL trusted corpus — here the held-out doc_id%10==0 'en'
     shard playing the Wikipedia role — and scores the DISJOINT
-    remainder (doc_id%10!=0, all languages). Same exact micro-nat
-    grid, same explode + map-side-combine + B-row-broadcast shape;
-    the target frame's bigrams never mix into the scored spine."""
+    remainder (doc_id%10!=0, all languages). Same exact fixed-point
+    log2 grid, same explode + map-side-combine + B-row-broadcast
+    shape; the target frame's bigrams never mix into the scored
+    spine."""
     docs = _docs_parallel(spark, sf_dir)
     tgt = docs.filter(
         (F.col("doc_id") % 10 == 0) & (F.col("lang") == "en")
@@ -1483,7 +1497,6 @@ def q_doc_lm_ppl_external(spark: SparkSession, sf_dir: str) -> DataFrame:
         target=tgt,
         buckets=_PPL_BUCKETS,
         seed=_PPL_SEED,
-        scale=_PPL_SCALE,
     )
 
 
@@ -1491,9 +1504,15 @@ def _sql_lm_ppl_external() -> str:
     """External-target LM oracle: the trusted shard (doc_id%10==0 AND
     lang='en') trains the bucket multinomial; only the complement is
     scored. Mirrors _sql_lm_ppl_ctes otherwise (same hashing, same
-    micro-nat rounding, same two-division mnll)."""
-    b, sd, sc = _PPL_BUCKETS, _PPL_SEED, _PPL_SCALE
+    fixlog kernel costs, same two-division mnll)."""
+    b, sd = _PPL_BUCKETS, _PPL_SEED
     s, sB = 1, b
+    nl_nested = fixlog.duckdb_nested(
+        "SELECT bk.bucket, tb.t, xtot.T_tot"
+        " FROM (SELECT DISTINCT bucket FROM xdbc) bk"
+        " LEFT JOIN xtgt tb USING (bucket), xtot",
+        f"T_tot + {sB}", f"COALESCE(t, 0) + {s}", "nl",
+    )
     return rf"""WITH {_sql_norm_words_cte()},
         xfeats AS (
             SELECT doc_id,
@@ -1503,12 +1522,13 @@ def _sql_lm_ppl_external() -> str:
         xtgt AS (
             SELECT ('0x' || substring(md5(feat || '#{sd}'), 1, 8))
                        ::BIGINT % {b} AS bucket,
-                   COUNT(*) AS t
+                   CAST(COUNT(*) AS BIGINT) AS t
             FROM (SELECT unnest(f.feats) AS feat
                   FROM xfeats f JOIN documents d USING (doc_id)
                   WHERE d.doc_id % 10 = 0 AND d.lang = 'en')
             GROUP BY 1),
-        xtot AS (SELECT COALESCE(SUM(t), 0) AS T_tot FROM xtgt),
+        xtot AS (SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS T_tot
+                 FROM xtgt),
         xdbc AS (
             SELECT doc_id,
                    ('0x' || substring(md5(feat || '#{sd}'), 1, 8))
@@ -1517,27 +1537,20 @@ def _sql_lm_ppl_external() -> str:
             FROM (SELECT f.doc_id, unnest(f.feats) AS feat
                   FROM xfeats f WHERE f.doc_id % 10 <> 0)
             GROUP BY 1, 2),
-        xnl AS (
-            SELECT bk.bucket,
-                   CAST(round((
-                       ln(CAST(xtot.T_tot + {sB} AS DOUBLE))
-                       - ln(CAST(COALESCE(tb.t, 0) + {s} AS DOUBLE))
-                   ) * {sc}, 0) AS BIGINT) AS nl
-            FROM (SELECT DISTINCT bucket FROM xdbc) bk
-            LEFT JOIN xtgt tb USING (bucket), xtot),
+        xnl AS (SELECT bucket, nl FROM ({nl_nested}) z),
         xper AS (
             SELECT xdbc.doc_id,
                    CAST(SUM(xdbc.c) AS BIGINT) AS n_bigrams,
                    CAST(SUM(xdbc.c * xnl.nl) AS BIGINT)
-                       AS nll_micro_nats
+                       AS nll_fix
             FROM xdbc JOIN xnl USING (bucket)
             GROUP BY 1)
         SELECT d.doc_id,
                COALESCE(p.n_bigrams, 0) AS n_bigrams,
-               p.nll_micro_nats,
-               CAST(p.nll_micro_nats AS DOUBLE)
+               p.nll_fix,
+               CAST(p.nll_fix AS DOUBLE)
                    / CAST(p.n_bigrams AS DOUBLE)
-                   / {float(sc)} AS mnll
+                   / 1048576.0 AS mnll
         FROM documents d LEFT JOIN xper p USING (doc_id)
         WHERE d.doc_id % 10 <> 0"""
 
@@ -1760,7 +1773,7 @@ def q_corpus_curation_pipeline(
     sf_dir: str,
     stage_cb=None,
     sem_mode: str = "auto",
-    barrier: str = "local",
+    barrier: str = "auto",
 ) -> DataFrame:
     """The END-TO-END curation pipeline, every stage sequentially composed
     (each operates on the previous stage's survivors, not independent
@@ -1795,27 +1808,33 @@ def q_corpus_curation_pipeline(
     pick by the stage's survivor count vs _SEM_MODE_CROSSOVER. The
     oracle replays all three (auto as count-guarded branches).
 
-    ``barrier`` selects stage 2b's lineage barrier. ``"local"``
-    (default) = eager ``localCheckpoint``: right on a single-node
-    session (this bench, a notebook) — blocks live on executor-local
-    disk, zero write amplification, and the barrier's whole purpose
-    (truncating the exponentially re-analyzed logical tree, measured
-    46.6 -> 228 s without it) is plan-side. ``"durable"`` = write the
+    ``barrier`` selects stage 2b's lineage barrier. ``"local"`` =
+    eager ``localCheckpoint``: right on a single-node session (this
+    bench, a notebook) — blocks live on executor-local disk, zero
+    write amplification, and the barrier's whole purpose (truncating
+    the exponentially re-analyzed logical tree, measured 46.6 ->
+    228 s without it) is plan-side. ``"durable"`` = write the
     survivor frame to parquet under the managed temp root and re-read:
     the CLUSTER posture — localCheckpoint blocks have no lineage to
     recompute, so one lost executor mid-pipeline fails the query,
     while the write-read form (pointed at the job's at-rest store in
     production) survives executor loss AND provides the identical
-    plan barrier. Output is bit-identical either way (parquet
-    round-trips every column type here exactly); both paths are
-    asserted equal in tests and both are scale-measured in SCALE.md.
+    plan barrier. ``"auto"`` (default) resolves by deployment:
+    ``local`` on a ``local[*]`` master, ``durable`` on anything else
+    (a real cluster must never pick the executor-loss-fragile form by
+    default). Output is bit-identical either way (parquet round-trips
+    every column type here exactly); both paths are asserted equal in
+    tests and both are scale-measured in SCALE.md.
     """
     if sem_mode not in ("auto", "1l", "2l"):
         raise ValueError(f"sem_mode must be auto|1l|2l, got {sem_mode!r}")
-    if barrier not in ("local", "durable"):
+    if barrier not in ("auto", "local", "durable"):
         raise ValueError(
-            f"barrier must be local|durable, got {barrier!r}"
+            f"barrier must be auto|local|durable, got {barrier!r}"
         )
+    if barrier == "auto":
+        master = spark.sparkContext.master or ""
+        barrier = "local" if master.startswith("local") else "durable"
     if stage_cb is None:
         stage_cb = lambda _name, thunk: thunk()  # noqa: E731
     docs = _docs_parallel(spark, sf_dir)
@@ -1892,7 +1911,6 @@ def q_corpus_curation_pipeline(
                 target=F.col("lang") == "en",
                 buckets=_PPL_BUCKETS,
                 seed=_PPL_SEED,
-                scale=_PPL_SCALE,
             )
         )
         p = (
@@ -2260,7 +2278,7 @@ def _curation_stage9_for(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stage 2b (quality screen) constants: the survivor set depends
         # on them, so a retune must invalidate the cache
         f":{_GOPHER_MIN_WORDS}:{_GOPHER_MIN_STOP}"
-        f":{_PPL_BUCKETS}:{_PPL_SEED}:{_PPL_SCALE}"
+        f":{_PPL_BUCKETS}:{_PPL_SEED}:fix20"
         f":{_corpus_fingerprint(sf_dir)}"
     )
     path = _STAGE9_PATHS.get(key)
@@ -4524,8 +4542,9 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         q_doc_dsir_weights,
         _sql_dsir_weights(),
         ("documents",),
-        "DSIR importance weights (hashed-ngram LLR, int64 micro-nat "
-        "grid): explode + map-side-combined groupBy + broadcast lr join",
+        "DSIR importance weights (hashed-ngram LLR, int64 fixed-point "
+        "log2 grid — no libm): explode + map-side-combined groupBy + "
+        "broadcast lr join",
     ),
     "doc_dsir_sample": QueryDef(
         q_doc_dsir_sample,
@@ -4557,8 +4576,8 @@ LLM_REGISTRY: dict[str, QueryDef] = {
         q_doc_lm_ppl,
         _sql_lm_ppl(),
         ("documents",),
-        "CCNet-style LM quality score: mean NLL/bigram under a "
-        "hashed-bigram target LM, exact micro-nat grid",
+        "CCNet-style LM quality score: mean NLL/bigram (base 2) under "
+        "a hashed-bigram target LM, int64 fixed-point grid — no libm",
     ),
     "doc_lm_ppl_external": QueryDef(
         q_doc_lm_ppl_external,

@@ -158,9 +158,9 @@ class StreamingIncrementalDedup:
     #   per-bucket cost table AND the head/middle/tail cuts are
     #   trained ONCE (train_ppl_model — CCNet's external trusted
     #   corpus, e.g. a Wikipedia-role frame) and pinned at rest under
-    #   ``ppl_model_path`` (costs/ = the full-domain B-row micro-nat
-    #   table, stats/ = cuts + the hashing params they were trained
-    #   with). Batches are scored against the pinned table (one
+    #   ``ppl_model_path`` (costs/ = the full-domain B-row fixed-point
+    #   log2 cost table, stats/ = cuts + the hashing params they were
+    #   trained with). Batches are scored against the pinned table (one
     #   explode + map-side-combined groupBy of batch rows + the B-row
     #   broadcast join — batch-local, the per-batch corpus-shuffle-
     #   free contract holds) and docs whose bucket is not in
@@ -176,7 +176,6 @@ class StreamingIncrementalDedup:
     ppl_rejects_path: str | None = None
     ppl_buckets: int = 4096
     ppl_seed: str = "lmppl"
-    ppl_scale: int = 1_000_000
     ppl_smooth: int = 1
     ppl_keep: tuple = ("head", "middle")
     _index_coverage_checked: bool = field(
@@ -1100,9 +1099,13 @@ class StreamingIncrementalDedup:
     def _ppl_stats_path(self) -> str:
         return os.path.join(self.ppl_model_path, "stats")
 
+    # "frac" pins the fixed-point grid (log2, 2^-frac) the cost table
+    # was built on — the fixlog kernel's fractional bits, replacing
+    # the old micro-nat "scale" (a model trained before the fixlog
+    # migration fails the config check and must be retrained)
     _PPL_STATS_SCHEMA = (
         "t1 double, t2 double, buckets long, seed string, "
-        "scale long, smooth long, n_train_bigrams long"
+        "frac long, smooth long, n_train_bigrams long"
     )
 
     def train_ppl_model(
@@ -1132,7 +1135,6 @@ class StreamingIncrementalDedup:
             buckets=self.ppl_buckets,
             smooth=self.ppl_smooth,
             seed=self.ppl_seed,
-            scale=self.ppl_scale,
         )
         costs.write.mode("overwrite").parquet(self._ppl_costs_path())
         # score the cuts frame against the AT-REST table (what batches
@@ -1151,7 +1153,6 @@ class StreamingIncrementalDedup:
             id_col="__cid",
             buckets=self.ppl_buckets,
             seed=self.ppl_seed,
-            scale=self.ppl_scale,
         ).filter(F.col("mnll").isNotNull())
         if exact_cuts:
             t1 = F.percentile("mnll", F.lit(1.0 / 3.0))
@@ -1168,7 +1169,7 @@ class StreamingIncrementalDedup:
             t2.cast("double").alias("t2"),
             F.lit(self.ppl_buckets).cast("long").alias("buckets"),
             F.lit(self.ppl_seed).alias("seed"),
-            F.lit(self.ppl_scale).cast("long").alias("scale"),
+            F.lit(20).cast("long").alias("frac"),
             F.lit(self.ppl_smooth).cast("long").alias("smooth"),
             F.sum("n_bigrams").cast("long").alias("n_train_bigrams"),
         )
@@ -1203,16 +1204,17 @@ class StreamingIncrementalDedup:
                 "ppl_gate=True but no pinned LM at "
                 f"{self.ppl_model_path!r}: run train_ppl_model first"
             )
-        pinned = (row["buckets"], row["seed"], row["scale"],
+        pinned = (row["buckets"], row["seed"], row["frac"],
                   row["smooth"])
-        configured = (self.ppl_buckets, self.ppl_seed, self.ppl_scale,
+        configured = (self.ppl_buckets, self.ppl_seed, 20,
                       self.ppl_smooth)
         if pinned != configured:
             raise RuntimeError(
                 "ppl gate config mismatch: the at-rest model was "
-                f"trained with (buckets, seed, scale, smooth)={pinned} "
+                f"trained with (buckets, seed, frac, smooth)={pinned} "
                 f"but this instance is configured with {configured}; "
-                "scoring batches with mismatched hashing would be "
+                "scoring batches with mismatched hashing (or a "
+                "pre-fixlog micro-nat model, frac=NULL) would be "
                 "silently meaningless — retrain or fix the config"
             )
         self._ppl_costs = spark.read.schema(
@@ -1343,7 +1345,6 @@ class StreamingIncrementalDedup:
                 id_col=self.id_col,
                 buckets=self.ppl_buckets,
                 seed=self.ppl_seed,
-                scale=self.ppl_scale,
             )
             m = F.col("mnll")
             # the ppl_buckets CASE, against the PINNED cuts

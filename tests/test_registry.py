@@ -113,6 +113,15 @@ def test_curation_pipeline_durable_barrier_identical(spark):
     with pytest.raises(ValueError, match="barrier"):
         rl.q_corpus_curation_pipeline(spark, SF_SMOKE, barrier="bogus")
 
+    # barrier='auto' on this local[*] session resolves to the
+    # localCheckpoint form (no parquet barrier scan in the plan); the
+    # cluster side of the auto rule is source-asserted (master not
+    # local -> durable) since no cluster exists in this harness
+    auto = rl.q_corpus_curation_pipeline(spark, SF_SMOKE)
+    plan_auto = auto._jdf.queryExecution().executedPlan().toString()
+    assert "pipeline_qscreen_barrier" not in plan_auto
+    assert spark.sparkContext.master.startswith("local")
+
 
 def test_every_query_runs_at_smoke_sf(spark):
     for name, qd in REGISTRY.items():

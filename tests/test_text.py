@@ -413,12 +413,16 @@ def test_temperature_mix_flattens_and_nests(spark):
     assert again == cold
 
 
-def _dsir_expected(docs, targets, buckets=64, smooth=1, scale=10**6):
+def _dsir_expected(docs, targets, buckets=64, smooth=1):
     """Pure-Python replay of dsir_weights (same md5 bucket hash, same
-    int64 micro-nat grid) for hand-checking the Spark output."""
+    int64 fixed-point log2 kernel) for hand-checking the Spark
+    output."""
     import hashlib
-    import math
     import re
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.functions.fixlog import (
+        log2fix_py,
+    )
 
     def feats(text):
         words = re.sub(r"\s+", " ", (text or "").lower()).strip().split(" ")
@@ -448,19 +452,8 @@ def _dsir_expected(docs, targets, buckets=64, smooth=1, scale=10**6):
     sB = smooth * buckets
 
     def lr(b):
-        v = (
-            math.log(tgt.get(b, 0) + smooth)
-            - math.log(T + sB)
-            - math.log(raw[b] + smooth)
-            + math.log(R + sB)
-        )
-        # Spark round() is HALF_UP (ties away from zero)
-        import decimal
-
-        return int(
-            decimal.Decimal(v * scale).quantize(
-                0, rounding=decimal.ROUND_HALF_UP
-            )
+        return log2fix_py(R + sB, raw[b] + smooth) - log2fix_py(
+            T + sB, tgt.get(b, 0) + smooth
         )
 
     return {
@@ -541,23 +534,23 @@ def test_dsir_sample_gumbel_vs_hard(spark):
     w = dsir_weights(df, F.col("tgt")).collect()
     top = sorted(w, key=lambda r: (-r.dsir_weight, r.doc_id))[:10]
     assert {r.doc_id for r in hard} == {r.doc_id for r in top}
-    # gumbel variant: score == weight + hash-derived Gumbel noise on
-    # the same micro-nat grid — replay the noise exactly in Python and
-    # check both the per-row score and the selected set
-    import decimal
+    # gumbel variant: score == weight + hash-derived BASE-2 Gumbel
+    # noise on the same 2^-20 fixed-point grid — replay the noise
+    # exactly in Python (the int64 kernel, no floats) and check both
+    # the per-row score and the selected set
     import hashlib
-    import math
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.functions.fixlog import (
+        log2fix_py,
+    )
 
     def gnoise(did):
         h = int(
             hashlib.md5(f"{did}#gdsir".encode()).hexdigest()[:8], 16
         )
-        u = (h + 0.5) / 2**32
-        return int(
-            decimal.Decimal(-math.log(-math.log(u)) * 10**6).quantize(
-                0, rounding=decimal.ROUND_HALF_UP
-            )
-        )
+        a0 = max(1, log2fix_py(2**33, 2 * h + 1))
+        m = log2fix_py(max(a0, 2**20), min(a0, 2**20))
+        return m if a0 <= 2**20 else -m
 
     assert all(r.score == r.dsir_weight + gnoise(r.doc_id) for r in gum)
     exp_gum = sorted(
@@ -666,15 +659,17 @@ def test_dsir_cutoff_within_documented_band(spark):
 
 def test_lm_ppl_score_hand_replayed(spark):
     """lm_ppl_score's nll is an exact integer: replay the hashed-bigram
-    LM in plain Python from the same inputs and compare every doc's
-    (n_bigrams, nll_micro_nats, mnll); scoreless docs (0/1 words, NULL
-    text) carry n_bigrams=0 and NULL scores."""
+    LM in plain Python from the same inputs (the int64 fixlog kernel —
+    no floats) and compare every doc's (n_bigrams, nll_fix, mnll);
+    scoreless docs (0/1 words, NULL text) carry n_bigrams=0 and NULL
+    scores."""
     import hashlib
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
 
     from pyspark.sql import functions as F
 
+    from comp5339dataengineering_realtimefuelanalysis_spark.functions.fixlog import (
+        log2fix_py,
+    )
     from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
         lm_ppl_score,
     )
@@ -688,17 +683,17 @@ def test_lm_ppl_score_hand_replayed(spark):
         (6, "the quick brown fox jumps over the lazy dog", False),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
-    B, SEED, SCALE = 64, "lmppl", 1_000_000
+    B, SEED = 64, "lmppl"
     got = {
         r.doc_id: r
         for r in lm_ppl_score(
-            df, F.col("tgt"), buckets=B, seed=SEED, scale=SCALE
+            df, F.col("tgt"), buckets=B, seed=SEED
         ).collect()
     }
     assert set(got) == {1, 2, 3, 4, 5, 6}
     for did in (4, 5):
         assert got[did].n_bigrams == 0
-        assert got[did].nll_micro_nats is None
+        assert got[did].nll_fix is None
         assert got[did].mnll is None
 
     def h32(sx: str) -> int:
@@ -720,8 +715,7 @@ def test_lm_ppl_score_hand_replayed(spark):
     T = sum(tcount.values())
 
     def nl(bk: int) -> int:
-        v = (math.log(T + B) - math.log(tcount.get(bk, 0) + 1)) * SCALE
-        return int(Decimal(v).quantize(0, ROUND_HALF_UP))
+        return log2fix_py(T + B, tcount.get(bk, 0) + 1)
 
     for did, text, _ in rows:
         if not text or len(text.split()) < 2:
@@ -729,8 +723,8 @@ def test_lm_ppl_score_hand_replayed(spark):
         bks = buckets_of(text)
         exp_nll = sum(nl(bk) for bk in bks)
         assert got[did].n_bigrams == len(bks), did
-        assert got[did].nll_micro_nats == exp_nll, did
-        assert got[did].mnll == (exp_nll / len(bks)) / float(SCALE)
+        assert got[did].nll_fix == exp_nll, did
+        assert got[did].mnll == (exp_nll / len(bks)) / 1048576.0
     # CCNet semantics: a target-distribution doc scores LOWER (more
     # fluent under the LM) than an off-distribution one
     assert got[6].mnll < got[3].mnll
@@ -908,7 +902,7 @@ def test_lm_ppl_external_target_frame(spark):
         (101, "the quick brown fox naps under the old tree"),
         (102, "the lazy dog sleeps while the quick fox runs"),
     ]
-    B, SEED, SCALE = 64, "lmppl", 1_000_000
+    B, SEED = 64, "lmppl"
     scored = spark.createDataFrame(
         scored_rows, "doc_id long, text string"
     )
@@ -916,9 +910,9 @@ def test_lm_ppl_external_target_frame(spark):
         trusted_rows, "doc_id long, body string"
     )
     ext = {
-        r.doc_id: (r.n_bigrams, r.nll_micro_nats, r.mnll)
+        r.doc_id: (r.n_bigrams, r.nll_fix, r.mnll)
         for r in lm_ppl_score(
-            scored, trusted, buckets=B, seed=SEED, scale=SCALE,
+            scored, trusted, buckets=B, seed=SEED,
             target_text_col="body",
         ).collect()
     }
@@ -929,27 +923,30 @@ def test_lm_ppl_external_target_frame(spark):
         "doc_id long, text string, tgt boolean",
     )
     col = {
-        r.doc_id: (r.n_bigrams, r.nll_micro_nats, r.mnll)
+        r.doc_id: (r.n_bigrams, r.nll_fix, r.mnll)
         for r in lm_ppl_score(
-            union, F.col("tgt"), buckets=B, seed=SEED, scale=SCALE
+            union, F.col("tgt"), buckets=B, seed=SEED
         ).collect()
     }
     assert set(ext) == {1, 2, 3, 4}
     for did in ext:
         assert ext[did] == col[did], (did, ext[did], col[did])
-    # empty target frame: every bucket costs ln(sB) - ln(s), scores
+    # empty target frame: every bucket costs log2fix(sB, s), scores
     # still total and deterministic (never NULL from the LM side)
     empty = trusted.filter("doc_id < 0")
     e = {
         r.doc_id: r
         for r in lm_ppl_score(
-            scored, empty, buckets=B, seed=SEED, scale=SCALE,
+            scored, empty, buckets=B, seed=SEED,
             target_text_col="body",
         ).collect()
     }
-    import math
-    flat = round(math.log(B) * SCALE)
-    assert e[1].nll_micro_nats == e[1].n_bigrams * flat
+    from comp5339dataengineering_realtimefuelanalysis_spark.functions.fixlog import (
+        log2fix_py,
+    )
+
+    flat = log2fix_py(B, 1)
+    assert e[1].nll_fix == e[1].n_bigrams * flat
 
 
 def test_cost_table_matches_inline_lm(spark):
@@ -980,13 +977,13 @@ def test_cost_table_matches_inline_lm(spark):
     )
     B = 64
     inline = {
-        r.doc_id: (r.n_bigrams, r.nll_micro_nats, r.mnll)
+        r.doc_id: (r.n_bigrams, r.nll_fix, r.mnll)
         for r in lm_ppl_score(scored, trusted, buckets=B).collect()
     }
     costs = lm_ppl_cost_table(trusted, buckets=B)
     assert costs.count() == B  # full domain, always
     at_rest = {
-        r.doc_id: (r.n_bigrams, r.nll_micro_nats, r.mnll)
+        r.doc_id: (r.n_bigrams, r.nll_fix, r.mnll)
         for r in lm_ppl_score_with_costs(
             scored, costs, buckets=B
         ).collect()
