@@ -181,6 +181,9 @@ class StreamingIncrementalDedup:
     _index_coverage_checked: bool = field(
         default=False, init=False, repr=False
     )
+    _banding_checked: bool = field(
+        default=False, init=False, repr=False
+    )
     _sem_coverage_checked: bool = field(
         default=False, init=False, repr=False
     )
@@ -296,6 +299,130 @@ class StreamingIncrementalDedup:
                 "backfill_band_index(spark) once before streaming."
             )
         self._index_coverage_checked = True
+
+    # -- banding version pin / migration ----------------------------------
+
+    def _banding_pin_path(self) -> str:
+        return self.silver_path + "_banding"
+
+    _BANDING_PIN_SCHEMA = "n long, num_hashes long, bands long"
+
+    def _check_banding_pin(self, spark: SparkSession) -> None:
+        """Pin the (n, num_hashes, bands) the silver corpus' stored
+        ``band_keys`` were computed with, and refuse to run when the
+        instance config disagrees: screening v1-keyed corpus rows with
+        v2 batch keys makes the bucket join silently match NOTHING —
+        every near-dup of an admitted doc would be admitted again. The
+        first run writes the pin; a mismatch afterwards means the
+        operator wants a banding upgrade (e.g. to the measured
+        K48/b8/r6 S-curve knee) and must run ``migrate_banding`` into
+        a fresh root. Checked once per instance (the ppl-gate config
+        posture)."""
+        if self._banding_checked:
+            return
+        configured = (self.n, self.num_hashes, self.bands)
+        try:
+            row = spark.read.schema(self._BANDING_PIN_SCHEMA).parquet(
+                self._banding_pin_path()
+            ).first()
+        except AnalysisException:
+            row = None
+        if row is None:
+            spark.createDataFrame(
+                [configured], self._BANDING_PIN_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(
+                self._banding_pin_path()
+            )
+        else:
+            pinned = (row["n"], row["num_hashes"], row["bands"])
+            if pinned != configured:
+                raise RuntimeError(
+                    "banding config mismatch: silver at "
+                    f"{self.silver_path!r} stores band_keys computed "
+                    f"with (n, num_hashes, bands)={pinned} but this "
+                    f"instance is configured with {configured}. "
+                    "Screening with mismatched banding silently admits "
+                    "every near-dup — run migrate_banding(...) into a "
+                    "new silver root to upgrade, or fix the config."
+                )
+        self._banding_checked = True
+
+    def migrate_banding(
+        self,
+        spark: SparkSession,
+        dest_silver_path: str,
+        dest_band_index_path: str | None = None,
+        num_hashes: int = 48,
+        bands: int = 8,
+        n: int | None = None,
+    ) -> int:
+        """One-time banding upgrade: rebuild the silver corpus'
+        ``band_keys`` (and, when requested, the at-rest band index)
+        at a NEW (num_hashes, bands) — the migration that lets an
+        existing deployment collect the measured K48/b8/r6 S-curve
+        knee (SCALE_MEASURED.json: 12x fewer candidates, 3.3x faster
+        end-to-end at 500k docs) without re-admitting anything.
+
+        Writes into FRESH roots rather than rewriting in place: an
+        in-place overwrite of a path being read is both a Spark error
+        and an operational hazard (a failed mid-rewrite leaves no
+        corpus); the old roots remain intact as the rollback. Cost is
+        one full re-shingle + re-hash of silver text — the only time
+        the "corpus is never re-shingled" contract is deliberately
+        broken, paid once per banding change (timed at x30 scale in
+        SCALE_MEASURED.json: band_migration). Run it with no stream
+        active, then point a runner configured with the new
+        (num_hashes, bands) at the new SILVER/INDEX roots while
+        KEEPING the original landing dir and checkpoint — epoch
+        numbering must continue from the checkpoint, because a fresh
+        checkpoint restarts epoch ids at 0 and the dynamic-overwrite
+        replay contract would then clobber historical epoch
+        partitions (tested). The pin check passes by construction and
+        epoch replay isolation carries over (partitions preserved).
+
+        Returns the number of docs migrated (0 when silver is empty —
+        only the new pin is written, so a fresh deployment can start
+        directly at the knee)."""
+        n = self.n if n is None else n
+        try:
+            silver = spark.read.parquet(self.silver_path)
+        except AnalysisException:
+            silver = None
+        count = 0
+        if silver is not None:
+            rekeyed = dd.minhash_band_keys(
+                silver.drop("band_keys"),
+                self.text_col,
+                self.id_col,
+                n,
+                num_hashes,
+                bands,
+            )
+            (
+                rekeyed.write.mode("overwrite")
+                .partitionBy("ingest_epoch")
+                .parquet(dest_silver_path)
+            )
+            migrated = spark.read.parquet(dest_silver_path)
+            count = migrated.count()
+            if dest_band_index_path is not None:
+                (
+                    migrated.select(
+                        self.id_col,
+                        "ingest_epoch",
+                        F.posexplode("band_keys").alias("band", "key"),
+                    )
+                    .withColumn("kp", _key_prefix())
+                    .write.mode("overwrite")
+                    .partitionBy("kp", "ingest_epoch")
+                    .parquet(dest_band_index_path)
+                )
+        spark.createDataFrame(
+            [(n, num_hashes, bands)], self._BANDING_PIN_SCHEMA
+        ).coalesce(1).write.mode("overwrite").parquet(
+            dest_silver_path + "_banding"
+        )
+        return count
 
     def backfill_band_index(self, spark: SparkSession) -> int:
         """Build index rows for every silver epoch missing from the
@@ -1391,6 +1518,7 @@ class StreamingIncrementalDedup:
     def _sink(self, batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         txt, did = self.text_col, self.id_col
+        self._check_banding_pin(spark)
 
         # 0. opt-in curation gates (PII scrub, repetition gate) —
         #    batch-local by construction, before any hashing

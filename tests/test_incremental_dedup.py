@@ -1152,3 +1152,170 @@ def test_streaming_ppl_gate(spark, tmp_path):
     rej3 = spark.read.parquet(str(tmp_path / "prejects"))
     assert rej3.filter("ingest_epoch = 0").count() == 0
     assert rej3.count() == 0
+
+
+def test_banding_pin_and_knee_migration(spark, tmp_path, dedup):
+    """The banding version pin + migrate_banding: (1) the first run
+    pins (n, K, b); a runner configured differently against the same
+    silver must refuse (mismatched banding silently admits every
+    near-dup); (2) migration into fresh roots rebuilds band_keys and
+    the band index at the knee (K48/b8) bit-identically to computing
+    them there directly, preserves epochs, and a knee-configured
+    runner over the migrated roots passes the pin check and screens
+    new batches correctly."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+        dedup as dd,
+    )
+
+    _land(spark, dedup, [(1, BASE), (2, OTHER)])
+    _run(dedup)
+    _land(spark, dedup, [(3, THIRD)])
+    _run(dedup)
+    assert _silver_ids(spark, dedup) == {1, 2, 3}
+
+    # pin written on first batch; a mismatched config refuses
+    bad = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=dedup.landing_dir,
+        silver_path=dedup.silver_path,
+        checkpoint_dir=str(tmp_path / "chk_bad"),
+        schema=SCHEMA,
+        num_hashes=48,
+        bands=8,
+    )
+    with pytest.raises(RuntimeError, match="banding config mismatch"):
+        bad._check_banding_pin(spark)
+
+    # migrate to the knee in fresh roots
+    dest = str(tmp_path / "silver_v2")
+    dest_idx = str(tmp_path / "bandidx_v2")
+    nmig = dedup.migrate_banding(
+        spark, dest, dest_idx, num_hashes=48, bands=8
+    )
+    assert nmig == 3
+    mig = spark.read.parquet(dest)
+    # band_keys == direct knee computation on the same text (order of
+    # epochs/rows irrelevant; keys are per-doc deterministic)
+    exp = {
+        r.doc_id: r.band_keys
+        for r in dd.minhash_band_keys(
+            mig.drop("band_keys"), "text", "doc_id",
+            dedup.n, 48, 8,
+        ).collect()
+    }
+    got = {r.doc_id: r.band_keys for r in mig.collect()}
+    assert got == exp and all(len(v) == 8 for v in got.values())
+    # epochs preserved
+    assert {
+        (r.doc_id, r.ingest_epoch) for r in mig.collect()
+    } == {(1, 0), (2, 0), (3, 1)}
+    # index rows are exactly the exploded migrated keys
+    idx = spark.read.parquet(dest_idx)
+    assert {
+        (r.doc_id, r.band, r.key) for r in idx.collect()
+    } == {
+        (did, band, key)
+        for did, keys in got.items()
+        for band, key in enumerate(keys)
+    }
+
+    # a knee-configured runner over the migrated roots: pin passes,
+    # near-dup of an admitted doc is rejected, fresh content admitted.
+    # The runner KEEPS the original landing dir and checkpoint (epoch
+    # numbering must continue — a fresh checkpoint restarts epochs at
+    # 0 and dynamic overwrite would clobber historical partitions);
+    # only the silver/index roots move.
+    v2 = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=dedup.landing_dir,
+        silver_path=dest,
+        checkpoint_dir=dedup.checkpoint_dir,
+        schema=SCHEMA,
+        num_hashes=48,
+        bands=8,
+        band_index_path=dest_idx,
+    )
+    _land(spark, v2, [(10, NEAR), (11, PAIR_A)])
+    _run(v2)
+    assert _silver_ids(spark, v2) == {1, 2, 3, 11}
+
+    # empty-silver migration: pins the knee so a fresh deployment can
+    # start there directly
+    empty = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=str(tmp_path / "landing_e"),
+        silver_path=str(tmp_path / "silver_empty"),
+        checkpoint_dir=str(tmp_path / "chk_e"),
+        schema=SCHEMA,
+    )
+    assert empty.migrate_banding(
+        spark, str(tmp_path / "silver_e2"), num_hashes=48, bands=8
+    ) == 0
+    fresh = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=str(tmp_path / "landing_f"),
+        silver_path=str(tmp_path / "silver_e2"),
+        checkpoint_dir=str(tmp_path / "chk_f"),
+        schema=SCHEMA,
+        num_hashes=48,
+        bands=8,
+    )
+    fresh._check_banding_pin(spark)  # pinned knee matches config
+
+
+def test_migrated_keys_reproduce_knee_pairs(spark, tmp_path):
+    """End-to-end knee equivalence: candidates generated from the
+    MIGRATED at-rest band_keys (the storage path a deployment
+    actually screens with) verify to exactly the pair set of the
+    oracle-gated doc_lsh_verified_pairs_knee query over the same
+    corpus — the stored v2 index IS the knee operating point, not an
+    approximation of it."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+        dedup as dd,
+    )
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans import (
+        registry_llm as rl,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # a one-epoch v1 silver of the whole corpus
+    silver_v1 = str(tmp_path / "silver")
+    dd.minhash_band_keys(docs, "text", "doc_id", rl._SHINGLE_N, 16, 4) \
+        .withColumn("ingest_epoch", F.lit(0)) \
+        .write.partitionBy("ingest_epoch").parquet(silver_v1)
+    runner = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=str(tmp_path / "landing"),
+        silver_path=silver_v1,
+        checkpoint_dir=str(tmp_path / "chk"),
+        schema=SCHEMA,
+        n=rl._SHINGLE_N,
+    )
+    dest = str(tmp_path / "silver_v2")
+    runner.migrate_banding(
+        spark, dest,
+        num_hashes=rl._KNEE_NUM_HASHES, bands=rl._KNEE_BANDS,
+    )
+    stored = dd.banded_from_keys(spark.read.parquet(dest))
+    capped, _ = dd.cap_buckets(
+        stored, ["band", "key"], rl._LSH_MAX_BUCKET
+    )
+    a = capped.select(F.col("doc_id").alias("id_a"), "band", "key")
+    b = capped.select(F.col("doc_id").alias("id_b"), "band", "key")
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = dd.jaccard_verify_pairs(
+        docs, cands, n=rl._SHINGLE_N,
+        threshold=rl._JACCARD_THRESHOLD,
+    )
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    knee = rl.q_doc_lsh_verified_pairs_knee(spark, sf)
+    exp = {(r.id_a, r.id_b) for r in knee.collect()}
+    assert got == exp and exp

@@ -385,3 +385,75 @@ def test_decode_auto_real_image_jpeg_headers(spark):
     assert (out[3].width, out[3].height) == (5, 3)
     assert out[3].feature is not None  # PNG keeps the pixel feature
     assert out[4].decode_err is not None and out[4].width is None
+
+
+def _mp3_bytes(
+    frames: int = 3, id3: bool = False, trailer: bool = False
+) -> bytes:
+    """Spec-valid MPEG1 Layer III CBR stream: 128 kbps @ 44100 Hz, no
+    padding -> frame length 144*128000/44100 = 417 bytes, 1152
+    samples/frame. Optional ID3v2 tag prefix (syncsafe size) and
+    ID3v1 'TAG' trailer — both must be skipped by a real frame
+    walker."""
+    frame = (b"\xff\xfb\x90\xc4" + bytes(413)) * frames
+    out = b""
+    if id3:
+        pad = bytes(100)
+        out += b"ID3\x04\x00\x00" + bytes([0, 0, 100 >> 7, 100 & 0x7F])
+        out += pad
+    out += frame
+    if trailer:
+        out += b"TAG" + bytes(125)
+    return out
+
+
+def test_decode_auto_real_audio_mp3_frame_walk(spark):
+    """The vendored MPEG-audio frame walker: true duration from
+    walking real frame headers (3 x 1152 samples @ 44100 Hz = 78 ms),
+    with an ID3v2 prefix and an ID3v1 trailer both skipped; WAV in
+    the SAME column still decodes via the wave module, and a payload
+    that is neither quarantines via decode_err."""
+    if mm.available_codecs()["audio"] != "stdlib-audio":
+        import pytest
+
+        pytest.skip("ffprobe present; stdlib path not selected")
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.multimodal import (
+        _stdlib_decode_mp3,
+    )
+
+    # pure-python replay first: exact expected duration
+    exp = round(3 * 1152 * 1000 / 44100)
+    assert _stdlib_decode_mp3(_mp3_bytes())["duration_ms"] == exp
+    assert (
+        _stdlib_decode_mp3(_mp3_bytes(id3=True, trailer=True))[
+            "duration_ms"
+        ]
+        == exp
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "audio", _mp3_bytes(), {}),
+            (2, "audio", _mp3_bytes(frames=6, id3=True), {}),
+            (3, "audio", _wav_bytes(250), {}),
+            (4, "audio", b"\x00\x01not audio", {}),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in mm.decode_media(df, mode="auto").collect()}
+    assert out[1].duration_ms == exp and out[1].decode_err is None
+    assert out[2].duration_ms == round(6 * 1152 * 1000 / 44100)
+    assert out[3].duration_ms == 250 and out[3].decode_err is None
+    assert out[4].decode_err is not None and out[4].duration_ms is None
+    # reserved version bits / bad bitrate index quarantine, not crash
+    bad_ver = b"\xff\xeb\x90\xc4" + bytes(413)   # ver bits = 01
+    bad_br = b"\xff\xfb\xf0\xc4" + bytes(413)    # bitrate idx 15
+    df2 = spark.createDataFrame(
+        [(1, "audio", bad_ver, {}), (2, "audio", bad_br, {})],
+        mm.MEDIA_SCHEMA,
+    )
+    out2 = {
+        r.media_id: r
+        for r in mm.decode_media(df2, mode="auto").collect()
+    }
+    assert out2[1].decode_err is not None
+    assert out2[2].decode_err is not None
