@@ -88,6 +88,57 @@ def test_log2fix_accuracy_and_monotonicity():
         prev = lf
 
 
+def test_log2fix_exact_powers_and_boundaries():
+    """Exact powers of two land exactly on the grid (frac bits all
+    zero), and the two neighbors of every boundary stay ordered —
+    the cases where a float-based log is most likely to be off by
+    one ulp and flip a floor."""
+    for e in (0, 1, 5, 20, 40, 51):
+        assert fixlog.log2fix_py(1 << e, 1) == e << 20
+    for q in (1, 3, 999, 2**31 - 1):
+        for e in (1, 7, 19):
+            p = q << e
+            if p >= 2**52:
+                continue
+            below = fixlog.log2fix_py(p - 1, q) if p - 1 >= q else None
+            at = fixlog.log2fix_py(p, q)
+            above = fixlog.log2fix_py(p + 1, q)
+            assert at == e << 20
+            if below is not None:
+                assert below <= at <= above
+
+
+def _duck_eval(con, pairs):
+    con.execute("CREATE OR REPLACE TABLE h(p BIGINT, q BIGINT)")
+    con.executemany("INSERT INTO h VALUES (?, ?)", pairs)
+    nested = fixlog.duckdb_nested("SELECT p, q FROM h", "p", "q", "lf")
+    return con.execute(
+        f"SELECT p, q, lf FROM ({nested}) ORDER BY p, q"
+    ).fetchall()
+
+
+def test_log2fix_hypothesis_cross_engine():
+    """Property: for ANY in-domain (p, q), DuckDB's evaluation of the
+    emitted step list equals the pure-Python int64 recurrence — the
+    portability claim itself, fuzzed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(1, 2**52 - 1),
+        st.integers(1, 2**52 - 1),
+    )
+    def prop(a, b):
+        p, q = max(a, b), min(a, b)
+        got = _duck_eval(con, [(p, q)])
+        assert got == [(p, q, fixlog.log2fix_py(p, q))]
+
+    prop()
+
+
 def test_log2fix_domain_errors():
     with pytest.raises(ValueError):
         fixlog.log2fix_py(1, 2)       # p < q
