@@ -66,6 +66,9 @@ __all__ = [
     "log2fix_layers",
     "spark_apply",
     "duckdb_nested",
+    "log2_table",
+    "log2tbl_py",
+    "TBL_BITS",
 ]
 
 _M30 = 1 << 30
@@ -185,3 +188,54 @@ def duckdb_nested(
         items = ", ".join(f"{e} AS {a}" for a, e in layer)
         sql = f"SELECT *, {items} FROM ({sql})"
     return sql
+
+
+# --- table-backed log2: the PER-ROW face of the kernel -------------
+#
+# The layered kernel above is the right shape for SMALL frames
+# (per-term idf, per-bucket likelihood ratios): ~48 projection layers
+# amortize over a broadcast-sized input. Run per CORPUS ROW it is the
+# wrong shape twice over — ~130 int64 ops/row of execution, and (the
+# cost round 15 actually measured) a Catalyst/DuckDB-binder analysis
+# bill that grows with layers × columns and landed a 2-4x normalized
+# regression on the dsir family. The table face fixes the shape:
+# compute log2 of the 13-bit mantissa ONCE for all 4096 values with
+# the exact same kernel, then per row do only
+#
+#     log2tbl(x) = (bitlen(x) - 1) * 2^frac + T[mantissa_12bits(x)]
+#
+# — a bit-length, one shift-divide, and one constant-array lookup.
+# The result is log2(x) * 2^frac with the mantissa TRUNCATED to 12
+# bits: a coarser but equally DEFINED deterministic int64 function of
+# x (max error 2^-12 * 2^frac in the fraction), which is exactly what
+# hash-contract noise needs and corpus-statistics ratios do not — use
+# the layered kernel for statistics, the table for per-row noise.
+
+TBL_BITS = 12
+_TBL_CACHE: dict = {}
+
+
+def log2_table(frac: int = 20, bits: int = TBL_BITS) -> List[int]:
+    """T[m] = log2fix(2^bits + m, 2^bits, frac) for m in [0, 2^bits):
+    the fractional log2 of every truncated mantissa, computed by the
+    ground-truth kernel (cached; ~4096 log2fix_py calls once per
+    process)."""
+    key = (frac, bits)
+    if key not in _TBL_CACHE:
+        n = 1 << bits
+        _TBL_CACHE[key] = [
+            log2fix_py(n + m, n, frac) for m in range(n)
+        ]
+    return _TBL_CACHE[key]
+
+
+def log2tbl_py(x: int, frac: int = 20, bits: int = TBL_BITS) -> int:
+    """Pure-Python reference of the table lookup (ground truth for the
+    cross-engine tests): log2(x) * 2^frac with a bits-bit mantissa."""
+    if x < 1:
+        raise ValueError("log2tbl requires x >= 1")
+    if x >= 1 << 52:
+        raise ValueError("log2tbl domain is x < 2^52")
+    e = x.bit_length() - 1
+    m = ((x << bits) >> e) - (1 << bits)
+    return e * (1 << frac) + log2_table(frac, bits)[m]

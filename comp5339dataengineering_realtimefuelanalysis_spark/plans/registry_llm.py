@@ -873,7 +873,8 @@ def _sql_bm25() -> str:
                            // _den AS _sat
                 FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id)
                      JOIN idf USING (tok) CROSS JOIN n CROSS JOIN s) y),
-        sc AS (SELECT qid, doc_id, SUM(sterm) AS score_fix
+        sc AS (SELECT qid, doc_id,
+                   CAST(SUM(sterm) AS BIGINT) AS score_fix
                FROM term GROUP BY 1, 2),
         ranked AS (SELECT qid, doc_id, score_fix,
                           CAST(ROW_NUMBER() OVER (

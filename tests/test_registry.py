@@ -155,6 +155,40 @@ def test_oracle_columns_match_spark_columns(spark):
         assert s_cols == d_cols, f"{name}: {s_cols} != {d_cols}"
 
 
+def test_no_oracle_output_types_hugeint_or_decimal():
+    """The driver fetches oracle results through pandas/arrow, where
+    DuckDB renders HUGEINT (the implicit promotion of SUM(BIGINT)) and
+    DECIMAL as float64/decimal128 — which can never value-hash-match
+    Spark's int64, even when the values are identical integers.  This
+    killed doc_bm25_topk for two driver rounds (rounds 14-15: the single
+    uncast `SUM(sterm)` among 93 oracles).  Bind every registry oracle
+    and assert no output column types as HUGEINT/UHUGEINT/DECIMAL —
+    integer aggregates must be wrapped in CAST(... AS BIGINT)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        path = f"{SF_SMOKE}/{t}.parquet"
+        if Path(path).exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    banned = ("HUGEINT", "UHUGEINT", "DECIMAL")
+    bad = []
+    for name, qd in REGISTRY.items():
+        if not qd.oracle:
+            continue
+        rel = con.sql(qd.oracle)  # binds (types resolve) without running
+        for col, typ in zip(rel.columns, rel.types):
+            t_up = str(typ).upper()
+            if any(b in t_up for b in banned):
+                bad.append(f"{name}.{col}: {t_up}")
+    assert not bad, f"hash-unportable oracle output types: {bad}"
+
+
 def test_load_table_normalizes_ts_encodings(spark, tmp_path):
     """Declared ts columns normalize to TIMESTAMP whatever the fixture
     encoding — the environment has re-encoded fixtures between rounds
