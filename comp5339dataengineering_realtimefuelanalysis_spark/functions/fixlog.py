@@ -65,7 +65,9 @@ __all__ = [
     "log2fix_py",
     "log2fix_layers",
     "spark_apply",
+    "spark_apply_multi",
     "duckdb_nested",
+    "duckdb_nested_multi",
     "log2_table",
     "log2tbl_py",
     "TBL_BITS",
@@ -137,24 +139,59 @@ def log2fix_layers(
             (f"{n}__f0", "cast(0 as bigint)"),
         ],
     ]
+    # One layer per square-and-shift iteration: the step value
+    # s = (y*y) >> 30 is inlined into both emitted aliases instead of
+    # getting its own layer. y_{i-1} is a REAL resolved column (not a
+    # lateral alias), so the duplication is a bounded 4 copies of one
+    # multiply-divide per step — NOT the recursive 4^n blowup the
+    # module docstring bans — and the layer count halves (48 -> 28
+    # for frac=20), which is what the analyzer/binder bill actually
+    # scales with (round 15 measured ~1 s of planning per 48-layer
+    # kernel application on BOTH engines).
     for i in range(1, frac + 1):
-        layers.append(
-            [(f"{n}__s{i}",
-              f"({n}__y{i - 1} * {n}__y{i - 1}) {div} 1073741824")]
-        )
+        s = f"(({n}__y{i - 1} * {n}__y{i - 1}) {div} 1073741824)"
         layers.append(
             [
                 (f"{n}__y{i}",
-                 f"case when {n}__s{i} >= 2147483648"
-                 f" then {n}__s{i} {div} 2 else {n}__s{i} end"),
+                 f"case when {s} >= 2147483648"
+                 f" then {s} {div} 2 else {s} end"),
                 (f"{n}__f{i}",
                  f"{n}__f{i - 1} * 2"
-                 f" + (case when {n}__s{i} >= 2147483648"
+                 f" + (case when {s} >= 2147483648"
                  f" then 1 else 0 end)"),
             ]
         )
     layers.append([(n, f"{n}__e * {1 << frac} + {n}__f{frac}")])
     return layers
+
+
+def spark_apply_multi(
+    df: DataFrame,
+    specs: List[Tuple[str, str, str]],
+    frac: int = 20,
+) -> DataFrame:
+    """Append one column per ``(p, q, out)`` spec, every kernel
+    riding the SAME layer stack (layer i of every kernel lands in one
+    shared Project): n independent log2fix columns cost the layer
+    count of one — the analyzer bill scales with layers, not with
+    aliases per layer. Use for sibling kernels over the same frame
+    (dsir's lrA/lrB; a log-likelihood numerator + denominator)."""
+    per_kernel = [
+        log2fix_layers(
+            p, q, out, frac, div="div",
+            shl1="shiftleft(cast(1 as bigint), cast({e} as int))",
+        )
+        for p, q, out in specs
+    ]
+    keep = {out for _, _, out in specs}
+    names: List[str] = []
+    for layers in zip(*per_kernel):
+        merged = [item for layer in layers for item in layer]
+        df = df.selectExpr(
+            "*", *[f"{e} AS {a}" for a, e in merged]
+        )
+        names.extend(a for a, _ in merged)
+    return df.drop(*[a for a in names if a not in keep])
 
 
 def spark_apply(
@@ -163,17 +200,29 @@ def spark_apply(
     """Append column ``out`` = log2fix(p, q) to ``df`` (and drop the
     kernel's intermediates). One Project per recurrence layer — a
     narrow map-only chain, no shuffle, no UDF; run it on the SMALL
-    frame (per-term, per-bucket), never per scored row."""
-    names: List[str] = []
-    for layer in log2fix_layers(
-        p, q, out, frac, div="div",
-        shl1="shiftleft(cast(1 as bigint), cast({e} as int))",
-    ):
-        df = df.selectExpr(
-            "*", *[f"{e} AS {a}" for a, e in layer]
-        )
-        names.extend(a for a, _ in layer)
-    return df.drop(*[a for a in names if a != out])
+    frame (per-term, per-bucket), never per scored row (per-row noise
+    wants the table face: log2_table / log2tbl_py)."""
+    return spark_apply_multi(df, [(p, q, out)], frac)
+
+
+def duckdb_nested_multi(
+    source: str,
+    specs: List[Tuple[str, str, str]],
+    frac: int = 20,
+) -> str:
+    """DuckDB mirror of spark_apply_multi: one nested SELECT per
+    shared recurrence layer, every kernel's step-i aliases emitted in
+    the same SELECT (kernel intermediates remain in the output — wrap
+    with an outer SELECT to prune)."""
+    per_kernel = [
+        log2fix_layers(p, q, out, frac) for p, q, out in specs
+    ]
+    sql = f"SELECT * FROM ({source})"
+    for layers in zip(*per_kernel):
+        merged = [item for layer in layers for item in layer]
+        items = ", ".join(f"{e} AS {a}" for a, e in merged)
+        sql = f"SELECT *, {items} FROM ({sql})"
+    return sql
 
 
 def duckdb_nested(
@@ -183,11 +232,7 @@ def duckdb_nested(
     (source)`` via one nested SELECT per recurrence layer (kernel
     intermediates remain in the output — wrap with an outer SELECT to
     prune). ``source`` is any ``SELECT ...`` string."""
-    sql = f"SELECT * FROM ({source})"
-    for layer in log2fix_layers(p, q, out, frac):
-        items = ", ".join(f"{e} AS {a}" for a, e in layer)
-        sql = f"SELECT *, {items} FROM ({sql})"
-    return sql
+    return duckdb_nested_multi(source, [(p, q, out)], frac)
 
 
 # --- table-backed log2: the PER-ROW face of the kernel -------------

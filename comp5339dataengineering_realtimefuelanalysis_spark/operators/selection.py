@@ -211,13 +211,10 @@ def dsir_weights(
             f"coalesce(t, 0) + {s} AS _qb",
         )
     )
-    lr = (
-        fixlog.spark_apply(
-            fixlog.spark_apply(lr_base, "_pa", "_qa", "_lra"),
-            "_pb", "_qb", "_lrb",
-        )
-        .selectExpr("bucket", "_lra - _lrb AS lr")
-    )
+    lr = fixlog.spark_apply_multi(
+        lr_base,
+        [("_pa", "_qa", "_lra"), ("_pb", "_qb", "_lrb")],
+    ).selectExpr("bucket", "_lra - _lrb AS lr")
     return (
         dbc.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
@@ -225,23 +222,66 @@ def dsir_weights(
     )
 
 
+def gumbel2_py(h: int) -> int:
+    """Pure-Python reference of _gumbel2_fix's noise (ground truth for
+    the cross-engine tests). With u = (2h + 1)/2^33 (h a 32-bit hash),
+
+        g = -log2(-log2 u) * 2^20
+          = 20 * 2^20 - log2tbl(max(1, 33 * 2^20 - log2tbl(2h + 1)))
+    """
+    from ..functions.fixlog import log2tbl_py
+
+    inner = max(1, 33 * (1 << 20) - log2tbl_py(2 * h + 1))
+    return 20 * (1 << 20) - log2tbl_py(inner)
+
+
 def _gumbel2_fix(df: DataFrame, id_col: str, seed: str) -> DataFrame:
     """Append ``_g``: hash-derived BASE-2 Gumbel noise on the 2^-20
     fixed-point grid, all int64 (the fixlog posture — no libm in any
     hashed value). With u = (2h + 1)/2^33 (h the 32-bit id hash),
 
-        _g = -log2(-log2(u))
-           = sign-swapped log2fix(max(A, 2^20), min(A, 2^20)),
-             A = max(1, log2fix(2^33, 2h + 1))
+        _g = -log2(-log2(u)) * 2^20
+           = 20*2^20 - log2tbl(max(1, 33*2^20 - log2tbl(2h + 1)))
+
+    where log2tbl is fixlog's TABLE face: bit-length for the integer
+    part plus a 4096-entry lookup of the 12-bit-truncated mantissa's
+    fractional log2 (the table itself is computed once by the exact
+    layered kernel — fixlog.log2_table). Per-row cost is two
+    bit-lengths, two shift-divides, and two constant-array lookups.
+
+    WHY the table face and not the layered kernel (round-16 decision,
+    pinned so this doesn't get re-migrated): round 15 ran the full
+    ~48-projection-layer kernel TWICE PER SCORED ROW here, violating
+    fixlog's own small-frames-only guidance, and the dsir family
+    regressed 2-4x normalized — almost entirely analyzer/binder time
+    that both engines spend on ~100 projection layers, not data math.
+    The per-BUCKET sites (dsir lr, CCNet nl, BM25 idf) keep the exact
+    layered kernel: they amortize over broadcast-sized frames and the
+    statistics deserve full mantissa precision. Noise does not — the
+    12-bit mantissa only compresses the Gumbel tail beyond |g| ~ 12
+    in log2 units (hash-probability < 2^-12 events), immaterial for
+    sampling diversity, and the function stays a DEFINED deterministic
+    int64 map both engines replay bit-identically.
 
     Base-2 Gumbel-top-k selects the SAME set as natural-log Gumbel:
     -log2(-log2 u) = (-ln(-ln u))/ln2 + log2(ln 2), and the weights
     are also in log2 units, so every score is the old nat-score
     scaled by 1/ln2 plus a global constant — a strictly monotone
-    transform of the old ordering (the A >= 1 clamp touches only
-    u > 1 - 2^-2^20, unreachable from a 32-bit hash)."""
+    transform of the old ordering."""
     from ..functions import fixlog
     from .dedup import hash32
+
+    # One parsed SQL array literal, NOT F.lit(list): pyspark's lit()
+    # expands a list into one py4j lit() call PER ELEMENT (4096 x 2
+    # uses measured ~3 s of driver time per plan build).
+    tbl = F.expr(
+        "cast(array("
+        + ",".join(map(str, fixlog.log2_table()))
+        + ") as array<bigint>)"
+    )
+
+    def look(mcol: str) -> Column:
+        return F.element_at(tbl, (F.col(mcol) + 1).cast("int"))
 
     df = df.withColumn(
         "_h",
@@ -249,18 +289,37 @@ def _gumbel2_fix(df: DataFrame, id_col: str, seed: str) -> DataFrame:
             F.concat(F.col(id_col).cast("string"), F.lit("#g" + seed))
         ),
     )
-    df = fixlog.spark_apply(df, "8589934592", "2 * _h + 1", "_ga")
-    df = df.selectExpr("*", "greatest(_ga, 1) AS _ga0")
+    df = df.selectExpr("*", "2 * _h + 1 AS _x")
+    df = df.selectExpr(
+        "*", "cast(length(bin(_x)) as bigint) - 1 AS _e1"
+    )
     df = df.selectExpr(
         "*",
-        "greatest(_ga0, 1048576) AS _ghi",
-        "least(_ga0, 1048576) AS _glo",
+        "(_x * 4096) div shiftleft(cast(1 as bigint),"
+        " cast(_e1 as int)) - 4096 AS _m1",
     )
-    df = fixlog.spark_apply(df, "_ghi", "_glo", "_gm")
-    return df.selectExpr(
+    df = df.withColumn(
+        "_l",
+        F.greatest(
+            F.lit(33 * (1 << 20)).cast("long")
+            - (F.col("_e1") * F.lit(1 << 20) + look("_m1")),
+            F.lit(1).cast("long"),
+        ),
+    )
+    df = df.selectExpr(
+        "*", "cast(length(bin(_l)) as bigint) - 1 AS _e2"
+    )
+    df = df.selectExpr(
         "*",
-        "case when _ga0 <= 1048576 then _gm else -_gm end AS _g",
-    ).drop("_h", "_ga", "_ga0", "_ghi", "_glo", "_gm")
+        "(_l * 4096) div shiftleft(cast(1 as bigint),"
+        " cast(_e2 as int)) - 4096 AS _m2",
+    )
+    df = df.withColumn(
+        "_g",
+        F.lit(20 * (1 << 20)).cast("long")
+        - (F.col("_e2") * F.lit(1 << 20) + look("_m2")),
+    )
+    return df.drop("_h", "_x", "_e1", "_m1", "_l", "_e2", "_m2")
 
 
 def dsir_sample(

@@ -1140,13 +1140,13 @@ def _sql_dsir_weights_ctes() -> str:
     grid as a difference of two fixlog int64 kernels (no libm),
     integer dot product."""
     b, s = _DSIR_BUCKETS, _DSIR_SEED
-    lr_nested = fixlog.duckdb_nested(
-        fixlog.duckdb_nested(
-            "SELECT rb.bucket, rb.r, tb.t, tot.R_tot, tot.T_tot"
-            " FROM raw_b rb LEFT JOIN tgt_b tb USING (bucket), tot",
-            f"R_tot + {b}", "r + 1", "lrA",
-        ),
-        f"COALESCE(T_tot, 0) + {b}", "COALESCE(t, 0) + 1", "lrB",
+    lr_nested = fixlog.duckdb_nested_multi(
+        "SELECT rb.bucket, rb.r, tb.t, tot.R_tot, tot.T_tot"
+        " FROM raw_b rb LEFT JOIN tgt_b tb USING (bucket), tot",
+        [
+            (f"R_tot + {b}", "r + 1", "lrA"),
+            (f"COALESCE(T_tot, 0) + {b}", "COALESCE(t, 0) + 1", "lrB"),
+        ],
     )
     return rf"""{_sql_norm_words_cte()},
         feats_cte AS (
@@ -1191,27 +1191,49 @@ def _sql_dsir_weights() -> str:
 
 def _sql_dsir_gumbel_ctes() -> str:
     """CTE chain from ``wts`` to ``scored(doc_id, dsir_weight,
-    score)``: the base-2 Gumbel noise as two chained fixlog kernels
-    (mirrors selection._gumbel2_fix — all int64)."""
+    score)``: the base-2 Gumbel noise via fixlog's TABLE face
+    (mirrors selection._gumbel2_fix — all int64). The 4096-entry
+    mantissa table is computed IN-ENGINE by the exact layered kernel
+    over range(4096) — a per-bucket-sized frame, the shape fixlog's
+    guidance allows — so both engines derive the same table from the
+    same recurrence; per scored row only bit-lengths, shift-divides,
+    and two table joins remain (the round-15 per-row kernel chains
+    cost 2-4x normalized in analyzer time alone)."""
     h = (
         "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || "
         f"'#g{_DSIR_SEED}'), 1, 8))::BIGINT"
     )
-    n1 = fixlog.duckdb_nested(
-        f"SELECT doc_id, dsir_weight, {h} AS h FROM wts",
-        "8589934592", "2 * h + 1", "ga",
+    tblsrc = fixlog.duckdb_nested(
+        "SELECT CAST(i AS BIGINT) AS m FROM range(4096) t(i)",
+        "4096 + m", "4096", "tval",
     )
-    src2 = (
-        "SELECT *, greatest(CASE WHEN ga < 1 THEN 1 ELSE ga END,"
-        " 1048576) AS ghi, least(CASE WHEN ga < 1 THEN 1 ELSE ga END,"
-        f" 1048576) AS glo FROM ({n1})"
-    )
-    n2 = fixlog.duckdb_nested(src2, "ghi", "glo", "gm")
-    return f"""scored AS (
-            SELECT doc_id, dsir_weight,
-                   dsir_weight + (CASE WHEN ghi = 1048576 THEN gm
-                                       ELSE -gm END) AS score
-            FROM ({n2}) z)"""
+    return f"""gumtbl AS (SELECT m, tval FROM ({tblsrc}) tz),
+        gx AS (
+            SELECT doc_id, dsir_weight, 2 * ({h}) + 1 AS x
+            FROM wts),
+        ge1 AS (
+            SELECT *, CAST(length(bin(x)) AS BIGINT) - 1 AS e1
+            FROM gx),
+        gl1 AS (
+            SELECT ge1.doc_id, ge1.dsir_weight,
+                   greatest(34603008 - (ge1.e1 * 1048576 + t1.tval),
+                            1) AS l
+            FROM ge1 JOIN gumtbl t1
+              ON t1.m = (ge1.x * 4096)
+                  // (CAST(1 AS BIGINT) << CAST(ge1.e1 AS INT))
+                  - 4096),
+        ge2 AS (
+            SELECT *, CAST(length(bin(l)) AS BIGINT) - 1 AS e2
+            FROM gl1),
+        scored AS (
+            SELECT ge2.doc_id, ge2.dsir_weight,
+                   ge2.dsir_weight
+                   + (20971520 - (ge2.e2 * 1048576 + t2.tval))
+                       AS score
+            FROM ge2 JOIN gumtbl t2
+              ON t2.m = (ge2.l * 4096)
+                  // (CAST(1 AS BIGINT) << CAST(ge2.e2 AS INT))
+                  - 4096)"""
 
 
 def _sql_dsir_sample() -> str:

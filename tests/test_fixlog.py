@@ -193,3 +193,64 @@ def test_bm25_score_tracks_float_reference(spark):
             sat = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * n / s))
             ref += idf * sat
         assert abs(got[d] / 2**36 - ref) < 1e-3, (d, got[d], ref)
+
+
+def test_log2_table_duckdb_range_matches_python():
+    """The table face's 4096-entry mantissa table, computed IN-ENGINE
+    by the layered kernel over range(4096) (the dsir Gumbel oracle's
+    gumtbl CTE), must equal the Python-computed table that the Spark
+    side embeds as an array literal — the cross-engine contract of
+    the per-row noise."""
+    tblsrc = fixlog.duckdb_nested(
+        "SELECT CAST(i AS BIGINT) AS m FROM range(4096) t(i)",
+        "4096 + m", "4096", "tval",
+    )
+    got = dict(
+        duckdb.connect()
+        .execute(f"SELECT m, tval FROM ({tblsrc}) z ORDER BY m")
+        .fetchall()
+    )
+    ref = fixlog.log2_table()
+    assert len(got) == 4096
+    assert all(got[m] == ref[m] for m in range(4096))
+
+
+def test_log2tbl_py_accuracy_and_monotonicity():
+    """log2tbl (bit-length + truncated-mantissa lookup) approximates
+    log2(x)*2^20 within the 12-bit truncation bound and never
+    decreases in x."""
+    xs = [1, 2, 3, 5, 7, 4095, 4096, 4097, 2**20, 2**20 + 1,
+          2**33 - 1, 34603008, 10**9 + 7]
+    xs += [random.Random(7).randint(1, 2**50) for _ in range(200)]
+    prev_x, prev_v = None, None
+    for x in sorted(set(xs)):
+        v = fixlog.log2tbl_py(x)
+        ref = math.log2(x) * (1 << 20)
+        # truncating the mantissa to 12 bits UNDERestimates by at
+        # most log2(1 + 2^-12)*2^20 < 370; the kernel adds < 2 more
+        assert ref - 372 <= v <= ref + 2, (x, v, ref)
+        if prev_x is not None and x > prev_x:
+            assert v >= prev_v, (prev_x, x)
+        prev_x, prev_v = x, v
+
+
+def test_gumbel2_py_bounds_and_determinism():
+    """The table-backed Gumbel noise: exact replay, sane range (the
+    lower tail reaches -log2(33)≈-5.04, the upper tail is compressed
+    by mantissa truncation to ~12 in log2 units), and deterministic."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        gumbel2_py,
+    )
+
+    rng = random.Random(99)
+    hs = [0, 1, 2**31, 2**32 - 1] + [
+        rng.randint(0, 2**32 - 1) for _ in range(500)
+    ]
+    grid = 1 << 20
+    for h in hs:
+        g = gumbel2_py(h)
+        assert -6 * grid < g < 13 * grid, (h, g)
+        assert g == gumbel2_py(h)
+    # median-ish hash → noise near 0 (u=0.5 → g=0 exactly in floats)
+    mid = gumbel2_py(2**31)
+    assert abs(mid) < grid // 2, mid

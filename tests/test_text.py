@@ -540,17 +540,15 @@ def test_dsir_sample_gumbel_vs_hard(spark):
     # the per-row score and the selected set
     import hashlib
 
-    from comp5339dataengineering_realtimefuelanalysis_spark.functions.fixlog import (
-        log2fix_py,
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        gumbel2_py,
     )
 
     def gnoise(did):
         h = int(
             hashlib.md5(f"{did}#gdsir".encode()).hexdigest()[:8], 16
         )
-        a0 = max(1, log2fix_py(2**33, 2 * h + 1))
-        m = log2fix_py(max(a0, 2**20), min(a0, 2**20))
-        return m if a0 <= 2**20 else -m
+        return gumbel2_py(h)
 
     assert all(r.score == r.dsir_weight + gnoise(r.doc_id) for r in gum)
     exp_gum = sorted(
