@@ -387,10 +387,18 @@ def _stdlib_decode_mp3(content: bytes) -> dict:
             | ((content[8] & 0x7F) << 7)
             | (content[9] & 0x7F)
         )
+        # flags byte bit 4 = footer present: the tag occupies
+        # header(10) + size + footer(10) bytes — without this a valid
+        # footer-tagged file lands mid-tag, fails the sync check, and
+        # gets wrongly quarantined
+        if content[5] & 0x10:
+            size += 10
         pos = 10 + size
     n = len(content)
-    samples = 0
-    first_rate = None
+    # samples accumulated PER RATE: a mixed-rate VBR stream timed as
+    # total_samples / first_rate drifts by the rate ratio on every
+    # foreign-rate frame; summing spf/rate per frame is exact
+    samples_by_rate: dict = {}
     while pos + 4 <= n:
         if content[pos] != 0xFF or (content[pos + 1] & 0xE0) != 0xE0:
             # end of audio frames (ID3v1 'TAG' trailer, padding junk)
@@ -423,16 +431,22 @@ def _stdlib_decode_mp3(content: bytes) -> dict:
             flen = (spf // 8) * bitrate // rate + padding
         if flen <= 4:
             raise ValueError("degenerate MPEG frame length")
-        samples += spf
-        if first_rate is None:
-            first_rate = rate
+        samples_by_rate[rate] = samples_by_rate.get(rate, 0) + spf
         pos += flen
-    if first_rate is None:
+    if not samples_by_rate:
         raise ValueError("no MPEG audio frame found")
+    # exact rational sum over the (at most 9) distinct rates, rounded
+    # once — no per-frame truncation drift, deterministic int math
+    from fractions import Fraction
+
+    total = sum(
+        (Fraction(s * 1000, r) for r, s in samples_by_rate.items()),
+        Fraction(0),
+    )
     return {
         "width": None,
         "height": None,
-        "duration_ms": round(samples * 1000 / first_rate),
+        "duration_ms": round(total),
         "feature": None,
     }
 

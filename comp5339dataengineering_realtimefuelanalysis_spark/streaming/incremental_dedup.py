@@ -328,6 +328,33 @@ class StreamingIncrementalDedup:
         except AnalysisException:
             row = None
         if row is None:
+            # First pin. Over a NON-EMPTY pre-pin-feature silver, the
+            # instance config is not automatically the truth: a legacy
+            # deployment whose config already drifted from its stored
+            # band_keys would get the WRONG banding pinned as gospel —
+            # the exact silent-readmission failure the pin exists to
+            # catch. Sanity-check one stored row (len(band_keys) ==
+            # configured bands) and refuse to pin on mismatch.
+            try:
+                sample = (
+                    spark.read.parquet(self.silver_path)
+                    .select(F.size("band_keys").alias("nb"))
+                    .first()
+                )
+            except AnalysisException:
+                sample = None
+            if sample is not None and sample["nb"] != self.bands:
+                raise RuntimeError(
+                    "refusing to write first banding pin: silver at "
+                    f"{self.silver_path!r} stores {sample['nb']} "
+                    "band_keys per doc but this instance is configured "
+                    f"with bands={self.bands}. The stored keys predate "
+                    "the pin feature and were computed with a different "
+                    "banding — pinning the current config would bless "
+                    "the mismatch. Run migrate_banding(...) into a new "
+                    "silver root, or configure the banding the silver "
+                    "was actually built with."
+                )
             spark.createDataFrame(
                 [configured], self._BANDING_PIN_SCHEMA
             ).coalesce(1).write.mode("overwrite").parquet(

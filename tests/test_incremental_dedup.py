@@ -5,6 +5,8 @@ checkpoint, i.e. a restart)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -1319,3 +1321,50 @@ def test_migrated_keys_reproduce_knee_pairs(spark, tmp_path):
     knee = rl.q_doc_lsh_verified_pairs_knee(spark, sf)
     exp = {(r.id_a, r.id_b) for r in knee.collect()}
     assert got == exp and exp
+
+
+def test_first_pin_over_legacy_silver_validates_stored_keys(
+    spark, tmp_path, dedup
+):
+    """A pre-pin-feature deployment has silver but no pin file. The
+    FIRST pin write must not bless the instance config blindly: if the
+    stored band_keys disagree with the configured bands (the config
+    already drifted), writing the pin would formalize the exact
+    silent-readmission mismatch the pin exists to catch — refuse
+    instead. A config that MATCHES the stored keys pins normally."""
+    import shutil
+
+    _land(spark, dedup, [(1, BASE), (2, OTHER)])
+    _run(dedup)
+    assert _silver_ids(spark, dedup) == {1, 2}
+    # simulate legacy: drop the pin the run just wrote
+    shutil.rmtree(dedup._banding_pin_path())
+
+    legacy_bad = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=dedup.landing_dir,
+        silver_path=dedup.silver_path,
+        checkpoint_dir=str(tmp_path / "chk_legacy"),
+        schema=SCHEMA,
+        num_hashes=48,
+        bands=8,  # silver stores dedup.bands (= 4) keys per doc
+    )
+    with pytest.raises(RuntimeError, match="refusing to write first"):
+        legacy_bad._check_banding_pin(spark)
+    # nothing pinned by the refused attempt
+    assert not os.path.exists(dedup._banding_pin_path())
+
+    legacy_ok = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=dedup.landing_dir,
+        silver_path=dedup.silver_path,
+        checkpoint_dir=str(tmp_path / "chk_legacy2"),
+        schema=SCHEMA,
+        num_hashes=dedup.num_hashes,
+        bands=dedup.bands,
+    )
+    legacy_ok._check_banding_pin(spark)
+    pin = spark.read.parquet(dedup._banding_pin_path()).first()
+    assert (pin["n"], pin["num_hashes"], pin["bands"]) == (
+        legacy_ok.n, legacy_ok.num_hashes, legacy_ok.bands,
+    )

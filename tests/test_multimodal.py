@@ -388,19 +388,33 @@ def test_decode_auto_real_image_jpeg_headers(spark):
 
 
 def _mp3_bytes(
-    frames: int = 3, id3: bool = False, trailer: bool = False
+    frames: int = 3,
+    id3: bool = False,
+    trailer: bool = False,
+    footer: bool = False,
+    frames_32k: int = 0,
 ) -> bytes:
     """Spec-valid MPEG1 Layer III CBR stream: 128 kbps @ 44100 Hz, no
     padding -> frame length 144*128000/44100 = 417 bytes, 1152
-    samples/frame. Optional ID3v2 tag prefix (syncsafe size) and
-    ID3v1 'TAG' trailer — both must be skipped by a real frame
-    walker."""
+    samples/frame. Optional ID3v2 tag prefix (syncsafe size, with or
+    without the footer flag), ID3v1 'TAG' trailer, and appended
+    32 kHz frames (576-byte, 1152 samples) for the mixed-rate case —
+    all must be handled by a real frame walker."""
     frame = (b"\xff\xfb\x90\xc4" + bytes(413)) * frames
+    frame += (b"\xff\xfb\x98\xc4" + bytes(572)) * frames_32k
     out = b""
-    if id3:
+    if id3 or footer:
         pad = bytes(100)
-        out += b"ID3\x04\x00\x00" + bytes([0, 0, 100 >> 7, 100 & 0x7F])
-        out += pad
+        flags = 0x10 if footer else 0x00
+        out += (
+            b"ID3\x04\x00"
+            + bytes([flags, 0, 0, 100 >> 7, 100 & 0x7F])
+            + pad
+        )
+        if footer:
+            out += b"3DI\x04\x00" + bytes(
+                [flags, 0, 0, 100 >> 7, 100 & 0x7F]
+            )
     out += frame
     if trailer:
         out += b"TAG" + bytes(125)
@@ -430,6 +444,22 @@ def test_decode_auto_real_audio_mp3_frame_walk(spark):
         ]
         == exp
     )
+    # ID3v2 footer flag: tag occupies header + size + footer(10); a
+    # walker ignoring the flag lands mid-footer and quarantines
+    assert (
+        _stdlib_decode_mp3(_mp3_bytes(footer=True))["duration_ms"]
+        == exp
+    )
+    # mixed-rate VBR: per-frame seconds accumulate exactly —
+    # 3x1152@44100 + 2x1152@32000, NOT total_samples/first_rate
+    from fractions import Fraction
+
+    exp_mix = round(
+        Fraction(3 * 1152 * 1000, 44100) + Fraction(2 * 1152 * 1000, 32000)
+    )
+    got_mix = _stdlib_decode_mp3(_mp3_bytes(frames_32k=2))["duration_ms"]
+    assert got_mix == exp_mix
+    assert got_mix != round(5 * 1152 * 1000 / 44100)  # the old drift
     df = spark.createDataFrame(
         [
             (1, "audio", _mp3_bytes(), {}),
