@@ -254,3 +254,73 @@ def test_gumbel2_py_bounds_and_determinism():
     # median-ish hash → noise near 0 (u=0.5 → g=0 exactly in floats)
     mid = gumbel2_py(2**31)
     assert abs(mid) < grid // 2, mid
+
+
+def test_gumbel2_fix_plan_is_map_only(spark):
+    """The table-backed Gumbel must stay pure projections — the whole
+    point of the round-16 re-shape is that per-row noise adds NO
+    shuffle, NO join (the table rides the plan as one array literal),
+    and no Python UDF. A future lookup-via-broadcast-join would pass
+    value tests while re-adding a join per scored frame; pin the plan."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators import (
+        selection as sel,
+    )
+
+    df = spark.range(64).selectExpr("id AS doc_id")
+    out = sel._gumbel2_fix(df, "doc_id", "dsir")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # and the emitted values are the exact python replay
+    import hashlib
+
+    def h32(did):
+        return int(
+            hashlib.md5(f"{did}#gdsir".encode()).hexdigest()[:8], 16
+        )
+
+    got = {r.doc_id: r._g for r in out.collect()}
+    assert got == {
+        i: sel.gumbel2_py(h32(i)) for i in range(64)
+    }
+
+
+def test_gumbel2_duckdb_oracle_chain_matches_python():
+    """The REAL dsir-sample oracle's Gumbel CTE text (gumtbl +
+    bit-length + two table joins), run over synthetic doc_ids with
+    zero weights, must reproduce gumbel2_py(md5-hash) exactly —
+    the DuckDB half of the per-row noise contract, fuzzed directly
+    instead of only through the 125-row selected set."""
+    import hashlib
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.selection import (
+        gumbel2_py,
+    )
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry_llm import (
+        _sql_dsir_gumbel_ctes,
+        _DSIR_SEED,
+    )
+
+    ids = [0, 1, 7, 2**31, 2**40 + 3] + [
+        random.Random(5).randint(0, 2**62) for _ in range(60)
+    ]
+    vals = ", ".join(f"({i}, 0)" for i in ids)
+    sql = (
+        f"WITH wts(doc_id, dsir_weight) AS (VALUES {vals}),\n"
+        + _sql_dsir_gumbel_ctes()
+        + "\nSELECT doc_id, score FROM scored"
+    )
+    got = dict(duckdb.connect().execute(sql).fetchall())
+
+    def expected(did):
+        h = int(
+            hashlib.md5(
+                f"{did}#g{_DSIR_SEED}".encode()
+            ).hexdigest()[:8],
+            16,
+        )
+        return gumbel2_py(h)
+
+    assert len(got) == len(set(ids))
+    assert got == {i: expected(i) for i in set(ids)}
