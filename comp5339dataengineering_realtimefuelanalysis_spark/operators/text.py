@@ -333,6 +333,13 @@ def bm25_topk(
     from ..functions import fixlog
 
     a, c, u, v = bm25_rationals(k1, b)
+    # tf is deliberately NOT persisted although four branches consume
+    # it (dl, dfc, the corpus-token total, the scoring join). The
+    # re-derivations are pure map+partial-agg passes that pipeline
+    # into each consumer; forcing one shared materialization was
+    # A/B-measured ~1.5x SLOWER end-to-end at sf0.1 (round 16: the
+    # cache build pays a full unpruned (doc, term, tf) store + read
+    # that costs more than the repeated streamlined passes save)
     tf = tokens(df, text_col, id_col).groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).alias("n_tf")
     )
