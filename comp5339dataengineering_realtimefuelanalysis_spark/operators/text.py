@@ -343,11 +343,23 @@ def bm25_topk(
     tf = tokens(df, text_col, id_col).groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).alias("n_tf")
     )
-    dl = tf.groupBy(id_col).agg(F.sum("n_tf").alias("dl"))
+    # dl = total tokens per doc = the token-ARRAY length, map-only —
+    # no explode, no (doc, term) shuffle. Identical value to
+    # SUM(n_tf) over tf (the oracle derives it that way), but this
+    # branch costs one array-size projection instead of a full
+    # tokenize + aggregate pass; s_toks collapses to a map-side-
+    # combined scalar agg over the same arrays.
+    dl_arr = F.filter(
+        F.split(norm_text(text_col), " "), lambda t: t != ""
+    )
+    dl = df.select(
+        F.col(id_col), F.size(dl_arr).cast("long").alias("dl")
+    )
     dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("n_df"))
     scalars = F.broadcast(
-        df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-            dl.agg(F.sum("dl").alias("s_toks"))
+        df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(dl_arr)).cast("long").alias("s_toks"),
         )
     )
     qt = F.broadcast(
