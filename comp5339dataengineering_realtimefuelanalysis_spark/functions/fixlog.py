@@ -165,6 +165,49 @@ def log2fix_layers(
     return layers
 
 
+def _shared_layers_with_liveness(
+    per_kernel: List[List[List[Tuple[str, str]]]],
+    finals: set,
+) -> List[Tuple[List[Tuple[str, str]], List[str]]]:
+    """Zip sibling kernels into shared layers and compute, per layer,
+    which earlier aliases DIE there (produced before, not a final,
+    and never referenced by any later layer's exprs). Pruning dead
+    intermediates keeps every projection O(kernels) wide instead of
+    O(layers) — the analyzer/binder bill is layers x width, and the
+    naive ``SELECT *`` emission made width grow with layers."""
+    import re
+
+    shared = [
+        [item for layer in layers for item in layer]
+        for layers in zip(*per_kernel)
+    ]
+    produced_at = {}
+    for j, merged in enumerate(shared):
+        for a, _ in merged:
+            produced_at[a] = j
+    last_ref = dict(produced_at)
+    pats = {a: re.compile(rf"\b{re.escape(a)}\b") for a in produced_at}
+    for j, merged in enumerate(shared):
+        for _, e in merged:
+            for a, pat in pats.items():
+                if produced_at[a] < j and pat.search(e):
+                    if last_ref[a] < j:
+                        last_ref[a] = j
+    # an alias must live in output(t) for t in [produced, last_ref-1]
+    # (layer last_ref reads it from its input) and is dropped exactly
+    # once, when emitting layer max(last_ref, produced+1)
+    drop_layer = {
+        a: max(last_ref[a], produced_at[a] + 1)
+        for a in produced_at
+        if a not in finals
+    }
+    out = []
+    for j, merged in enumerate(shared):
+        dead = sorted(a for a, dj in drop_layer.items() if dj == j)
+        out.append((merged, dead))
+    return out
+
+
 def spark_apply_multi(
     df: DataFrame,
     specs: List[Tuple[str, str, str]],
@@ -174,8 +217,11 @@ def spark_apply_multi(
     riding the SAME layer stack (layer i of every kernel lands in one
     shared Project): n independent log2fix columns cost the layer
     count of one — the analyzer bill scales with layers, not with
-    aliases per layer. Use for sibling kernels over the same frame
-    (dsir's lrA/lrB; a log-likelihood numerator + denominator)."""
+    aliases per layer. Dead intermediates (y_{i-1}, f_{i-1}, the
+    long-division remainders) are pruned from each layer's output,
+    so projections stay a few columns wide however long the chain.
+    Use for sibling kernels over the same frame (dsir's lrA/lrB; a
+    log-likelihood numerator + denominator)."""
     per_kernel = [
         log2fix_layers(
             p, q, out, frac, div="div",
@@ -183,15 +229,18 @@ def spark_apply_multi(
         )
         for p, q, out in specs
     ]
-    keep = {out for _, _, out in specs}
-    names: List[str] = []
-    for layers in zip(*per_kernel):
-        merged = [item for layer in layers for item in layer]
+    finals = {out for _, _, out in specs}
+    alive = list(df.columns)
+    for merged, dead in _shared_layers_with_liveness(
+        per_kernel, finals
+    ):
+        dead_s = set(dead)
+        alive = [c for c in alive if c not in dead_s]
         df = df.selectExpr(
-            "*", *[f"{e} AS {a}" for a, e in merged]
+            *alive, *[f"{e} AS {a}" for a, e in merged]
         )
-        names.extend(a for a, _ in merged)
-    return df.drop(*[a for a in names if a not in keep])
+        alive.extend(a for a, _ in merged)
+    return df.drop(*[a for a in alive if "__" in a and a not in finals])
 
 
 def spark_apply(
@@ -211,17 +260,23 @@ def duckdb_nested_multi(
     frac: int = 20,
 ) -> str:
     """DuckDB mirror of spark_apply_multi: one nested SELECT per
-    shared recurrence layer, every kernel's step-i aliases emitted in
-    the same SELECT (kernel intermediates remain in the output — wrap
-    with an outer SELECT to prune)."""
+    shared recurrence layer, dead intermediates EXCLUDEd per layer so
+    the binder's per-layer width stays O(kernels). The final output
+    carries the source columns + the ``out`` columns (+ the last
+    layer's f accumulator) — wrap with an outer SELECT to project."""
     per_kernel = [
         log2fix_layers(p, q, out, frac) for p, q, out in specs
     ]
+    finals = {out for _, _, out in specs}
     sql = f"SELECT * FROM ({source})"
-    for layers in zip(*per_kernel):
-        merged = [item for layer in layers for item in layer]
+    for merged, dead in _shared_layers_with_liveness(
+        per_kernel, finals
+    ):
         items = ", ".join(f"{e} AS {a}" for a, e in merged)
-        sql = f"SELECT *, {items} FROM ({sql})"
+        star = (
+            "* EXCLUDE ({})".format(", ".join(dead)) if dead else "*"
+        )
+        sql = f"SELECT {star}, {items} FROM ({sql})"
     return sql
 
 
