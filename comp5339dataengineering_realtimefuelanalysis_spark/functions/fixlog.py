@@ -231,6 +231,7 @@ def spark_apply_multi(
     ]
     finals = {out for _, _, out in specs}
     alive = list(df.columns)
+    produced: set = set()
     for merged, dead in _shared_layers_with_liveness(
         per_kernel, finals
     ):
@@ -240,7 +241,13 @@ def spark_apply_multi(
             *alive, *[f"{e} AS {a}" for a, e in merged]
         )
         alive.extend(a for a, _ in merged)
-    return df.drop(*[a for a in alive if "__" in a and a not in finals])
+        produced.update(a for a, _ in merged)
+    # liveness drops every intermediate before the end (the last f/e
+    # die on the final layer); this is a defensive sweep over OUR
+    # aliases only — caller columns are never touched
+    return df.drop(
+        *[a for a in alive if a in produced and a not in finals]
+    )
 
 
 def spark_apply(
