@@ -324,3 +324,42 @@ def test_gumbel2_duckdb_oracle_chain_matches_python():
 
     assert len(got) == len(set(ids))
     assert got == {i: expected(i) for i in set(ids)}
+
+
+def test_multi_kernel_fused_emission_cross_engine(spark):
+    """Three sibling kernels riding one shared, liveness-pruned layer
+    stack (spark_apply_multi / duckdb_nested_multi) must equal three
+    independent log2fix_py calls on both engines — pins the fusion +
+    pruning emission beyond the lrA/lrB pair the dsir oracle covers."""
+    rng = random.Random(42)
+    rows = []
+    for _ in range(40):
+        vals = []
+        for _ in range(3):
+            q = rng.randint(1, 2**30)
+            vals += [rng.randint(q, 2**50), q]
+        rows.append(tuple(vals))
+    cols = ["p1", "q1", "p2", "q2", "p3", "q3"]
+    specs = [("p1", "q1", "o1"), ("p2", "q2", "o2"), ("p3", "q3", "o3")]
+
+    sdf = spark.createDataFrame(rows, ", ".join(f"{c} long" for c in cols))
+    out = fixlog.spark_apply_multi(sdf, specs)
+    assert sorted(out.columns) == sorted(cols + ["o1", "o2", "o3"])
+    got_s = {tuple(r[c] for c in cols): (r.o1, r.o2, r.o3)
+             for r in out.collect()}
+
+    vals_sql = ", ".join(str(r) for r in rows)
+    src = f"SELECT * FROM (VALUES {vals_sql}) t({', '.join(cols)})"
+    nested = fixlog.duckdb_nested_multi(src, specs)
+    got_d = {
+        tuple(rec[c] for c in cols): (rec["o1"], rec["o2"], rec["o3"])
+        for rec in duckdb.connect()
+        .execute(f"SELECT {', '.join(cols)}, o1, o2, o3 FROM ({nested}) z")
+        .fetch_arrow_table().to_pylist()
+    }
+    for r in rows:
+        exp = tuple(
+            fixlog.log2fix_py(r[2 * i], r[2 * i + 1]) for i in range(3)
+        )
+        assert got_s[r] == exp, r
+        assert got_d[r] == exp, r
