@@ -1107,28 +1107,10 @@ def last_attested_round(
 # whenever a registry query's plan changes materially — a green row for the
 # old plan says nothing about the new one.
 FORCE_ATTEST: dict[str, int] = {
-    # round-8 rewrites: doc_embed_hash's registered output reshaped to
-    # exploded (doc_id, dim_index, value) scalar cells (the r7 array
-    # form was un-canonicalizable at the driver); doc_semantic_dedup now
-    # consumes the shared parquet embed materialization and derives its
-    # output frame + k from the documents table.
-    "doc_embed_hash": 8,
-    # round-9 rewrites: 2L dedup gained multi-probe assignment with
-    # probe-scaled cell counts and the exploded-hash-agg distance
-    # fan-out (oracle now replays ROW_NUMBER top-2 probes and the
-    # multiplied cube root); the pipeline's semantic stage is
-    # scale-adaptive (sem_mode auto/1l/2l, count-guarded oracle
-    # branches) and its sampling stage is temperature_mix(0.5); PII
-    # audit counts re-staged per replacement stage (r9 commit 19c6e19).
-    "doc_semantic_dedup_2l": 9,
-    "corpus_curation_pipeline": 9,
-    "corpus_curation_pipeline_2l": 9,
-    "doc_temperature_mix": 9,
-    "doc_pii_scrub": 9,
-    "emb_kmeans_train": 9,
-    "emb_kmeans_step": 9,
-    "emb_ivf_kmeans_topk": 9,
-    "doc_semantic_dedup": 9,
+    # (empty — the round-8/9 rewrite entries were retired in round 17
+    # after every listed query re-greened: doc_embed_hash last green
+    # r16, the nine round-9 rewrites last green r15. Re-add an entry
+    # whenever a registry query's plan changes materially.)
 }
 
 
@@ -1162,5 +1144,12 @@ def _rotate_for_attestation(
     )
     return {n: registry[n] for n in order}
 
+
+# Definition order, BEFORE the attestation rotation. Benchmarks must
+# iterate this — the r16 bench showed a 2.2x swing on an unchanged plan
+# (emb_ivf_topk_probes2) when the rotation reshuffled which neighbors
+# warmed the shared IVF index/OS page cache; timings must not depend on
+# which 50 queries the driver happens to attest in a given round.
+CANONICAL_ORDER: tuple[str, ...] = tuple(REGISTRY)
 
 REGISTRY = _rotate_for_attestation(REGISTRY)

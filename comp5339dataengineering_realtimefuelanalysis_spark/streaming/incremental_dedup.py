@@ -333,28 +333,55 @@ class StreamingIncrementalDedup:
             # deployment whose config already drifted from its stored
             # band_keys would get the WRONG banding pinned as gospel —
             # the exact silent-readmission failure the pin exists to
-            # catch. Sanity-check one stored row (len(band_keys) ==
-            # configured bands) and refuse to pin on mismatch.
+            # catch. Sanity-check one stored row: recompute its
+            # band_keys from its TEXT under the configured
+            # (n, num_hashes, bands) and require the stored array to
+            # match byte-for-byte. (A bare len(band_keys) == bands
+            # check would miss same-bands drift — e.g. a legacy silver
+            # built with the same ``bands`` but a different
+            # ``num_hashes`` has different rows-per-band, hence
+            # different key strings of the same COUNT.)
             try:
                 sample = (
                     spark.read.parquet(self.silver_path)
-                    .select(F.size("band_keys").alias("nb"))
+                    .filter(F.col("band_keys").isNotNull())
+                    .select(self.id_col, self.text_col, "band_keys")
                     .first()
                 )
             except AnalysisException:
                 sample = None
-            if sample is not None and sample["nb"] != self.bands:
-                raise RuntimeError(
-                    "refusing to write first banding pin: silver at "
-                    f"{self.silver_path!r} stores {sample['nb']} "
-                    "band_keys per doc but this instance is configured "
-                    f"with bands={self.bands}. The stored keys predate "
-                    "the pin feature and were computed with a different "
-                    "banding — pinning the current config would bless "
-                    "the mismatch. Run migrate_banding(...) into a new "
-                    "silver root, or configure the banding the silver "
-                    "was actually built with."
+            if sample is not None:
+                recomputed = (
+                    dd.minhash_band_keys(
+                        spark.createDataFrame(
+                            [(sample[self.id_col],
+                              sample[self.text_col])],
+                            f"{self.id_col} {self._id_type()}, "
+                            f"{self.text_col} string",
+                        ),
+                        text_col=self.text_col,
+                        id_col=self.id_col,
+                        n=self.n,
+                        num_hashes=self.num_hashes,
+                        bands=self.bands,
+                    )
+                    .select("band_keys")
+                    .first()["band_keys"]
                 )
+                if list(sample["band_keys"]) != list(recomputed):
+                    raise RuntimeError(
+                        "refusing to write first banding pin: silver "
+                        f"at {self.silver_path!r} stores band_keys "
+                        "that do not reproduce under the configured "
+                        f"(n, num_hashes, bands)={configured} — the "
+                        "stored keys predate the pin feature and were "
+                        "computed with a different banding. Pinning "
+                        "the current config would bless the mismatch "
+                        "and silently re-admit near-dups. Run "
+                        "migrate_banding(...) into a new silver root, "
+                        "or configure the banding the silver was "
+                        "actually built with."
+                    )
             spark.createDataFrame(
                 [configured], self._BANDING_PIN_SCHEMA
             ).coalesce(1).write.mode("overwrite").parquet(

@@ -1354,6 +1354,22 @@ def test_first_pin_over_legacy_silver_validates_stored_keys(
     # nothing pinned by the refused attempt
     assert not os.path.exists(dedup._banding_pin_path())
 
+    # same band COUNT but different num_hashes: rows-per-band differs,
+    # so the stored key STRINGS don't reproduce even though their count
+    # does — a bare len(band_keys) == bands check misses this drift
+    legacy_bad_nh = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=dedup.landing_dir,
+        silver_path=dedup.silver_path,
+        checkpoint_dir=str(tmp_path / "chk_legacy_nh"),
+        schema=SCHEMA,
+        num_hashes=dedup.num_hashes * 2,
+        bands=dedup.bands,
+    )
+    with pytest.raises(RuntimeError, match="refusing to write first"):
+        legacy_bad_nh._check_banding_pin(spark)
+    assert not os.path.exists(dedup._banding_pin_path())
+
     legacy_ok = StreamingIncrementalDedup(
         spark=spark,
         landing_dir=dedup.landing_dir,

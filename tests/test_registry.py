@@ -189,6 +189,93 @@ def test_no_oracle_output_types_hugeint_or_decimal():
     assert not bad, f"hash-unportable oracle output types: {bad}"
 
 
+def _spark_type_cat(t: str) -> str:
+    """Hash-compatibility category of a Spark simpleString dtype."""
+    t = t.lower()
+    if t.startswith("array<") and t.endswith(">"):
+        return "array<" + _spark_type_cat(t[6:-1]) + ">"
+    if t in ("byte", "short", "int", "integer", "bigint", "long"):
+        return "int"
+    if t == "double":
+        return "float"
+    if t == "float":
+        return "float32"  # 32-bit: repr precision diverges from DOUBLE
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    return t  # string, boolean, date, ...
+
+
+def _duck_type_cat(t: str) -> str:
+    """Hash-compatibility category of a bound DuckDB output type."""
+    t = str(t).upper()
+    if t.endswith("[]"):
+        return "array<" + _duck_type_cat(t[:-2]) + ">"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL"):
+        return "float32"
+    if t == "DOUBLE":
+        return "float"
+    if "DECIMAL" in t or "HUGEINT" in t:
+        return "decimal"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    return {"VARCHAR": "string", "BOOLEAN": "boolean",
+            "DATE": "date"}.get(t, t.lower())
+
+
+def test_spark_output_types_hash_compatible_with_oracle(spark):
+    """Symmetric twin of the HUGEINT/DECIMAL oracle guard, from the
+    Spark side: the driver's value hash normalizes ints as str(int) and
+    floats as repr(float), so a cross-engine int-vs-double column (or a
+    Spark DecimalType / 32-bit FloatType output) is guaranteed red even
+    when every value agrees. Bind both engines' schemas and assert each
+    shared output column lands in the same hash-compatibility category —
+    so a future Spark-side refactor (e.g. a dec_sum or a float32 cast)
+    can't reintroduce the bug class the r16 oracle-side test killed."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        path = f"{SF_SMOKE}/{t}.parquet"
+        if Path(path).exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    bad = []
+    for name, qd in REGISTRY.items():
+        if not qd.oracle:
+            continue
+        sdf = qd.fn(spark, SF_SMOKE)
+        s_cats = {f.name: _spark_type_cat(f.dataType.simpleString())
+                  for f in sdf.schema.fields}
+        rel = con.sql(qd.oracle)  # binds types without executing
+        d_cats = dict(zip(rel.columns,
+                          (_duck_type_cat(t) for t in rel.types)))
+        for col, s_cat in s_cats.items():
+            # decimal is unconditionally banned (Spark collects it as
+            # decimal.Decimal, whose repr never matches int/float);
+            # float32 is legal ONLY when the oracle column is also
+            # 32-bit (identical bits widen to identical doubles —
+            # doc_embed_hash.value is the green precedent), which the
+            # category equality below enforces.
+            if s_cat == "decimal":
+                bad.append(f"{name}.{col}: Spark {s_cat} is "
+                           "hash-unportable")
+            d_cat = d_cats.get(col)
+            if d_cat is not None and d_cat != s_cat:
+                bad.append(
+                    f"{name}.{col}: Spark {s_cat} vs oracle {d_cat}"
+                )
+    assert not bad, f"cross-engine hash-incompatible output types: {bad}"
+
+
 def test_load_table_normalizes_ts_encodings(spark, tmp_path):
     """Declared ts columns normalize to TIMESTAMP whatever the fixture
     encoding — the environment has re-encoded fixtures between rounds
