@@ -374,11 +374,15 @@ def _stdlib_decode_mp3(content: bytes) -> dict:
     derive the frame byte length, and accumulate samples-per-frame.
     Exact for CBR and VBR alike (no Xing header needed — every frame
     is visited), header-only like the MP4 box walker: no audio
-    decode, so ``feature`` stays None. Reserved version/layer bits,
-    free-form bitrate, or no frame sync at all raise -> decode_err
-    quarantine. This closes the last auto-mode quarantine asymmetry
-    the r14 verdict flagged (JPEG/PNG/WAV/MP4 already had stdlib
-    tiers)."""
+    decode, so ``feature`` stays None. Free-format streams
+    (bitrate_index 0) are supported the way ISO 11172-3 prescribes:
+    the constant frame length is derived once by scanning to the next
+    sync whose version/layer/samplerate bits match, minus this
+    frame's padding slot; later frames re-add their own padding.
+    Reserved version/layer bits, bitrate index 15, or no frame sync
+    at all raise -> decode_err quarantine. This closes the last
+    auto-mode quarantine asymmetry the r14 verdict flagged
+    (JPEG/PNG/WAV/MP4 already had stdlib tiers)."""
     pos = 0
     if content[:3] == b"ID3" and len(content) >= 10:
         size = (
@@ -399,6 +403,7 @@ def _stdlib_decode_mp3(content: bytes) -> dict:
     # total_samples / first_rate drifts by the rate ratio on every
     # foreign-rate frame; summing spf/rate per frame is exact
     samples_by_rate: dict = {}
+    free_base: int | None = None  # measured free-format frame length
     while pos + 4 <= n:
         if content[pos] != 0xFF or (content[pos + 1] & 0xE0) != 0xE0:
             # end of audio frames (ID3v1 'TAG' trailer, padding junk)
@@ -411,24 +416,61 @@ def _stdlib_decode_mp3(content: bytes) -> dict:
         br_idx = (b2 >> 4) & 0xF
         sr_idx = (b2 >> 2) & 0x3
         padding = (b2 >> 1) & 1
-        if br_idx in (0, 15) or sr_idx == 3:
+        if br_idx == 15 or sr_idx == 3:
             raise ValueError(
-                "free-format/invalid bitrate or bad sample-rate index"
+                "invalid bitrate index or bad sample-rate index"
             )
         mpeg1 = ver_bits == 3
         layer = 4 - layer_bits
-        bitrate = (
-            _MP3_BITRATES[("1" if mpeg1 else "2", layer)][br_idx - 1]
-            * 1000
-        )
         base = (44100, 48000, 32000)[sr_idx]
         rate = base if mpeg1 else base // 2 if ver_bits == 2 else base // 4
-        if layer == 1:
-            spf = 384
-            flen = (12 * bitrate // rate + padding) * 4
+        spf = (
+            384 if layer == 1
+            else 1152 if (mpeg1 or layer == 2)
+            else 576
+        )
+        slot = 4 if layer == 1 else 1
+        if br_idx == 0:
+            # free format (ISO 11172-3 §2.4.2.3): a constant bitrate
+            # NOT in the table — frame length is constant per stream
+            # (modulo the padding slot) and must be measured once by
+            # finding the next frame sync with the same version/layer/
+            # samplerate bits (padding bit masked out: it varies).
+            if free_base is None:
+                nxt = None
+                end = min(n - 2, pos + 4 + 8192)
+                i = pos + 4
+                while i < end:
+                    if (
+                        content[i] == 0xFF
+                        and (content[i + 1] & 0xFE) == (b1 & 0xFE)
+                        and (content[i + 2] & 0xFC) == (b2 & 0xFC)
+                    ):
+                        nxt = i
+                        break
+                    i += 1
+                if nxt is None:
+                    # sole/last free frame: its payload runs to EOF —
+                    # count its samples, nothing left to walk
+                    samples_by_rate[rate] = (
+                        samples_by_rate.get(rate, 0) + spf
+                    )
+                    break
+                free_base = (nxt - pos) - padding * slot
+                if free_base <= 4:
+                    raise ValueError(
+                        "degenerate free-format frame length"
+                    )
+            flen = free_base + padding * slot
         else:
-            spf = 1152 if (mpeg1 or layer == 2) else 576
-            flen = (spf // 8) * bitrate // rate + padding
+            bitrate = (
+                _MP3_BITRATES[("1" if mpeg1 else "2", layer)][br_idx - 1]
+                * 1000
+            )
+            if layer == 1:
+                flen = (12 * bitrate // rate + padding) * 4
+            else:
+                flen = (spf // 8) * bitrate // rate + padding
         if flen <= 4:
             raise ValueError("degenerate MPEG frame length")
         samples_by_rate[rate] = samples_by_rate.get(rate, 0) + spf

@@ -421,6 +421,44 @@ def _mp3_bytes(
     return out
 
 
+def test_mp3_free_format_frames():
+    """Free-format MPEG audio (bitrate_index 0): frame length is not in
+    the bitrate tables — the walker must measure it once from the next
+    matching sync (padding bit masked out of the match) and re-apply
+    each frame's own padding slot. MPEG1 Layer III @ 44100, 200-byte
+    frames (196-byte zero payload: no false syncs)."""
+    from fractions import Fraction
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.multimodal import (
+        _stdlib_decode_mp3,
+    )
+
+    hdr, hdr_pad = b"\xff\xfb\x00\xc4", b"\xff\xfb\x02\xc4"
+    plain = hdr + bytes(196)  # flen 200, padding 0
+    padded = hdr_pad + bytes(197)  # flen 200 + 1 padding slot
+    exp4 = round(Fraction(4 * 1152 * 1000, 44100))
+    assert _stdlib_decode_mp3(plain * 4)["duration_ms"] == exp4
+    # padding toggles mid-stream: frame 2 is one slot longer — a walker
+    # that reuses the measured length verbatim lands mid-payload on
+    # frame 3 and undercounts
+    exp3 = round(Fraction(3 * 1152 * 1000, 44100))
+    assert (
+        _stdlib_decode_mp3(plain + padded + plain)["duration_ms"] == exp3
+    )
+    # sole free-format frame: no next sync to measure against — the
+    # payload runs to EOF and the frame still counts
+    exp1 = round(Fraction(1152 * 1000, 44100))
+    assert _stdlib_decode_mp3(plain)["duration_ms"] == exp1
+    # MPEG-2.5 low-rate free format (ver bits 00 -> rate = base/4):
+    # Layer III spf 576 @ 11025 Hz
+    hdr25 = b"\xff\xe3\x00\xc4"  # sync + ver 00 + layer 01 + prot 1
+    exp25 = round(Fraction(2 * 576 * 1000, 11025))
+    assert (
+        _stdlib_decode_mp3((hdr25 + bytes(96)) * 2)["duration_ms"]
+        == exp25
+    )
+
+
 def test_decode_auto_real_audio_mp3_frame_walk(spark):
     """The vendored MPEG-audio frame walker: true duration from
     walking real frame headers (3 x 1152 samples @ 44100 Hz = 78 ms),
