@@ -416,7 +416,15 @@ def dsir_sample_cutoff(
     the SELECTION plan differs — so the two variants agree except
     within the boundary band (tested). The exact-rank variant stays
     the oracle-gated one (approx sketches are not cross-engine
-    replayable); use this one when k is selection-at-scale."""
+    replayable); use this one when k is selection-at-scale.
+
+    Cost parity (r17, interleaved min-of-6 at sf0.1): the sketch
+    selection runs within ~5% of the exact-rank variant (3.84 vs
+    3.64 s) — the larger gaps in per-round bench artifacts (r16:
+    1.94 vs 1.55 normalized) were loop-position warmth, not plan
+    cost, fixed by bench.py's canonical iteration order. Don't
+    re-shape this plan chasing a bench delta; measure interleaved
+    first (SCALE.md §Round 17)."""
     from ..functions.caching import tracked_persist
 
     w = dsir_weights(

@@ -1107,10 +1107,17 @@ def last_attested_round(
 # whenever a registry query's plan changes materially — a green row for the
 # old plan says nothing about the new one.
 FORCE_ATTEST: dict[str, int] = {
-    # (empty — the round-8/9 rewrite entries were retired in round 17
-    # after every listed query re-greened: doc_embed_hash last green
-    # r16, the nine round-9 rewrites last green r15. Re-add an entry
-    # whenever a registry query's plan changes materially.)
+    # (the round-8/9 rewrite entries were retired in round 17 after
+    # every listed query re-greened: doc_embed_hash last green r16,
+    # the nine round-9 rewrites last green r15.)
+    #
+    # round-17 rewrite: the pipeline's near-dup stage moved from the
+    # legacy 16/4 banding to the measured knee (48/8) after the x300
+    # stage profile showed the r=4 verify stage growing 7.65x for 3x
+    # data; Spark stage 5 and the stage-9 oracle CTEs changed together
+    # (plans/registry_llm.py:_PIPE_NUM_HASHES).
+    "corpus_curation_pipeline": 17,
+    "corpus_curation_pipeline_2l": 17,
 }
 
 

@@ -672,6 +672,18 @@ def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # layout; this is the operating point a bulk 100 TB dedup should run.
 _KNEE_NUM_HASHES = 48
 _KNEE_BANDS = 8
+# The curation PIPELINE runs its near-dup stage at the knee (r17): the
+# x300 stage profile showed the legacy 16/4 verify stage growing 7.65x
+# for 3x data (32.5 -> 249 s, 24% of pipeline wall) because r=4 band
+# collisions grow superlinearly with corpus size (candidates 6.1M at
+# x30 -> 28.2M at x100), while true verified pairs stay linear (13.8k
+# -> 46.7k). At the knee the sweep measured 12x fewer candidates AND
+# higher union recall at the pipeline's own threshold 0.5. The oracle
+# replays the same banding, so driver parity is unaffected; the plan
+# change re-queues both pipeline queries for attestation
+# (FORCE_ATTEST, plans/registry.py).
+_PIPE_NUM_HASHES = _KNEE_NUM_HASHES
+_PIPE_BANDS = _KNEE_BANDS
 
 
 def q_doc_lsh_verified_pairs_knee(
@@ -2016,8 +2028,8 @@ def q_corpus_curation_pipeline(
             dd.minhash_lsh_pairs(
                 kept1,
                 n=_SHINGLE_N,
-                num_hashes=_NUM_HASHES,
-                bands=_BANDS,
+                num_hashes=_PIPE_NUM_HASHES,
+                bands=_PIPE_BANDS,
                 shingles_df=sh,
                 max_bucket=_LSH_MAX_BUCKET,
             )
@@ -2403,16 +2415,20 @@ def _sql_stage9_ctes() -> str:
     definition shared by the full-pipeline oracle and the 2l
     branch-attestation oracle, mirroring the Spark side's shared
     stage-9 materialization."""
-    rows = _NUM_HASHES // _BANDS
+    # pipeline banding = the measured knee (_PIPE_*), NOT the standalone
+    # queries' legacy 16/4 — must match the Spark side's stage 5 exactly
+    rows = _PIPE_NUM_HASHES // _PIPE_BANDS
     mins = ", ".join(
         f"MIN(({_SQL_H32} * {a} + {b}) % {dd.MINHASH_PRIME}) AS mh_{i}"
-        for i, (a, b) in enumerate(dd.permutation_constants(_NUM_HASHES))
+        for i, (a, b) in enumerate(
+            dd.permutation_constants(_PIPE_NUM_HASHES)
+        )
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, concat_ws('_', "
         + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
         + ") AS key FROM sig"
-        for b in range(_BANDS)
+        for b in range(_PIPE_BANDS)
     )
     sh1 = _SQL_SHINGLES.replace("FROM documents", "FROM exact")
     jac = (

@@ -189,6 +189,20 @@ def test_no_oracle_output_types_hugeint_or_decimal():
     assert not bad, f"hash-unportable oracle output types: {bad}"
 
 
+def test_bench_iterates_canonical_order():
+    """Bench timings must be comparable across rounds: the loop order
+    must be the registry's definition order, never the attestation-
+    rotated order (r16: emb_ivf_topk_probes2 swung 2.2x with an
+    unchanged plan purely from rotation-driven neighbor warmth)."""
+    import bench
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
+        CANONICAL_ORDER,
+    )
+
+    assert [n for n, _ in bench.BENCH_ITEMS] == list(CANONICAL_ORDER)
+    assert set(CANONICAL_ORDER) == set(REGISTRY)
+
+
 def _spark_type_cat(t: str) -> str:
     """Hash-compatibility category of a Spark simpleString dtype."""
     t = t.lower()
