@@ -292,7 +292,18 @@ def main() -> None:
         while len(attempts) < 6:
             n_low = sum(1 for a in attempts if _low_steal(a))
             best = min(attempts, key=lambda a: a["sec"])
-            if len(attempts) >= 2 and n_low >= 2 and best["sec"] < 12.0:
+            # hosts without /proc/stat report steal_pct None — steal is
+            # unmeasurable, not high, so the low-steal requirement is
+            # vacuous there: fall back to the pre-r17 two-attempts gate
+            # instead of always burning all 6 attempts (~1 min).
+            steal_measurable = any(
+                a.get("steal_pct") is not None for a in attempts
+            )
+            if (
+                len(attempts) >= 2
+                and (n_low >= 2 or not steal_measurable)
+                and best["sec"] < 12.0
+            ):
                 break
             attempts.append(streaming_bench(spark))
         pool = [a for a in attempts if _low_steal(a)] or attempts
@@ -367,6 +378,35 @@ def main() -> None:
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"bench: full artifact written to {out_path}", file=sys.stderr)
+    # Cross-round attribution (tools/bench_compare.py) needs FULL
+    # artifacts from BOTH rounds, but bench_out.json is overwritten
+    # every run and BENCH_r{N}.json keeps only a stdout tail. Infer the
+    # round this run belongs to from the driver's committed BENCH_r*.json
+    # ledger (max N + 1: the driver writes BENCH_r{N} AFTER running this)
+    # and persist a per-round copy the next round can commit and compare
+    # against. Only for the default path — explicit SPARK_GRAFT_BENCH_OUT
+    # runs are ad-hoc experiments, not round artifacts.
+    if "SPARK_GRAFT_BENCH_OUT" not in os.environ:
+        try:
+            import re as _re
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            rounds = [
+                int(m.group(1))
+                for fn in os.listdir(here)
+                for m in [_re.match(r"BENCH_r(\d+)\.json$", fn)]
+                if m
+            ]
+            rnd = (max(rounds) if rounds else 0) + 1
+            per_round = os.path.join(here, f"bench_out_r{rnd:02d}.json")
+            with open(per_round, "w") as f:
+                json.dump(out, f, indent=1)
+            print(
+                f"bench: per-round artifact written to {per_round}",
+                file=sys.stderr,
+            )
+        except OSError:
+            pass
     compact = {
         "metric": out["metric"],
         "value": round(total, 2),

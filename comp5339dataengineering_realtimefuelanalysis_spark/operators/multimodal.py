@@ -437,7 +437,13 @@ def _stdlib_decode_mp3(content: bytes) -> dict:
             # finding the next frame sync with the same version/layer/
             # samplerate bits (padding bit masked out: it varies).
             if free_base is None:
-                nxt = None
+                # A 0xFF + matching-masked-header byte pair can occur
+                # INSIDE the audio payload (false sync) — committing to
+                # the first match would yield a too-short free_base and
+                # an inflated duration. Require the candidate length to
+                # self-confirm: pos + length must land on a matching
+                # sync too (reading THAT frame's own padding bit), or
+                # run past EOF (two-frame stream).
                 end = min(n - 2, pos + 4 + 8192)
                 i = pos + 4
                 while i < end:
@@ -446,21 +452,28 @@ def _stdlib_decode_mp3(content: bytes) -> dict:
                         and (content[i + 1] & 0xFE) == (b1 & 0xFE)
                         and (content[i + 2] & 0xFC) == (b2 & 0xFC)
                     ):
-                        nxt = i
-                        break
+                        cand = (i - pos) - padding * slot
+                        if cand > 4:
+                            p2 = (content[i + 2] >> 1) & 1
+                            j = i + cand + p2 * slot
+                            if j >= n - 2 or (
+                                content[j] == 0xFF
+                                and (content[j + 1] & 0xFE)
+                                == (b1 & 0xFE)
+                                and (content[j + 2] & 0xFC)
+                                == (b2 & 0xFC)
+                            ):
+                                free_base = cand
+                                break
                     i += 1
-                if nxt is None:
-                    # sole/last free frame: its payload runs to EOF —
-                    # count its samples, nothing left to walk
+                if free_base is None:
+                    # sole/last free frame (or no self-confirming sync
+                    # within the scan window): its payload runs to EOF
+                    # — count its samples, nothing left to walk
                     samples_by_rate[rate] = (
                         samples_by_rate.get(rate, 0) + spf
                     )
                     break
-                free_base = (nxt - pos) - padding * slot
-                if free_base <= 4:
-                    raise ValueError(
-                        "degenerate free-format frame length"
-                    )
             flen = free_base + padding * slot
         else:
             bitrate = (

@@ -344,30 +344,50 @@ class StreamingIncrementalDedup:
             try:
                 sample = (
                     spark.read.parquet(self.silver_path)
-                    .filter(F.col("band_keys").isNotNull())
+                    .filter(
+                        F.col("band_keys").isNotNull()
+                        & F.col(self.text_col).isNotNull()
+                    )
                     .select(self.id_col, self.text_col, "band_keys")
                     .first()
                 )
             except AnalysisException:
                 sample = None
             if sample is not None:
-                recomputed = (
-                    dd.minhash_band_keys(
-                        spark.createDataFrame(
-                            [(sample[self.id_col],
-                              sample[self.text_col])],
-                            f"{self.id_col} {self._id_type()}, "
-                            f"{self.text_col} string",
-                        ),
-                        text_col=self.text_col,
-                        id_col=self.id_col,
-                        n=self.n,
-                        num_hashes=self.num_hashes,
-                        bands=self.bands,
+                try:
+                    recomputed = (
+                        dd.minhash_band_keys(
+                            spark.createDataFrame(
+                                [(sample[self.id_col],
+                                  sample[self.text_col])],
+                                f"{self.id_col} {self._id_type()}, "
+                                f"{self.text_col} string",
+                            ),
+                            text_col=self.text_col,
+                            id_col=self.id_col,
+                            n=self.n,
+                            num_hashes=self.num_hashes,
+                            bands=self.bands,
+                        )
+                        .select("band_keys")
+                        .first()["band_keys"]
                     )
-                    .select("band_keys")
-                    .first()["band_keys"]
-                )
+                except Exception as exc:  # noqa: BLE001
+                    # e.g. the stored id doesn't fit the configured
+                    # _id_type() — schema drift is the likely cause,
+                    # the same failure class the pin exists to catch:
+                    # surface the clean refusal, not a raw Spark error.
+                    raise RuntimeError(
+                        "refusing to write first banding pin: could "
+                        "not recompute band_keys for a sampled silver "
+                        f"row at {self.silver_path!r} "
+                        f"({type(exc).__name__}: {exc}) — the stored "
+                        "rows likely predate the pin feature with a "
+                        "drifted schema or banding. Run "
+                        "migrate_banding(...) into a new silver root, "
+                        "or configure the banding/schema the silver "
+                        "was actually built with."
+                    ) from exc
                 if list(sample["band_keys"]) != list(recomputed):
                     raise RuntimeError(
                         "refusing to write first banding pin: silver "

@@ -267,9 +267,22 @@ def test_spark_output_types_hash_compatible_with_oracle(spark):
         if not qd.oracle:
             continue
         sdf = qd.fn(spark, SF_SMOKE)
+        # name-keyed dicts would silently collapse duplicate output
+        # column names to the last occurrence (masking exactly the
+        # multi-column-same-name case the driver's sort-by-name compare
+        # is most fragile on) — ban dup names outright first.
+        s_names = [f.name for f in sdf.schema.fields]
+        rel = con.sql(qd.oracle)  # binds types without executing
+        if len(set(s_names)) != len(s_names):
+            bad.append(f"{name}: duplicate Spark output columns "
+                       f"{s_names}")
+            continue
+        if len(set(rel.columns)) != len(rel.columns):
+            bad.append(f"{name}: duplicate oracle output columns "
+                       f"{rel.columns}")
+            continue
         s_cats = {f.name: _spark_type_cat(f.dataType.simpleString())
                   for f in sdf.schema.fields}
-        rel = con.sql(qd.oracle)  # binds types without executing
         d_cats = dict(zip(rel.columns,
                           (_duck_type_cat(t) for t in rel.types)))
         for col, s_cat in s_cats.items():
