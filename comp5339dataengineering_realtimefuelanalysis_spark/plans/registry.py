@@ -580,6 +580,23 @@ def q_approx_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats_by_type_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact twin of approx_stats_by_type — the same
+    grouping with COUNT(DISTINCT) and exact interpolated median
+    instead of sketches, so the sketch query's aggregation SHAPE has a
+    driver-visible value-hash attestation (the sketch variant itself
+    stays rows-only by design: HLL++/KLL internals differ across
+    engines; its accuracy contract is asserted in
+    test_approx_stats_within_documented_bounds). At 100 TB the exact
+    distinct costs a second shuffle the sketch avoids — this twin is
+    the correctness anchor, the sketch is the scale default."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -760,6 +777,14 @@ REGISTRY: dict[str, QueryDef] = {
         None,  # sketches are engine-specific; accuracy asserted in tests
         ("events",),
         "HLL++ distinct + approx percentile (scale default)",
+    ),
+    "stats_by_type_exact": QueryDef(
+        q_stats_by_type_exact,
+        """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+                  quantile_cont(value, 0.5) AS p50
+           FROM events GROUP BY event_type""",
+        ("events",),
+        "exact twin of the sketch stats (distinct + median)",
     ),
     "purchase_attribution": QueryDef(
         q_purchase_attribution,
@@ -1115,7 +1140,12 @@ FORCE_ATTEST: dict[str, int] = {
     # legacy 16/4 banding to the measured knee (48/8) after the x300
     # stage profile showed the r=4 verify stage growing 7.65x for 3x
     # data; Spark stage 5 and the stage-9 oracle CTEs changed together
-    # (plans/registry_llm.py:_PIPE_NUM_HASHES).
+    # (plans/registry_llm.py:_pipe_banding). The r18 crossover sweep
+    # considered, then rejected, a count-guarded small-scale legacy
+    # branch (the knee wins at every measured scale — see
+    # SCALE_MEASURED.json: pipe_banding_crossover); the plan the r17
+    # window attested is the plan that ships, so these entries are
+    # inert and kept only until the ledger confirms r17 green rows.
     "corpus_curation_pipeline": 17,
     "corpus_curation_pipeline_2l": 17,
 }

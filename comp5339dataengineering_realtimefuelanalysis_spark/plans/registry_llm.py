@@ -672,18 +672,37 @@ def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # layout; this is the operating point a bulk 100 TB dedup should run.
 _KNEE_NUM_HASHES = 48
 _KNEE_BANDS = 8
-# The curation PIPELINE runs its near-dup stage at the knee (r17): the
-# x300 stage profile showed the legacy 16/4 verify stage growing 7.65x
-# for 3x data (32.5 -> 249 s, 24% of pipeline wall) because r=4 band
-# collisions grow superlinearly with corpus size (candidates 6.1M at
-# x30 -> 28.2M at x100), while true verified pairs stay linear (13.8k
-# -> 46.7k). At the knee the sweep measured 12x fewer candidates AND
-# higher union recall at the pipeline's own threshold 0.5. The oracle
-# replays the same banding, so driver parity is unaffected; the plan
-# change re-queues both pipeline queries for attestation
-# (FORCE_ATTEST, plans/registry.py).
-_PIPE_NUM_HASHES = _KNEE_NUM_HASHES
-_PIPE_BANDS = _KNEE_BANDS
+# The curation PIPELINE runs its near-dup stage at the knee at EVERY
+# scale. r17 promoted it on x300 evidence (legacy 16/4 verify grew
+# 7.65x for 3x data: r=4 band collisions are superlinear in corpus
+# size while true pairs stay linear) and booked a "+13% raw at sf0.1"
+# cost for the 3x minhash work. The r18 crossover sweep
+# (tools/sweep_pipe_banding.py -> SCALE_MEASURED.json:
+# pipe_banding_crossover) was run to make that trade count-guarded —
+# and dissolved its premise instead: on the stages banding touches
+# (5 + 7), the knee wins at x30/x100 by 4.2x/3.6x as expected, AND
+# ties-or-wins at x10 and even x1 (interleaved same-epoch A/B at
+# sf0.1: knee 2.94 s vs legacy 3.51 s warm — legacy saves ~0.4 s of
+# hashing but pays ~1.0 s more verify even at 2.3k docs). The r17
+# "+13%" was a cross-round calibration artifact (raw floors compared
+# across epochs whose cal factor halved), not a knee cost. There is
+# no crossover: hash work is linear map-only at every scale while
+# candidate volume is superlinear, so the knee's 12x candidate
+# reduction dominates from the smallest measurable corpus up. A
+# count-guarded legacy branch would knowingly pick the slower plan
+# below its threshold — the pipeline therefore pins the knee, and
+# SPARK_GRAFT_PIPE_BANDING=legacy remains ONLY as the measurement
+# hook the sweep tool uses to keep both curves collectible.
+def _pipe_banding() -> tuple[int, int]:
+    """The curation pipeline's stage-5 banding: the measured S-curve
+    knee, unconditionally (see the sweep note above —
+    candidate-volume superlinearity beats 3x map-only hash work at
+    every measured scale). SPARK_GRAFT_PIPE_BANDING=legacy forces the
+    16/4 comparison branch for measurement tools only; the oracle
+    always replays the knee, so correctness runs must not set it."""
+    if os.environ.get("SPARK_GRAFT_PIPE_BANDING") == "legacy":
+        return (_NUM_HASHES, _BANDS)
+    return (_KNEE_NUM_HASHES, _KNEE_BANDS)
 
 
 def q_doc_lsh_verified_pairs_knee(
@@ -2022,14 +2041,15 @@ def q_corpus_curation_pipeline(
     # most expensive unshared subplan in the pipeline (measured: the
     # verify join alone fell 6.1 s -> 0.7 s at sf0.1 once the candidate
     # derivation stopped being replayed inline)
+    pipe_num_hashes, pipe_bands = _pipe_banding()
     cands = stage_cb(
         "5_lsh_candidates",
         lambda: tracked_persist(
             dd.minhash_lsh_pairs(
                 kept1,
                 n=_SHINGLE_N,
-                num_hashes=_PIPE_NUM_HASHES,
-                bands=_PIPE_BANDS,
+                num_hashes=pipe_num_hashes,
+                bands=pipe_bands,
                 shingles_df=sh,
                 max_bucket=_LSH_MAX_BUCKET,
             )
@@ -2309,11 +2329,18 @@ def _curation_stage9_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (
         f"{sf_dir}:stage9:{_QUALITY_KEEP}:{_REP_MAX_DUP_WORD}"
         f":{_REP_MAX_TOP_BIGRAM}:{_REP_MAX_DUP_TRIGRAM}:{_SHINGLE_N}"
-        f":{_NUM_HASHES}:{_BANDS}:{_LSH_MAX_BUCKET}:{_JACCARD_THRESHOLD}"
+        # stage 5 runs the KNEE constants (r17 keyed the legacy 16/4
+        # here while stage 5 ran the knee — a retune would have served
+        # stale survivors from a persistent cache root)
+        f":{_KNEE_NUM_HASHES}:{_KNEE_BANDS}"
+        f":{_LSH_MAX_BUCKET}:{_JACCARD_THRESHOLD}"
         # stage 2b (quality screen) constants: the survivor set depends
         # on them, so a retune must invalidate the cache
         f":{_GOPHER_MIN_WORDS}:{_GOPHER_MIN_STOP}"
         f":{_PPL_BUCKETS}:{_PPL_SEED}:fix20"
+        # a forced-banding measurement run must not serve its survivors
+        # to (or read them from) production-keyed entries
+        f":{os.environ.get('SPARK_GRAFT_PIPE_BANDING', 'auto')}"
         f":{_corpus_fingerprint(sf_dir)}"
     )
     path = _STAGE9_PATHS.get(key)
@@ -2409,27 +2436,41 @@ def _sql_sem_stage_ctes(src: str, sem_mode: str = "auto") -> str:
             {_sql_semkept_select("semsrc2", "t2comp")})"""
 
 
+def _sql_lsh_cands_chain(num_hashes: int, bands: int, sfx: str,
+                         src: str) -> str:
+    """One LSH candidate chain (sig -> bands -> cands CTEs, suffixed
+    ``sfx``) over shingle source ``src`` at a given banding."""
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"MIN(({_SQL_H32} * {a} + {b}) % {dd.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(dd.permutation_constants(num_hashes))
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('_', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + f") AS key FROM sig{sfx}"
+        for b in range(bands)
+    )
+    return f"""sig{sfx} AS MATERIALIZED (SELECT doc_id, {mins}
+                  FROM {src} GROUP BY doc_id),
+        bands{sfx} AS MATERIALIZED (SELECT * FROM ({band_selects})
+                  QUALIFY COUNT(*) OVER (PARTITION BY band, key)
+                          <= {_LSH_MAX_BUCKET}),
+        cands{sfx} AS MATERIALIZED (
+                  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands{sfx} a JOIN bands{sfx} b
+                       ON a.band = b.band AND a.key = b.key
+                  WHERE a.doc_id < b.doc_id)"""
+
+
 def _sql_stage9_ctes() -> str:
     """Stages 1-9 of the pipeline replay (CTEs ``train`` .. ``nondup``,
     requires WITH RECURSIVE for the dedup-cluster walk) — ONE
     definition shared by the full-pipeline oracle and the 2l
     branch-attestation oracle, mirroring the Spark side's shared
-    stage-9 materialization."""
-    # pipeline banding = the measured knee (_PIPE_*), NOT the standalone
-    # queries' legacy 16/4 — must match the Spark side's stage 5 exactly
-    rows = _PIPE_NUM_HASHES // _PIPE_BANDS
-    mins = ", ".join(
-        f"MIN(({_SQL_H32} * {a} + {b}) % {dd.MINHASH_PRIME}) AS mh_{i}"
-        for i, (a, b) in enumerate(
-            dd.permutation_constants(_PIPE_NUM_HASHES)
-        )
-    )
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, concat_ws('_', "
-        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
-        + ") AS key FROM sig"
-        for b in range(_PIPE_BANDS)
-    )
+    stage-9 materialization. Stage 5 replays the pipeline's banding —
+    the measured knee, unconditionally (_pipe_banding; the r18 sweep
+    found no crossover below which the legacy banding wins)."""
     sh1 = _SQL_SHINGLES.replace("FROM documents", "FROM exact")
     jac = (
         "CAST(len(list_intersect(sa.sh_set, sb.sh_set)) AS DOUBLE)"
@@ -2488,14 +2529,8 @@ def _sql_stage9_ctes() -> str:
                                  PARTITION BY md5({_NORM})) AS is_canon
                       FROM repgate) WHERE is_canon),
         sh1 AS MATERIALIZED ({sh1}),
-        sig AS MATERIALIZED (SELECT doc_id, {mins} FROM sh1 GROUP BY doc_id),
-        bands AS MATERIALIZED (SELECT * FROM ({band_selects})
-                  QUALIFY COUNT(*) OVER (PARTITION BY band, key)
-                          <= {_LSH_MAX_BUCKET}),
-        cands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM bands a JOIN bands b
-                       ON a.band = b.band AND a.key = b.key
-                  WHERE a.doc_id < b.doc_id),
+        {_sql_lsh_cands_chain(_KNEE_NUM_HASHES,
+                              _KNEE_BANDS, "", "sh1")},
         sets AS MATERIALIZED (SELECT doc_id, list_distinct(list(shingle)) AS sh_set
                  FROM sh1 GROUP BY doc_id),
         pairs AS MATERIALIZED (SELECT id_a, id_b FROM cands

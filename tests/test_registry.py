@@ -88,6 +88,28 @@ def test_curation_pipeline_sem_mode_auto_switches(spark, monkeypatch):
     assert run(sem_mode="auto") == run(sem_mode="2l")
 
 
+def test_pipeline_banding_pinned_to_knee(monkeypatch):
+    """The pipeline's stage-5 banding is the measured knee at every
+    scale (the r18 sweep found no crossover: pipe_banding_crossover in
+    SCALE_MEASURED.json). SPARK_GRAFT_PIPE_BANDING=legacy exists ONLY
+    as the sweep tool's Spark-side measurement hook — the ORACLE must
+    stay on the knee chain regardless, so an env leak into a
+    correctness run forks the engines loudly (hash mismatch) rather
+    than silently re-pinning both sides to the slower banding."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans import (
+        registry_llm as rl,
+    )
+
+    assert rl._pipe_banding() == (rl._KNEE_NUM_HASHES, rl._KNEE_BANDS)
+    monkeypatch.setenv("SPARK_GRAFT_PIPE_BANDING", "legacy")
+    assert rl._pipe_banding() == (rl._NUM_HASHES, rl._BANDS)
+    # oracle ignores the hook: the stage-9 chain still carries all 48
+    # knee minhash columns
+    sql = rl._sql_stage9_ctes()
+    assert f"mh_{rl._KNEE_NUM_HASHES - 1}" in sql
+    assert f"mh_{rl._KNEE_NUM_HASHES}" not in sql
+
+
 def test_curation_pipeline_durable_barrier_identical(spark):
     """barrier='durable' (stage 2b's survivors written to the at-rest
     store and re-read — the cluster posture: localCheckpoint blocks
