@@ -459,6 +459,54 @@ def test_mp3_free_format_frames():
     )
 
 
+def test_mp3_free_format_false_sync_rejected():
+    """A 0xFF + matching-masked-header byte pair INSIDE a free-format
+    frame's payload must not be taken as the next frame: the walker
+    validates that the candidate length self-confirms (start + length
+    lands on another matching sync, or EOF) before committing. A
+    walker that trusts the first match measures free_base=50 here,
+    walks fake frames, and overcounts duration."""
+    from fractions import Fraction
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.multimodal import (
+        _stdlib_decode_mp3,
+    )
+
+    hdr = b"\xff\xfb\x00\xc4"  # MPEG1 L3 free-format @ 44100, flen 200
+    payload = bytearray(196)
+    payload[46:49] = b"\xff\xfb\x00"  # false sync at frame offset 50
+    poisoned = hdr + bytes(payload)
+    stream = poisoned + hdr + bytes(196)
+    exp2 = round(Fraction(2 * 1152 * 1000, 44100))
+    assert _stdlib_decode_mp3(stream)["duration_ms"] == exp2
+
+
+def test_mp3_mpeg2_lsf_bitrate_tables():
+    """MPEG-2/2.5 CBR streams exercise the ("2", layer) rows of the
+    LSF bitrate table, which free-format streams bypass entirely:
+
+    * MPEG-2.5 Layer II, br_idx 8 -> 64 kbps @ 11025 Hz: spf 1152,
+      flen = 144*64000//11025 = 835
+    * MPEG-2 Layer I, br_idx 4 -> 64 kbps @ 22050 Hz (Layer I shares
+      the ("2", 1) row and the 4-byte slot): spf 384,
+      flen = (12*64000//22050)*4 = 136"""
+    from fractions import Fraction
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.multimodal import (
+        _stdlib_decode_mp3,
+    )
+
+    # 0xE5 = sync|ver 00 (2.5)|layer 10 (II)|prot 1; 0x80 = br 8, sr 0
+    f25l2 = b"\xff\xe5\x80\xc4" + bytes(831)
+    exp = round(Fraction(3 * 1152 * 1000, 11025))
+    assert _stdlib_decode_mp3(f25l2 * 3)["duration_ms"] == exp
+
+    # 0xF7 = sync|ver 10 (2)|layer 11 (I)|prot 1; 0x40 = br 4, sr 0
+    f2l1 = b"\xff\xf7\x40\xc4" + bytes(132)
+    exp = round(Fraction(3 * 384 * 1000, 22050))
+    assert _stdlib_decode_mp3(f2l1 * 3)["duration_ms"] == exp
+
+
 def test_decode_auto_real_audio_mp3_frame_walk(spark):
     """The vendored MPEG-audio frame walker: true duration from
     walking real frame headers (3 x 1152 samples @ 44100 Hz = 78 ms),
