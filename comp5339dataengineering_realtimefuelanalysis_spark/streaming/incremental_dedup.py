@@ -97,6 +97,10 @@ class StreamingIncrementalDedup:
     # partitioned by (kp, ingest_epoch), a replayed epoch overwrites
     # its own partitions and reads exclude the in-flight epoch.
     band_index_path: str | None = None
+    # compact_epochs write parallelism: files per partition dir after a
+    # fold (1 = minimal file count; raise when a fold is large enough
+    # that one write task per dir would serialize the rewrite)
+    compact_files_per_partition: int = 1
     # Optional embedding-space (SEMANTIC) screen: catches rephrased
     # duplicates whose shingle Jaccard is low but whose hashing-trick
     # cosine is high (word-order edits, clause shuffles). Architecture
@@ -541,6 +545,220 @@ class StreamingIncrementalDedup:
                 .parquet(self.band_index_path)
             )
         return len(missing)
+
+    # -- epoch compaction (maintenance) -----------------------------------
+
+    @staticmethod
+    def _pending_path(path: str) -> str:
+        # underscore prefix: Spark's file index treats it as hidden, so
+        # the manifest never pollutes a parquet read of the store root
+        return os.path.join(path, "_compact_pending.json")
+
+    @staticmethod
+    def _epoch_dirs(path: str, outer: tuple[str, ...], epoch) -> list:
+        import glob as _glob
+
+        pat = os.path.join(
+            path, *(f"{c}=*" for c in outer), f"ingest_epoch={epoch}"
+        )
+        return _glob.glob(pat)
+
+    def _apply_compaction(self, path: str, plan: dict) -> None:
+        """Execute (or re-execute after a crash) the delete+rename half
+        of a compaction whose temp write already committed. Idempotent:
+        deletes ignore missing dirs, renames skip temp dirs already
+        moved, and the manifest is removed last."""
+        import shutil
+
+        outer = tuple(plan["outer"])
+        tmp, tgt = plan["temp"], plan["tgt"]
+        for e in plan["src"]:
+            if e == tgt:
+                continue
+            for d in self._epoch_dirs(path, outer, e):
+                shutil.rmtree(d, ignore_errors=True)
+        for d in self._epoch_dirs(tmp, outer, tgt):
+            dest = os.path.join(path, os.path.relpath(d, tmp))
+            if os.path.isdir(dest):
+                shutil.rmtree(dest, ignore_errors=True)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.rename(d, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            os.remove(self._pending_path(path))
+        except FileNotFoundError:
+            pass
+
+    def _recover_compaction(self, path: str) -> None:
+        import json as _json
+        import shutil
+
+        pending = self._pending_path(path)
+        if not os.path.isfile(pending):
+            return
+        with open(pending) as f:
+            plan = _json.load(f)
+        if os.path.isfile(os.path.join(plan["temp"], "_SUCCESS")):
+            # temp write committed before the crash: finish the job
+            self._apply_compaction(path, plan)
+        else:
+            # crashed mid-temp-write: nothing in the store was mutated
+            # (the manifest is written only after the temp commits, so
+            # reaching here means a manifest from a PARTIAL apply whose
+            # temp was already consumed, or a torn temp) — roll forward
+            # is unsafe; drop the temp and manifest, store is intact
+            shutil.rmtree(plan["temp"], ignore_errors=True)
+            os.remove(pending)
+
+    def _compact_store(
+        self,
+        spark: SparkSession,
+        path: str,
+        outer: tuple[str, ...],
+        src: list,
+        tgt,
+        read_schema: str | None = None,
+    ) -> int:
+        """Fold ``ingest_epoch`` partitions ``src`` into ``tgt`` under
+        ``path`` (outer partition columns preserved). Crash-safe:
+        temp-write -> manifest -> delete -> rename; see compact_epochs.
+        Returns the number of rows in the compacted partition."""
+        import json as _json
+
+        self._recover_compaction(path)
+        reader = spark.read
+        if read_schema is not None:
+            reader = reader.schema(read_schema)
+        try:
+            df = reader.parquet(path)
+        except AnalysisException:
+            return 0
+        present = {
+            r[0] for r in df.select("ingest_epoch").distinct().collect()
+        }
+        fold = sorted(e for e in src if e in present)
+        # a single foldable epoch still folds when its label differs
+        # from the target: stores must end with the SAME epoch set as
+        # silver or the coverage checks would see phantom gaps
+        if not fold or fold == [tgt]:
+            return 0
+        tmp = path.rstrip("/") + "_compact_tmp"
+        rows = (
+            df.filter(F.col("ingest_epoch").isin(fold))
+            .withColumn("ingest_epoch", F.lit(tgt))
+        )
+        # one shuffle so each output partition dir gets a BOUNDED file
+        # count — without it every write task fans a part-file into
+        # every dir it holds rows for, and the band index measurably
+        # kept ~95% of its small files through a 100->1 epoch fold
+        # (the whole point of compacting). compact_files_per_partition
+        # salts the shuffle so a huge fold still writes in parallel
+        # (default 1 file/dir: right for the per-epoch-small-files
+        # regime compaction exists for; raise it when a fold holds
+        # more rows than one task should write).
+        salt = F.pmod(
+            F.hash(F.col(self.id_col)),
+            F.lit(max(1, self.compact_files_per_partition)),
+        )
+        rows = rows.repartition(*[F.col(c) for c in outer], salt)
+        (
+            rows.write.mode("overwrite")
+            .partitionBy(*outer, "ingest_epoch")
+            .parquet(tmp)
+        )
+        n = spark.read.parquet(tmp).count()
+        plan = {"temp": tmp, "src": fold, "tgt": tgt, "outer": list(outer)}
+        with open(self._pending_path(path), "w") as f:
+            _json.dump(plan, f)
+        self._apply_compaction(path, plan)
+        return n
+
+    def compact_epochs(
+        self, spark: SparkSession, up_to_epoch: int | None = None
+    ) -> dict:
+        """Maintenance: fold committed epoch partitions into one.
+
+        A long-lived deployment accretes one silver partition (plus one
+        band-index (kp, epoch) and sem-index (cell, epoch) partition
+        set) per micro-batch epoch — thousands of small files whose
+        listing cost grows without bound, and whose epoch lists the
+        coverage checks drive through distinct() scans. Folding every
+        committed epoch below ``up_to_epoch`` (default: the max epoch
+        present — the only partition a checkpoint replay can rewrite)
+        into the SMALLEST folded epoch keeps corpus content
+        byte-identical while bounding partition count.
+
+        Replay isolation is preserved: the in-flight epoch's partition
+        is never touched (reads exclude it by id, and it is never in
+        the fold set), and the compaction target id is an
+        already-committed epoch, so no future micro-batch or replay
+        can collide with it. Crash-safe per store via a temp-write ->
+        manifest -> delete -> rename protocol: an interrupted run is
+        finished (temp committed) or rolled back (temp torn) by the
+        next call. Local/posix store paths only — on a cluster, run
+        the same fold as a batch job under an atomic-commit writer.
+
+        Returns {"folded_epochs": n, "target": id, "rows": {...}} —
+        folded_epochs 0 means there was nothing to compact."""
+        for p, outer, schema in self._compactable_stores():
+            self._recover_compaction(p)
+        # fold set from the UNION of all stores' epochs, not silver's
+        # alone: a run interrupted between stores leaves silver folded
+        # and an index not — the next call must still fold the index
+        all_epochs: set = set()
+        silver_epochs: set = set()
+        for p, outer, schema in self._compactable_stores():
+            reader = spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            try:
+                df = reader.parquet(p)
+            except AnalysisException:
+                continue
+            eps = {
+                r[0]
+                for r in df.select("ingest_epoch").distinct().collect()
+            }
+            all_epochs |= eps
+            if p == self.silver_path:
+                silver_epochs = eps
+        if not silver_epochs:
+            return {"folded_epochs": 0, "target": None, "rows": {}}
+        cut = max(silver_epochs) if up_to_epoch is None else up_to_epoch
+        fold = sorted(e for e in all_epochs if e < cut)
+        if len(fold) < 2:
+            return {"folded_epochs": 0, "target": None, "rows": {}}
+        tgt = fold[0]
+        rows: dict[str, int] = {}
+        for p, outer, schema in self._compactable_stores():
+            name = os.path.basename(p.rstrip("/")) or p
+            rows[name] = self._compact_store(
+                spark, p, outer, fold, tgt, read_schema=schema
+            )
+        return {
+            "folded_epochs": len(fold),
+            "target": tgt,
+            "rows": rows,
+        }
+
+    def _compactable_stores(self):
+        """(path, outer partition cols, read schema) per epoch-
+        partitioned store this instance owns. The sem drift record and
+        ppl stores are epoch-stamped metrics/models, not corpus state —
+        tiny, and their epoch ids carry meaning in reports — so they
+        are deliberately not compacted."""
+        stores = [(self.silver_path, (), None)]
+        if self.band_index_path is not None:
+            stores.append(
+                (self.band_index_path, ("kp",),
+                 self._index_read_schema())
+            )
+        if self.sem_index_path is not None:
+            stores.append(
+                (self._sem_rows_path(), ("cell",),
+                 self._sem_read_schema())
+            )
+        return stores
 
     # -- semantic (embedding-space) screen --------------------------------
 

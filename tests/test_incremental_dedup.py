@@ -1384,3 +1384,142 @@ def test_first_pin_over_legacy_silver_validates_stored_keys(
     assert (pin["n"], pin["num_hashes"], pin["bands"]) == (
         legacy_ok.n, legacy_ok.num_hashes, legacy_ok.bands,
     )
+
+
+def test_compact_epochs_preserves_content_and_screening(spark, tmp_path):
+    """Folding committed epoch partitions must leave corpus CONTENT
+    byte-identical (only the partition labels merge), keep every
+    epoch-partitioned store's epoch set aligned (coverage checks), and
+    leave screening behavior unchanged: a near-dup of a doc admitted
+    five epochs ago must still be rejected after its partition was
+    folded away."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.streaming.incremental_dedup import (  # noqa: E501
+        StreamingIncrementalDedup,
+    )
+
+    d = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=str(tmp_path / "landing"),
+        silver_path=str(tmp_path / "silver"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        schema=SCHEMA,
+        band_index_path=str(tmp_path / "bandidx"),
+    )
+    for epoch, rows in enumerate(
+        [[(1, BASE)], [(2, OTHER)], [(3, THIRD)], [(4, PAIR_A)],
+         [(5, "fresh unrelated closing batch all its own words")]]
+    ):
+        d._sink(spark.createDataFrame(rows, SCHEMA), epoch_id=epoch)
+
+    silver = spark.read.parquet(d.silver_path)
+    pre_rows = sorted(
+        map(tuple, silver.drop("ingest_epoch").collect())
+    )
+    assert len({r[0] for r in silver.select("ingest_epoch")
+                .collect()}) == 5
+
+    res = d.compact_epochs(spark)
+    assert res["folded_epochs"] == 4 and res["target"] == 0
+
+    silver2 = spark.read.parquet(d.silver_path)
+    post_rows = sorted(
+        map(tuple, silver2.drop("ingest_epoch").collect())
+    )
+    assert post_rows == pre_rows
+    s_eps = {r[0] for r in silver2.select("ingest_epoch").distinct()
+             .collect()}
+    assert s_eps == {0, 4}
+    idx = spark.read.schema(d._index_read_schema()).parquet(
+        d.band_index_path
+    )
+    i_eps = {r[0] for r in idx.select("ingest_epoch").distinct()
+             .collect()}
+    assert i_eps == {0, 4}
+    # no pending manifest or temp dirs left behind
+    assert not os.path.exists(d._pending_path(d.silver_path))
+    assert not os.path.exists(d.silver_path + "_compact_tmp")
+
+    # screening vs the compacted corpus: near-dup of the EARLIEST
+    # admitted doc (folded partition) dropped, fresh doc admitted —
+    # through a fresh runner so the coverage check re-runs cold
+    d2 = StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=d.landing_dir,
+        silver_path=d.silver_path,
+        checkpoint_dir=d.checkpoint_dir,
+        schema=SCHEMA,
+        band_index_path=d.band_index_path,
+    )
+    d2._sink(
+        spark.createDataFrame([(10, NEAR), (11, NEAR_OTHER),
+                               (12, "entirely new words nobody used")],
+                              SCHEMA),
+        epoch_id=9,
+    )
+    assert _silver_ids(spark, d2) == {1, 2, 3, 4, 5, 12}
+    # a second compact folds {0, 4} (9 is now the live-edge max)
+    res2 = d2.compact_epochs(spark)
+    assert res2["folded_epochs"] == 2 and res2["target"] == 0
+    assert _silver_ids(spark, d2) == {1, 2, 3, 4, 5, 12}
+
+
+def test_compact_epochs_crash_recovery(spark, tmp_path, monkeypatch):
+    """A compaction interrupted after the temp write committed (the
+    manifest exists, partitions half-mutated) must be FINISHED by the
+    next call, ending bit-identical to an uninterrupted fold — and a
+    partial run that folded silver but not the index must still fold
+    the index on retry (fold set from the union of stores)."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.streaming import (
+        incremental_dedup as mod,
+    )
+
+    d = mod.StreamingIncrementalDedup(
+        spark=spark,
+        landing_dir=str(tmp_path / "landing"),
+        silver_path=str(tmp_path / "silver"),
+        checkpoint_dir=str(tmp_path / "chk"),
+        schema=SCHEMA,
+        band_index_path=str(tmp_path / "bandidx"),
+    )
+    for epoch, rows in enumerate(
+        [[(1, BASE)], [(2, OTHER)], [(3, THIRD)]]
+    ):
+        d._sink(spark.createDataFrame(rows, SCHEMA), epoch_id=epoch)
+    pre = sorted(
+        map(tuple, spark.read.parquet(d.silver_path)
+            .drop("ingest_epoch").collect())
+    )
+
+    # crash INSIDE the apply step of the first store (silver): temp +
+    # manifest committed, deletes/renames not yet run
+    real_apply = mod.StreamingIncrementalDedup._apply_compaction
+    calls = {"n": 0}
+
+    def boom(self, path, plan):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("simulated crash mid-compaction")
+        return real_apply(self, path, plan)
+
+    monkeypatch.setattr(
+        mod.StreamingIncrementalDedup, "_apply_compaction", boom
+    )
+    with pytest.raises(OSError, match="simulated crash"):
+        d.compact_epochs(spark)
+    assert os.path.exists(d._pending_path(d.silver_path))
+
+    res = d.compact_epochs(spark)  # recovers silver, then folds index
+    assert not os.path.exists(d._pending_path(d.silver_path))
+    silver = spark.read.parquet(d.silver_path)
+    assert sorted(
+        map(tuple, silver.drop("ingest_epoch").collect())
+    ) == pre
+    s_eps = {r[0] for r in silver.select("ingest_epoch").distinct()
+             .collect()}
+    assert s_eps == {0, 2}
+    idx = spark.read.schema(d._index_read_schema()).parquet(
+        d.band_index_path
+    )
+    i_eps = {r[0] for r in idx.select("ingest_epoch").distinct()
+             .collect()}
+    assert i_eps == {0, 2}, res
