@@ -452,3 +452,89 @@ def test_sem2_recall_vs_1l_guard(spark):
     assert len(one) >= 10, "smoke corpus must contain semantic dups"
     recall = len(one & two) / len(one)
     assert recall >= 0.95, (recall, len(one), len(two))
+
+
+def test_np_assign_matches_exploded_path(spark):
+    """The batched-numpy assignment kernel (r18: mapInArrow int64
+    matmul) must be BIT-IDENTICAL to the exploded hash-agg fan-out it
+    replaces, on both the argmin (_lloyd_assign) and the multi-probe
+    (kmeans_assign_probes) faces — same distances (exact int64 either
+    way), same lowest-cid tiebreak. Also pins the kernel's edge
+    contract: NULL vectors drop (posexplode semantics) and a
+    dim-mismatched vector still raises loudly."""
+    import pytest
+
+    from comp5339dataengineering_realtimefuelanalysis_spark.plans.base import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(
+        300
+    )
+    cents = sim.kmeans_train_centroids(
+        emb, k=7, iters=1, unit_norm=True
+    )
+    c = emb.select(
+        "vec_id", sim.scaled_vec(F.col("embedding")).alias("svec")
+    )
+    env = sim._NP_ASSIGN_ENV
+    old = os.environ.get(env)
+    try:
+        os.environ[env] = "1"
+        got_arg = sorted(
+            map(
+                tuple,
+                sim._lloyd_assign(
+                    c, cents, "vec_id", unit_norm=True
+                ).collect(),
+            )
+        )
+        got_pr = sorted(
+            map(
+                tuple,
+                sim.kmeans_assign_probes(
+                    emb, cents, probes=3, unit_norm=True
+                ).collect(),
+            )
+        )
+        # a NULL vector row disappears (mirrors posexplode)
+        with_null = spark.createDataFrame(
+            [(901, None), (902, [0] * 64)],
+            "vec_id long, svec array<bigint>",
+        )
+        out = sim._lloyd_assign(
+            with_null, cents, "vec_id", unit_norm=True
+        ).collect()
+        assert [r.vec_id for r in out] == [902]
+        # a mismatched dim raises with the unrolled-guard wording
+        bad = spark.createDataFrame(
+            [(903, [0] * 65)], "vec_id long, svec array<bigint>"
+        )
+        with pytest.raises(Exception, match="does not match unrolled dim"):
+            sim._lloyd_assign(
+                bad, cents, "vec_id", unit_norm=True
+            ).collect()
+        os.environ[env] = "0"
+        want_arg = sorted(
+            map(
+                tuple,
+                sim._lloyd_assign(
+                    c, cents, "vec_id", unit_norm=True
+                ).collect(),
+            )
+        )
+        want_pr = sorted(
+            map(
+                tuple,
+                sim.kmeans_assign_probes(
+                    emb, cents, probes=3, unit_norm=True
+                ).collect(),
+            )
+        )
+    finally:
+        if old is None:
+            os.environ.pop(env, None)
+        else:
+            os.environ[env] = old
+    assert got_arg == want_arg
+    assert got_pr == want_pr
