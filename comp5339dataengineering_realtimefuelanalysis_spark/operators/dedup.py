@@ -726,6 +726,7 @@ def simhash_pairs(
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    fps_df: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: banded blocking (a pair within Hamming
     distance < bands must share at least one exact band by pigeonhole),
@@ -735,8 +736,16 @@ def simhash_pairs(
 
     ``max_bucket``: skew guard for degenerate band values — see
     ``cap_buckets``. Set it at scale.
+
+    ``fps_df``: optional precomputed ``(id_col, simhash)`` fingerprint
+    frame (must match ``bits``) — callers that already materialized
+    the fingerprints skip recomputing them.
     """
-    fp = simhash_fingerprint(df, text_col, id_col, bits)
+    fp = (
+        fps_df
+        if fps_df is not None
+        else simhash_fingerprint(df, text_col, id_col, bits)
+    )
     width = bits // bands
     mask = (1 << width) - 1
     banded = fp.select(

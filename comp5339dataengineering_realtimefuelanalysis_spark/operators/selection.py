@@ -332,6 +332,7 @@ def dsir_sample(
     smooth: int = 1,
     seed: str = "dsir",
     gumbel: bool = True,
+    scored_df: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance RESAMPLING: keep ceil(frac * n) documents by
     Gumbel-top-k over the importance weights — equivalent to sampling
@@ -356,34 +357,47 @@ def dsir_sample(
     the boundary fuzz is one approx-percentile error band. The
     registry's ``doc_dsir_sample`` pins this exact-rank gumbel variant
     for oracle parity (plans/registry_llm.py:q_doc_dsir_sample).
+
+    ``scored_df``: an already-scored ``(id_col, dsir_weight, score)``
+    frame (e.g. the registry's shared at-rest materialization,
+    _dsir_scored_for) — the weight chain and the noise are skipped and
+    only the SELECTION runs. The caller owns the contract that the
+    frame was scored with the same (target, buckets, smooth, seed,
+    gumbel) parameters; values are unchanged by construction since
+    the frame stores the identical integers this function would
+    recompute.
     """
     from ..functions.caching import tracked_persist
 
-    w = dsir_weights(
-        df,
-        target,
-        text_col=text_col,
-        id_col=id_col,
-        buckets=buckets,
-        smooth=smooth,
-        seed=seed,
-    )
-    if gumbel:
-        w = _gumbel2_fix(w, id_col, seed)
-        g = F.col("_g")
+    if scored_df is not None:
+        scored = scored_df.select(id_col, "dsir_weight", "score")
     else:
-        g = F.lit(0).cast("long")
-    # persist before the count: the k-sizing action and the top-k plan
-    # both consume `scored`, and without a persist the count() would
-    # re-run the whole weight computation (lr aggregates, broadcast
-    # join, per-doc groupBy) a second time for the orderBy/limit.
-    scored = tracked_persist(
-        w.select(
-            id_col,
-            "dsir_weight",
-            (F.col("dsir_weight") + g).alias("score"),
+        w = dsir_weights(
+            df,
+            target,
+            text_col=text_col,
+            id_col=id_col,
+            buckets=buckets,
+            smooth=smooth,
+            seed=seed,
         )
-    )
+        if gumbel:
+            w = _gumbel2_fix(w, id_col, seed)
+            g = F.col("_g")
+        else:
+            g = F.lit(0).cast("long")
+        # persist before the count: the k-sizing action and the top-k
+        # plan both consume `scored`, and without a persist the count()
+        # would re-run the whole weight computation (lr aggregates,
+        # broadcast join, per-doc groupBy) a second time for the
+        # orderBy/limit.
+        scored = tracked_persist(
+            w.select(
+                id_col,
+                "dsir_weight",
+                (F.col("dsir_weight") + g).alias("score"),
+            )
+        )
     n = scored.count()
     k = int(-(-frac * n // 1))  # ceil without importing math
     return scored.orderBy(
@@ -402,6 +416,7 @@ def dsir_sample_cutoff(
     seed: str = "dsir",
     gumbel: bool = True,
     accuracy: int = 10_000,
+    scored_df: DataFrame | None = None,
 ) -> DataFrame:
     """The 100 TB shape of ``dsir_sample``: instead of merging
     k = frac*n rows through the driver (TakeOrderedAndProject is a
@@ -424,30 +439,36 @@ def dsir_sample_cutoff(
     1.94 vs 1.55 normalized) were loop-position warmth, not plan
     cost, fixed by bench.py's canonical iteration order. Don't
     re-shape this plan chasing a bench delta; measure interleaved
-    first (SCALE.md §Round 17)."""
+    first (SCALE.md §Round 17).
+
+    ``scored_df``: see dsir_sample — pre-scored frame, selection only.
+    """
     from ..functions.caching import tracked_persist
 
-    w = dsir_weights(
-        df,
-        target,
-        text_col=text_col,
-        id_col=id_col,
-        buckets=buckets,
-        smooth=smooth,
-        seed=seed,
-    )
-    if gumbel:
-        w = _gumbel2_fix(w, id_col, seed)
-        g = F.col("_g")
+    if scored_df is not None:
+        scored = scored_df.select(id_col, "dsir_weight", "score")
     else:
-        g = F.lit(0).cast("long")
-    scored = tracked_persist(
-        w.select(
-            id_col,
-            "dsir_weight",
-            (F.col("dsir_weight") + g).alias("score"),
+        w = dsir_weights(
+            df,
+            target,
+            text_col=text_col,
+            id_col=id_col,
+            buckets=buckets,
+            smooth=smooth,
+            seed=seed,
         )
-    )
+        if gumbel:
+            w = _gumbel2_fix(w, id_col, seed)
+            g = F.col("_g")
+        else:
+            g = F.lit(0).cast("long")
+        scored = tracked_persist(
+            w.select(
+                id_col,
+                "dsir_weight",
+                (F.col("dsir_weight") + g).alias("score"),
+            )
+        )
     cut = scored.agg(
         F.percentile_approx(
             "score", F.lit(1.0 - frac), F.lit(accuracy)

