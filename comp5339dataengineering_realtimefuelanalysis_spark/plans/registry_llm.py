@@ -3111,6 +3111,8 @@ def release_ivf_indexes() -> None:
     _DSIR_SCORE_PATHS.clear()
     _VERIFIED_PAIR_PATHS.clear()
     _SIMHASH_PATHS.clear()
+    _SQ8_STATS.clear()
+    _SQ8_CODE_PATHS.clear()
     _STAGE9_PATHS.clear()
     if _IVF_ROOT is not None:
         shutil.rmtree(_IVF_ROOT, ignore_errors=True)
@@ -4011,26 +4013,59 @@ def q_emb_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_STATS: dict[str, list] = {}
+_SQ8_CODE_PATHS: dict[str, str] = {}
+
+
+def _sq8_for(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(stats, codes) for the FLAT SQ8 tier, shared by emb_sq8_codes
+    and emb_sq8_topk (each previously re-ran train + encode): the
+    dim-row codebook is memoized as COLLECTED rows (64 rows — the
+    _ivf_kmeans_index_for boundary) and the code table materialized
+    to parquet once per process. Ints round-trip parquet exactly."""
+    key = f"{sf_dir}:sq8:{_EMB_DIM}"
+    path = _SQ8_CODE_PATHS.get(key)
+    if path is None or not os.path.isdir(path):
+        emb = _emb_parallel(spark, sf_dir)
+        stats = qz.sq8_train(emb, dim=_EMB_DIM)
+        _SQ8_STATS[key] = [
+            (r.dim, r.vmin, r.step) for r in stats.collect()
+        ]
+        stats_df = spark.createDataFrame(
+            _SQ8_STATS[key], "dim int, vmin bigint, step bigint"
+        )
+        path = _ivf_index_dir(key)
+        qz.sq8_encode(emb, stats_df, dim=_EMB_DIM).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _SQ8_CODE_PATHS[key] = path
+    stats_df = spark.createDataFrame(
+        _SQ8_STATS[key], "dim int, vmin bigint, step bigint"
+    )
+    return stats_df, spark.read.parquet(path)
+
+
 def q_emb_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQ8 scalar quantization (operators/quantization.py: sq8_train /
     sq8_encode): each element compresses to one byte against its
     dimension's observed range — the high-fidelity 4x tier beside
     PQ's 64x. Codebook = two aggregates (no RNG, no iteration);
     codes = one broadcast dim-row join, map-only. Integer-exact end
-    to end on the 1e9 grid, so the oracle replays train AND encode."""
-    emb = _emb_parallel(spark, sf_dir)
-    stats = qz.sq8_train(emb, dim=_EMB_DIM)
-    return qz.sq8_encode(emb, stats, dim=_EMB_DIM)
+    to end on the 1e9 grid, so the oracle replays train AND encode.
+    Served from the shared at-rest code materialization (_sq8_for)."""
+    _stats, codes = _sq8_for(spark, sf_dir)
+    return codes.select("vec_id", "dim", "code")
 
 
 def q_emb_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k by SQ8 asymmetric distance (sq8_topk — the
     pq_adc_topk shape at sub=dim, ks=256, midpoint reconstruction):
     the candidate scan reads one-byte codes, never the vector column.
-    Exact integer grid distances; oracle-replayable."""
-    emb = _emb_parallel(spark, sf_dir)
-    stats = qz.sq8_train(emb, dim=_EMB_DIM)
-    codes = qz.sq8_encode(emb, stats, dim=_EMB_DIM)
+    Exact integer grid distances; oracle-replayable. Codes/stats come
+    from the shared at-rest materialization (_sq8_for)."""
+    stats, codes = _sq8_for(spark, sf_dir)
     queries, _ = _queries_vecs(spark, sf_dir)
     return qz.sq8_topk(codes, stats, queries, k=_TOPK_K, dim=_EMB_DIM)
 
