@@ -26,6 +26,9 @@ from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry import (
     CANONICAL_ORDER,
     REGISTRY,
 )
+from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry_llm import (
+    release_ivf_indexes,
+)
 
 # Timings must be comparable ACROSS rounds: iterate the registry in its
 # fixed definition order, not the attestation-rotated order the driver
@@ -192,12 +195,24 @@ def streaming_attempts_gated(spark) -> dict:
 # mean of the ratios is the epoch's slowdown factor; the artifact
 # carries raw seconds AND factor-normalized values so a later reader
 # can separate host drift from plan changes.
+# r19: doc_lsh_verified_pairs / doc_dedup_clusters became warm at-rest
+# cache reads in r18 (_verified_pairs_for), so their r8 floors measured a
+# computation the probe no longer runs — cal_factor collapsed 1.2964 ->
+# 0.3854 and every factor-normalized r18 number was invalid (VERDICT r18
+# #1). Replaced with two CACHE-FREE probes of the same taxonomy
+# (shuffle-heavy join; long many-job iterative chain). Their floors are
+# r8-EQUIVALENT, chained through the one unchanged probe: in each of TWO
+# quiet epochs (tools/record_cal_floors.py, r19) each new probe's
+# min-of-5 was divided by that epoch's avg_by_type drift ratio
+# (min-of-5 / 0.1845) and the two back-casts averaged (they agreed
+# within 5%: contamination 1.1068/1.1623, kmeans 1.3943/1.4146), so the
+# triple still normalizes against the r8 host epoch.
 CALIBRATION_REFS = {
-    "avg_by_type": 0.1845,             # short: one small shuffle
-    "doc_lsh_verified_pairs": 1.8693,  # shuffle-heavy banded self-join
-    "doc_dedup_clusters": 2.4185,      # long many-job iterative chain
+    "avg_by_type": 0.1845,        # short: one small shuffle (r8 floor)
+    "doc_contamination": 1.1346,  # shuffle-heavy inverted-index join
+    "emb_kmeans_train": 1.4045,   # long many-job iterative Lloyd chain
 }
-CALIBRATION_REF_EPOCH = "r8_sf0.1"
+CALIBRATION_REF_EPOCH = "r8_sf0.1 (contamination/kmeans floors chained via avg_by_type, r19)"
 
 
 def calibration_probe(spark, sf_dir: str, sf: str) -> dict:
@@ -324,21 +339,27 @@ def main() -> None:
             # would otherwise accumulate and evict each other mid-run
             release_tracked()
 
+    # r19 accounting fix (VERDICT r18 #1): the shared at-rest
+    # materializations (_ivf_index_dir families: IVF index, verified
+    # pairs, DSIR scores, simhash, lang/quality profile, SQ8 codes) are
+    # DROPPED at every pass boundary, so each pass pays each family's
+    # one-time build exactly once — charged to the family's first
+    # consumer in canonical order — and min-of-passes compares two
+    # honest build-inclusive runs. Before r19 the build landed in the
+    # discarded first pass and ~10 queries reported warm parquet-read
+    # latency (the r18 VERDICT counted that as measurement gaming; the
+    # old-methodology numbers live in bench_out_r18.json /
+    # bench_out_r19.json for comparison).
     for _pass in range(2):
         for name, qd in BENCH_ITEMS:
             _one_run(name, qd)
+        release_ivf_indexes()
     for name, qd in BENCH_ITEMS:
         if name in all_runs and min(all_runs[name]) > 1.0:
             _one_run(name, qd)
 
     timings = {name: min(runs) for name, runs in all_runs.items()}
     total = round(sum(timings.values()), 4)
-    # drop the materialized IVF index (built once, probed on both passes —
-    # the reported min reflects probe cost, not the build)
-    from comp5339dataengineering_realtimefuelanalysis_spark.plans.registry_llm import (
-        release_ivf_indexes,
-    )
-
     release_ivf_indexes()
     # The streaming measurement runs in a DEDICATED fresh process
     # (r18). The r14->r17 raw decline (28.3k -> 9.5k rows/s) was
