@@ -30,12 +30,15 @@ adc_dist is therefore emitted as bigint on both engines.
 
 from __future__ import annotations
 
+import os
+
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .similarity import (
+    _ACC,
     _dim_guard,
     kmeans_assign,
     kmeans_train_centroids,
@@ -86,9 +89,101 @@ def pq_train(
     exact-integer Lloyd run (kmeans_train_centroids — lowest-id seeds,
     floor-div re-quantization) per dim/m-wide slice. m plans over the
     same input — persist the corpus frame at scale; each run is the
-    proven two-shuffle-per-iteration shape at 1/m the width."""
+    proven two-shuffle-per-iteration shape at 1/m the width.
+
+    r19: the m sub-trainings are FUSED into ONE Lloyd chain keyed on
+    (sub, cid) — per-subspace chains (whether numpy-kernel, with one
+    eager centroid collect per iteration per subspace, or exploded and
+    lazily unioned, with m copies of every stage in one plan) measured
+    7.4–11.7 s at sf0.1 for m=16, almost all of it scheduler/plan
+    overhead on tiny frames. The fused chain is the identical exact
+    integer math per subspace — same lowest-id seeds (slicing keeps
+    ids, scale-then-slice == slice-then-scale), same (dist, cid)
+    argmin tiebreak, same floor-div re-quantization per
+    (sub, cid, dim) — the subspaces simply ride the same aggregates as
+    independent key groups. Measured 7.4 -> ~0.6 s warm; parity-
+    asserted bit-exact against the per-subspace form
+    (tests/test_quantization.py). SPARK_GRAFT_PQ_FUSED=0 falls back to
+    the per-subspace loop."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    if os.environ.get("SPARK_GRAFT_PQ_FUSED", "1") == "0":
+        return _pq_train_per_sub(
+            corpus, m, ks, iters, id_col, vec_col, dim
+        )
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    d = dim // m
+    slices = _sub_slices(corpus, [id_col], vec_col, m, dim)
+    # k lowest-id seeds, shared by every subspace (each id appears in
+    # all m slice groups); broadcast-tiny by construction
+    seed_ids = corpus.orderBy(F.col(id_col)).limit(ks).select(id_col)
+    cents = slices.join(F.broadcast(seed_ids), id_col).select(
+        "sub", F.col(id_col).alias("cid"), F.col("svec").alias("c_svec")
+    )
+    dist = l2sq_scaled_unrolled(
+        F.col("svec"), F.col("c_svec"), d, long_acc=True
+    )
+    quant = (
+        (
+            F.col("s")
+            - F.pmod(F.col("s"), F.col("n_members").cast(_ACC))
+        )
+        / F.col("n_members").cast(_ACC)
+    ).cast("long")
+    for _ in range(iters):
+        # assignment: broadcast the m*ks centroid rows, fan out per
+        # (vector, sub), collapse map-side — pq_encode's proven shape
+        assigned = (
+            slices.join(F.broadcast(cents), "sub")
+            .select(id_col, "sub", "svec", "cid", dist.alias("dist"))
+            .groupBy(id_col, "sub")
+            .agg(
+                F.min_by("cid", F.struct("dist", "cid")).alias("cid"),
+                # identical across the ks fan-out rows of this (id, sub)
+                F.first("svec").alias("svec"),
+            )
+        )
+        cents = (
+            assigned.select(
+                "sub", "cid", F.posexplode("svec").alias("dim", "sv")
+            )
+            .groupBy("sub", "cid", "dim")
+            .agg(
+                F.count(F.lit(1)).alias("n_members"),
+                F.sum(F.col("sv").cast(_ACC)).alias("s"),
+            )
+            .withColumn("cv", quant)
+            .groupBy("sub", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "cv"))
+                ).alias("dc")
+            )
+            .select(
+                "sub",
+                "cid",
+                F.transform(F.col("dc"), lambda x: x["cv"]).alias(
+                    "c_svec"
+                ),
+            )
+        )
+    return cents
+
+
+def _pq_train_per_sub(
+    corpus: DataFrame,
+    m: int,
+    ks: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """The pre-r19 per-subspace training loop — m independent
+    kmeans_train_centroids chains unioned. Kept as the parity
+    reference for the fused chain (and behind SPARK_GRAFT_PQ_FUSED=0);
+    np_assign=False so the m chains at least stay lazy."""
     d = dim // m
     books = []
     for j in range(m):
@@ -110,6 +205,7 @@ def pq_train(
             vec_col=vec_col,
             dim=d,
             unit_norm=True,  # sub-slices inherit the unit-norm bound
+            np_assign=False,
         )
         books.append(cb.select(F.lit(j).alias("sub"), "cid", "c_svec"))
     return reduce(DataFrame.unionByName, books)
@@ -203,6 +299,7 @@ def ivf_pq_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    unit_norm: bool = False,
 ) -> None:
     """Materialize the IVF-PQ layout — the full Jégou et al. recipe's
     at-rest half: PQ codes partitioned on disk by nearest-trained-
@@ -212,13 +309,22 @@ def ivf_pq_write(
     dim floats (the ~64x read-volume cut PQ exists for), and exact
     re-scoring, when a caller wants it, goes back to the source table
     by id. One cell-assignment shuffle + one encode shuffle, then a
-    partitioned write; nothing corpus-sized through the driver."""
-    assigned = kmeans_assign(corpus, cents, id_col, vec_col, dim).select(
-        id_col, "cluster_id"
-    )
+    partitioned write; nothing corpus-sized through the driver.
+    ``unit_norm``: caller-guaranteed |x| <= 1 bound -> exact int64
+    assignment path (see _lloyd_assign)."""
+    assigned = kmeans_assign(
+        corpus, cents, id_col, vec_col, dim, unit_norm
+    ).select(id_col, "cluster_id")
     codes = pq_encode(corpus, codebooks, m, id_col, vec_col, dim)
     (
+        # cluster the rows by their output partition before the
+        # partitioned write (guide §6): without it every write task
+        # opens a file per cell it happens to hold (tasks x cells
+        # small files + commit overhead); with it each cell's rows
+        # land in one task. At very large per-cell volumes add a
+        # within-cell salt sized to the target file size.
         codes.join(assigned, id_col)
+        .repartition(F.col("cluster_id"))
         .write.partitionBy("cluster_id")
         .mode("overwrite")
         .parquet(path)
@@ -549,6 +655,7 @@ def ivf_sq8_write(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    unit_norm: bool = False,
 ) -> None:
     """Materialize the IVF-SQ8 layout: SQ8 codes partitioned on disk
     by nearest-trained-centroid cell — ivf_pq_write's at-rest recipe
@@ -556,13 +663,19 @@ def ivf_sq8_write(
     of m; measured 0.963 recall@10 where the tiny-codebook PQ tier
     pays real recall — SCALE_MEASURED.json ann_recall_quantized). The
     raw vector column is NOT stored. One cell-assignment shuffle +
-    one map-only encode, then a partitioned write."""
-    assigned = kmeans_assign(corpus, cents, id_col, vec_col, dim).select(
-        id_col, "cluster_id"
-    )
+    one map-only encode, then a partitioned write. ``unit_norm``:
+    caller-guaranteed |x| <= 1 bound -> exact int64 assignment path
+    (see _lloyd_assign)."""
+    assigned = kmeans_assign(
+        corpus, cents, id_col, vec_col, dim, unit_norm
+    ).select(id_col, "cluster_id")
     codes = sq8_encode(corpus, stats, id_col, vec_col, dim)
     (
+        # cluster by output partition before the write (see
+        # ivf_pq_write's note — one task per cell, k files not
+        # tasks x cells)
         codes.join(assigned, id_col)
+        .repartition(F.col("cluster_id"))
         .write.partitionBy("cluster_id")
         .mode("overwrite")
         .parquet(path)

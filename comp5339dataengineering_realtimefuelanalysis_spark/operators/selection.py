@@ -626,12 +626,17 @@ def lm_ppl_score(
         )
     )
     spine = df.select(id_col)
-    # plain shuffled left join: per_doc is one row per scoreable doc —
+    # shuffled left join: per_doc is one row per scoreable doc —
     # corpus-sized — so a broadcast hint here would ship the whole
     # score table through the driver to every executor (driver OOM at
     # scale); broadcasts in this operator are reserved for the B-row
-    # cost table and the 1-row totals only
-    return spine.join(per_doc, id_col, "left").select(
+    # cost table and the 1-row totals only. r19: pin SHUFFLE_HASH on
+    # the per-doc side (guide §3.1) — the planner's default here was a
+    # SortMergeJoin, paying a full sort of BOTH corpus-sized sides for
+    # a unique-key equi-join; the hash build is bounded by
+    # scores/partitions and spills gracefully, and the left (spine)
+    # side streams unsorted.
+    return spine.join(per_doc.hint("shuffle_hash"), id_col, "left").select(
         id_col,
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
         "nll_fix",

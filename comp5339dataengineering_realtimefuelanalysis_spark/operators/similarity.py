@@ -420,7 +420,10 @@ def ivf_write(
         "bucket", _hyperplane_bucket(F.col(vec_col), planes, dim)
     )
     (
+        # cluster by output partition before the write (guide §6 —
+        # see ivf_pq_write's note)
         cb.select(id_col, "c_svec", "c_norm", "bucket")
+        .repartition(F.col("bucket"))
         .write.partitionBy("bucket")
         .mode("overwrite")
         .parquet(path)
@@ -759,7 +762,21 @@ def _np_assign_frame(
     centroid frame's shape doesn't fit the kernel (non-integer cid) so
     the caller can fall back to the exploded path. Collecting ``cents``
     is bounded by k — the same size class as the broadcast the legacy
-    path ships."""
+    path ships.
+
+    Two documented behavior notes (ADVICE r18):
+    * the ``cents.collect()`` below is EAGER — building a kmeans-family
+      plan executes the centroid-training jobs at plan-construction
+      time, so tools/capture_plans.py's 'built, not run' contract does
+      not hold for these queries (accepted: the collect is what lets
+      the kernel fold k centroids into one matrix product instead of an
+      n x k exploded join; a lazy broadcast would move the fold into
+      the task where the matrix must be rebuilt per batch iterator).
+    * NULL vector ELEMENTS raise here, where the exploded path would
+      silently sum the non-null terms into a wrong distance — raising
+      is deliberate (a NULL element is corrupt input, not a distance),
+      and NULL whole-vector rows are dropped exactly like posexplode
+      drops them."""
     import numpy as np
     import pyarrow as pa
 
@@ -876,6 +893,7 @@ def _lloyd_assign(
     id_col: str,
     dim: int = 64,
     unit_norm: bool = False,
+    np_assign: bool = True,
 ) -> DataFrame:
     """Assign every (id, svec) row to its nearest centroid by exact
     integer squared-L2; tiebreak = lowest centroid id. Centroids are k
@@ -890,9 +908,20 @@ def _lloyd_assign(
     the HOF decimal(38,0) form runs instead: (x-y)^2 overflows long
     already at |x| > ~1.5 on the grid, and the unrolled DECIMAL
     variant measured ~5x slower than the HOF (a BigDecimal allocation
-    per term — see dot_scaled_unrolled)."""
+    per term — see dot_scaled_unrolled).
+
+    ``np_assign=False`` opts out of the numpy kernel and keeps the
+    exploded LAZY plan: the kernel's eager ``cents.collect()`` costs
+    one driver round-trip per Lloyd iteration, which is right for ONE
+    wide training chain but wrong for many narrow ones — pq_train runs
+    m=16 subspace chains, and the eager form turned codebook training
+    into ~m * (iters + 1) sequential scheduler-bound jobs where the
+    exploded form is a single lazy plan collected once (r19, measured
+    10.5 -> ~2 s on the emb_pq_codes cold build). The two paths are
+    bit-identical by construction (the kernel is parity-pinned to the
+    exploded path in tests/test_similarity.py)."""
     if unit_norm:
-        if _np_assign_enabled():
+        if np_assign and _np_assign_enabled():
             out = _np_assign_frame(
                 c, cents, id_col, dim, keep_svec=True
             )
@@ -949,6 +978,7 @@ def kmeans_train_centroids(
     dim: int = 64,
     unit_norm: bool = False,
     seed_order: str = "asc",
+    np_assign: bool = True,
 ) -> DataFrame:
     """Centroids (cid, c_svec) after ``iters`` exact Lloyd updates from
     the deterministic lowest-id seeds (``iters=0`` returns the seeds;
@@ -980,7 +1010,7 @@ def kmeans_train_centroids(
     cents = _kmeans_seeds(corpus, k, id_col, vec_col, seed_order)
     for _ in range(iters):
         sums = _lloyd_sums(
-            _lloyd_assign(c, cents, id_col, dim, unit_norm)
+            _lloyd_assign(c, cents, id_col, dim, unit_norm, np_assign)
         )
         quant = (
             (
@@ -1174,17 +1204,25 @@ def ivf_write_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    unit_norm: bool = False,
 ) -> None:
     """Materialize the LEARNED-centroid IVF layout: corpus partitioned
     by nearest-trained-centroid cell, scaled vector + norm precomputed at
     rest. The k-means analog of ``ivf_write`` (hyperplane buckets):
     data-adaptive cells follow the corpus distribution, so cell sizes are
-    balanced by construction where hyperplane buckets depend on luck."""
+    balanced by construction where hyperplane buckets depend on luck.
+    ``unit_norm``: caller-guaranteed |x| <= 1 bound -> exact int64
+    assignment path (see _lloyd_assign)."""
     cb = attach_scaled(
-        kmeans_assign(corpus, cents, id_col, vec_col, dim), vec_col, "c_"
+        kmeans_assign(corpus, cents, id_col, vec_col, dim, unit_norm),
+        vec_col,
+        "c_",
     )
     (
+        # cluster by output partition before the write (guide §6 —
+        # see ivf_pq_write's note)
         cb.select(id_col, "c_svec", "c_norm", "cluster_id")
+        .repartition(F.col("cluster_id"))
         .write.partitionBy("cluster_id")
         .mode("overwrite")
         .parquet(path)

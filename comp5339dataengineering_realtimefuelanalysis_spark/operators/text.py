@@ -333,15 +333,31 @@ def bm25_topk(
     from ..functions import fixlog
 
     a, c, u, v = bm25_rationals(k1, b)
+    qt = F.broadcast(
+        tokens(queries, qtext_col, qid_col).distinct()
+    )
+    qterms = F.broadcast(qt.select("tok").distinct())
     # tf is deliberately NOT persisted although four branches consume
     # it (dl, dfc, the corpus-token total, the scoring join). The
     # re-derivations are pure map+partial-agg passes that pipeline
     # into each consumer; forcing one shared materialization was
-    # A/B-measured ~1.5x SLOWER end-to-end at sf0.1 (round 16: the
-    # cache build pays a full unpruned (doc, term, tf) store + read
-    # that costs more than the repeated streamlined passes save)
-    tf = tokens(df, text_col, id_col).groupBy(id_col, "tok").agg(
-        F.count(F.lit(1)).alias("n_tf")
+    # A/B-measured ~1.5x SLOWER at sf0.1 (round 16: the cache build
+    # pays a full unpruned (doc, term, tf) store + read that costs
+    # more than the repeated streamlined passes save).
+    # r19 (guide §2.3 — shuffle fewer bytes): the exploded token
+    # stream is semi-joined against the broadcast query-term set
+    # BEFORE the (doc, term) aggregation. Every downstream consumer
+    # of tf only ever looks at query terms — the scoring join is
+    # tf JOIN qt, and dfc feeds idf_terms which is also qt-filtered —
+    # so n_tf/n_df values for query terms are identical while the
+    # map-side partial agg and the exchange drop from every corpus
+    # term to the ~10 query terms. Doc length / corpus totals never
+    # came from tf (dl_arr below).
+    tf = (
+        tokens(df, text_col, id_col)
+        .join(qterms, "tok", "semi")
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("n_tf"))
     )
     # dl = total tokens per doc = the token-ARRAY length, map-only —
     # no explode, no (doc, term) shuffle. Identical value to
@@ -362,16 +378,12 @@ def bm25_topk(
             F.sum(F.size(dl_arr)).cast("long").alias("s_toks"),
         )
     )
-    qt = F.broadcast(
-        tokens(queries, qtext_col, qid_col).distinct()
-    )
     # per-TERM fixed-point idf on the tiny query-term frame: the
     # 60-odd-step integer log2 recurrence runs once per distinct
     # query term, then joins into scoring as a 2-column broadcast
     idf_terms = F.broadcast(
         fixlog.spark_apply(
-            dfc.join(qt.select("tok").distinct(), "tok")
-            .crossJoin(scalars),
+            dfc.join(qterms, "tok").crossJoin(scalars),
             "2 * n_docs + 2", "2 * n_df + 1", "idf_fix",
         ).select("tok", "idf_fix")
     )
@@ -492,6 +504,71 @@ def _word_ngram_arrays(
     return out
 
 
+def _rep_signals_arrow_fn(it):
+    """mapInArrow kernel for repetition_signals: all n-grams of a doc
+    are row-local, so the three fractions are computable per row with
+    ZERO exchanges (the column-shape path below pays 4). The input
+    text is PRE-NORMALIZED by norm_text IN THE JVM — the kernel only
+    splits on single spaces, so there is no Python-vs-Java lowercase/
+    regex semantics surface at all. Counting uses word TUPLES — words
+    contain no spaces post-normalization, so tuple equality == the
+    column path's joined-string equality. All divisions are single
+    IEEE double ops on integer-exact operands, bit-identical to the
+    column path's cast-double divisions (parity-tested)."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("__rep_id", pa.int64()),
+            ("dup_word_frac", pa.float64()),
+            ("top_bigram_frac", pa.float64()),
+            ("dup_trigram_frac", pa.float64()),
+        ]
+    )
+    for batch in it:
+        ids = batch.column(0).to_pylist()
+        texts = batch.column(1).to_pylist()
+        dup_w: list[float] = []
+        top_b: list[float] = []
+        dup_t: list[float] = []
+        for t in texts:
+            if t is None:
+                # the column path drops the NULL-text row at the
+                # explode and the spine left-join fills 0.0
+                dup_w.append(0.0)
+                top_b.append(0.0)
+                dup_t.append(0.0)
+                continue
+            w = t.split(" ")
+            n1 = len(w)  # >= 1: empty text -> one empty-string word
+            dup_w.append(1.0 - len(set(w)) / n1)
+            if n1 >= 2:
+                c2: dict = {}
+                for g in zip(w, w[1:]):
+                    c2[g] = c2.get(g, 0) + 1
+                top_b.append(max(c2.values()) / (n1 - 1))
+            else:
+                top_b.append(0.0)
+            if n1 >= 3:
+                c3: dict = {}
+                for g in zip(w, w[1:], w[2:]):
+                    c3[g] = c3.get(g, 0) + 1
+                dup_t.append(
+                    sum(1 for v in c3.values() if v > 1) / len(c3)
+                )
+            else:
+                dup_t.append(0.0)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ids, pa.int64()),
+                pa.array(dup_w, pa.float64()),
+                pa.array(top_b, pa.float64()),
+                pa.array(dup_t, pa.float64()),
+            ],
+            schema=out_schema,
+        )
+
+
 def repetition_signals(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -516,7 +593,34 @@ def repetition_signals(
     Docs whose text yields no n-gram of some order (too short) get 0.0
     for that fraction; empty text normalizes to one empty-string word,
     so dup_word_frac is 0.0 there too.
+
+    r19: the default path is an Arrow BATCH kernel (guide §4.2 — every
+    n-gram of a doc is row-local, so the signals are a map-only pass;
+    the column shape below pays an explode of 3x the corpus tokens
+    plus FOUR exchanges). The kernel is bit-exact to the column path
+    (same normalization, same integer counts, same single-division
+    doubles — tests/test_text.py parity) and, unlike the rejected
+    row-local HOF form (interpreted, ~70 s at sf0.1), runs the
+    counting loop in CPython dicts over Arrow batches (~tens of ms per
+    task). SPARK_GRAFT_ARROW_REP=0 falls back to the column shape.
     """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_ARROW_REP", "1") != "0":
+        out = df.select(
+            F.col(id_col).cast("long").alias("__rep_id"),
+            norm_text(text_col).alias("__rep_raw"),
+        ).mapInArrow(
+            _rep_signals_arrow_fn,
+            "__rep_id long, dup_word_frac double,"
+            " top_bigram_frac double, dup_trigram_frac double",
+        )
+        return out.select(
+            F.col("__rep_id").alias(id_col),
+            "dup_word_frac",
+            "top_bigram_frac",
+            "dup_trigram_frac",
+        )
     grams = _word_ngram_arrays(text_col, (1, 2, 3))
 
     def tag(n: int):
@@ -892,6 +996,64 @@ def scrubbed_text(col: Column | str) -> Column:
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gopher_words_arrow_fn(it):
+    """mapInArrow kernel for gopher_rules' per-WORD stats: the four
+    word aggregates (count, length sum, alpha-bearing count, distinct
+    stop-hit count) are row-local over the JVM-normalized text —
+    computed per row here with ZERO exchanges where the column shape
+    pays an explode of every corpus token, a groupBy and a join back.
+    The kernel only splits on single spaces (normalization happened in
+    the JVM via norm_text, so there is no Python-vs-Java regex/lower
+    surface); rows with no words emit NULL stats, mirroring the column
+    path's left-join miss, so every downstream division/coalesce sees
+    identical inputs (parity-tested). Pass-through columns (symbols /
+    line counts) are computed by the SAME JVM expressions in both
+    paths."""
+    import pyarrow as pa
+
+    stop = set(GOPHER_STOPWORDS)
+    for batch in it:
+        names = batch.schema.names
+        texts = batch.column(names.index("__g_norm")).to_pylist()
+        n_words: list = []
+        wlen_sum: list = []
+        alpha_words: list = []
+        stop_hits: list = []
+        for t in texts:
+            ws = t.split(" ") if t is not None else []
+            ws = [w for w in ws if w != ""]
+            if not ws:
+                n_words.append(None)
+                wlen_sum.append(None)
+                alpha_words.append(None)
+                stop_hits.append(None)
+                continue
+            n_words.append(len(ws))
+            wlen_sum.append(sum(len(w) for w in ws))
+            alpha_words.append(
+                sum(
+                    1
+                    for w in ws
+                    if any("a" <= ch <= "z" for ch in w)
+                )
+            )
+            stop_hits.append(len(stop.intersection(ws)))
+        cols = [
+            batch.column(i)
+            for i, n in enumerate(names)
+            if n != "__g_norm"
+        ]
+        out_names = [n for n in names if n != "__g_norm"]
+        cols += [
+            pa.array(n_words, pa.int64()),
+            pa.array(wlen_sum, pa.int64()),
+            pa.array(alpha_words, pa.int64()),
+            pa.array(stop_hits, pa.int64()),
+        ]
+        out_names += ["n_words", "wlen_sum", "alpha_words", "stop_hits"]
+        yield pa.RecordBatch.from_arrays(cols, out_names)
+
+
 def gopher_rules(
     df: DataFrame,
     text_col: str = "text",
@@ -928,25 +1090,16 @@ def gopher_rules(
     fraction is an int/int IEEE division in fixed order, so the
     booleans replay bit-exactly in the oracle. NULL/empty text yields
     zero words and fails the word-count rule (keep = false), never a
-    NULL verdict."""
-    words = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.split(norm_text(text_col), " ")).alias("w"),
-        )
-        .filter(F.col("w") != "")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum(F.length("w")).alias("wlen_sum"),
-            F.count_if(F.col("w").rlike("[a-z]")).alias("alpha_words"),
-            F.count_distinct(
-                F.when(
-                    F.col("w").isin(*GOPHER_STOPWORDS), F.col("w")
-                )
-            ).alias("stop_hits"),
-        )
-    )
+    NULL verdict.
+
+    r19: the default path computes the per-word stats in an Arrow
+    batch kernel (guide §4.2 — they are row-local, so the explode +
+    groupBy + join-back becomes a map-only pass; normalization stays
+    in the JVM and NULL-stat rows mirror the join miss, so every
+    downstream expression sees bit-identical inputs — parity-tested).
+    SPARK_GRAFT_ARROW_GOPHER=0 falls back to the column shape."""
+    import os
+
     t = F.coalesce(F.col(text_col), F.lit(""))
     n_lines = F.size(F.split(t, "\n"))
     # per-line rules as whole-text multiline regexp counts — a single
@@ -975,7 +1128,49 @@ def gopher_rules(
         bullet_lines.alias("bullet_lines"),
         ellipsis_lines.alias("ellipsis_lines"),
     )
-    j = row.join(words, id_col, "left").select(
+    if os.environ.get("SPARK_GRAFT_ARROW_GOPHER", "1") != "0":
+        base = df.select(
+            F.col(id_col),
+            symbols.alias("symbols"),
+            n_lines.alias("n_lines"),
+            bullet_lines.alias("bullet_lines"),
+            ellipsis_lines.alias("ellipsis_lines"),
+            norm_text(text_col).alias("__g_norm"),
+        )
+        out_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in base.schema.fields
+            if f.name != "__g_norm"
+        ) + (
+            ", n_words long, wlen_sum long,"
+            " alpha_words long, stop_hits long"
+        )
+        stats = base.mapInArrow(_gopher_words_arrow_fn, out_schema)
+    else:
+        words = (
+            df.select(
+                F.col(id_col),
+                F.explode(
+                    F.split(norm_text(text_col), " ")
+                ).alias("w"),
+            )
+            .filter(F.col("w") != "")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum(F.length("w")).alias("wlen_sum"),
+                F.count_if(
+                    F.col("w").rlike("[a-z]")
+                ).alias("alpha_words"),
+                F.count_distinct(
+                    F.when(
+                        F.col("w").isin(*GOPHER_STOPWORDS), F.col("w")
+                    )
+                ).alias("stop_hits"),
+            )
+        )
+        stats = row.join(words, id_col, "left")
+    j = stats.select(
         id_col,
         F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
         (

@@ -36,7 +36,12 @@ _TS_NS_COLS: dict[str, tuple[str, ...]] = {
 _FEW_SPLITS: dict[tuple, bool] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    recover_parallelism: bool = True,
+) -> DataFrame:
     # Runtime-set (not only in session.get_spark) because the caller — the
     # driver harness — may hand us a vanilla SparkSession; without this flag
     # Spark refuses TIMESTAMP(NANOS) parquet outright (PARQUET_TYPE_ILLEGAL).
@@ -78,12 +83,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # than one split on a real cluster arrives with scan parallelism
     # >= the floor and is left untouched, and tiny dimension tables
     # (region, nation, part) stay single-partition broadcast fodder.
+    # r19: recover_parallelism=False lets SCAN-LIGHT consumers keep the
+    # single-partition scan. The r18 bench showed the recovery shuffle is
+    # pure overhead for queries whose map side is a trivial filter/project
+    # feeding an immediate aggregation or join exchange (filtered_revenue
+    # 0.2 -> 0.5 s, order_priority_count 0.7 -> 1.2 s), while map-heavy
+    # consumers (pricing_summary's 8-decimal partial agg) keep the win.
+    # The choice is per-consumer because the loader cannot see downstream
+    # cost; results are identical either way (row order only).
     min_useful = max(2, spark.sparkContext.defaultParallelism // 2)
     try:
         sz = os.stat(f"{sf_dir}/{name}.parquet").st_size
     except OSError:
         sz = 0
-    if sz > 2 * 1024 * 1024:
+    if recover_parallelism and sz > 2 * 1024 * 1024:
         # memoized split probe: the rdd conversion costs ~10 ms per
         # call and the answer is constant per (file state, session
         # parallelism) — registry queries load the same table many
@@ -98,11 +111,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # round-robin: keyless repartition pays a local sort of
             # the input (sortBeforeRepartition — measured 1.34 s vs
             # 0.73 s on the sf0.1 lineitem scan) so retried tasks
-            # reproduce their row-to-partition map; a hash of the row
+            # reproduce their row-to-partition map; a hash of row
             # content is deterministic under retry by construction
-            # (guide §2.5) and needs no sort.
+            # (guide §2.5) and needs no sort. r19: hash only the FIRST
+            # column — every table leads with a high-cardinality key
+            # (l_orderkey, o_orderkey, event_id, doc_id, vec_id), so
+            # one column spreads as evenly as all of them at a
+            # fraction of the map-side hashing CPU.
             df = df.repartition(
                 spark.sparkContext.defaultParallelism,
-                F.xxhash64(*df.columns),
+                F.xxhash64(F.col(df.columns[0])),
             )
     return df

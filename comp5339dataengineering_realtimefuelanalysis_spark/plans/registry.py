@@ -310,8 +310,11 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-style: EXISTS semi-join + count per priority."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    # scan-light: both sides go straight into the semi-join's own
+    # exchange, so pre-shuffling the scans is pure overhead (r18 bench:
+    # 0.7 -> 1.2 s with recovery on)
+    orders = load_table(spark, sf_dir, "orders", recover_parallelism=False)
+    li = load_table(spark, sf_dir, "lineitem", recover_parallelism=False)
     filtered = orders.filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
@@ -399,7 +402,10 @@ def q_events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style: tight filter + single exact sum (pushdown-friendly
     shape: no joins, no grouping — the scan IS the query)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    # scan-light: a pushed-down filter feeding one global agg — the
+    # parallelism-recovery shuffle costs more than the single-split scan
+    # it parallelizes (r18 bench: 0.2 -> 0.5 s with recovery on)
+    li = load_table(spark, sf_dir, "lineitem", recover_parallelism=False)
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))

@@ -512,12 +512,17 @@ def _sql_frame_sample() -> str:
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, repartitioned to the cluster parallelism: the table is a
     single small parquet file (one row group -> ONE input partition), so
-    map-only queries would otherwise run on a single core. One cheap round
-    -robin shuffle of 5k rows buys full parallelism for the CPU-heavy
-    per-row text work; at real scale the source has many splits and this
-    is a no-op cost."""
+    map-only queries would otherwise run on a single core. One cheap
+    shuffle of 5k rows buys full parallelism for the CPU-heavy per-row
+    text work; at real scale the source has many splits and this is a
+    no-op cost. r19: hash-repartition on doc_id instead of keyless
+    round-robin — keyless repartition pays a local sort of its input
+    (sortBeforeRepartition, guide §2.5) so retried tasks reproduce the
+    row map; a hash of the unique id is retry-deterministic for free
+    (same rationale as load_table's recovery, measured there 1.34 ->
+    0.73 s on the lineitem scan)."""
     return load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.xxhash64(F.col("doc_id"))
     )
 
 
@@ -2953,9 +2958,10 @@ def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings, repartitioned for CPU-heavy scoring — same single-file
-    single-partition situation as _docs_parallel."""
+    single-partition situation as _docs_parallel (and the same r19
+    hash-instead-of-round-robin rationale: no sortBeforeRepartition)."""
     return load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
+        spark.sparkContext.defaultParallelism, F.xxhash64(F.col("vec_id"))
     )
 
 
@@ -3071,10 +3077,12 @@ def _sql_kmeans_step() -> str:
 
 # Materialized IVF indexes live under ONE managed root (not a leaked
 # mkdtemp per build): removed at process exit via atexit, or explicitly
-# with release_ivf_indexes() (bench.py calls it after its last pass).
-# Indexes are cached per (sf_dir, planes) across invocations so a repeat
-# probe — bench's second timing pass, the min of which is reported — pays
-# probe cost only; the one-time build lands in the discarded first pass.
+# with release_ivf_indexes(). Indexes are cached per (sf_dir, planes)
+# across invocations within a bench PASS; bench.py releases everything
+# at every pass boundary (r19) so each timed pass pays each family's
+# one-time build exactly once — the reported min-of-passes is
+# build-inclusive for the family's first consumer, never a warm read
+# of work done in an untimed region (VERDICT r18 #1).
 _IVF_INDEX_PATHS: dict[str, str] = {}
 _IVF_ROOT: str | None = None
 # fresh path per durable stage-2b barrier write (a barrier, not a
@@ -3391,6 +3399,25 @@ def _corpus_fingerprint(sf_dir: str) -> str:
         return "absent"
 
 
+def _emb_fingerprint(sf_dir: str) -> str:
+    """_corpus_fingerprint's analog for the embeddings table — keys the
+    SQ8 (and any future embedding-derived) caches so a regenerated
+    embeddings file invalidates them (ADVICE r18)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        if os.path.isdir(path):
+            tot_m = tot_s = 0
+            for name in os.listdir(path):
+                s = os.stat(os.path.join(path, name))
+                tot_m = max(tot_m, s.st_mtime_ns)
+                tot_s += s.st_size
+            return f"{tot_m}:{tot_s}"
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        return "absent"
+
+
 _LANG_QUALITY_PATHS: dict[str, str] = {}
 
 
@@ -3549,7 +3576,12 @@ def q_doc_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same single-split trap _docs_parallel documents
     emb = tracked_persist(
         _text_emb_for(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # hash-repartition (r19): keyless round-robin pays a local
+        # sort of the scan (sortBeforeRepartition, guide §2.5)
+        .repartition(
+            spark.sparkContext.defaultParallelism,
+            F.xxhash64(F.col("doc_id")),
+        )
         .withColumnRenamed("doc_id", "vec_id")
     )
     # one metadata-cheap count to size k with the corpus (the sqrt
@@ -3785,7 +3817,12 @@ def q_doc_semantic_dedup_2l(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_parallel(spark, sf_dir)
     emb = tracked_persist(
         _text_emb_for(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+        # hash-repartition (r19): keyless round-robin pays a local
+        # sort of the scan (sortBeforeRepartition, guide §2.5)
+        .repartition(
+            spark.sparkContext.defaultParallelism,
+            F.xxhash64(F.col("doc_id")),
+        )
         .withColumnRenamed("doc_id", "vec_id")
     )
     assigned = _sem2_blocked(emb, docs.count())
@@ -3935,14 +3972,21 @@ def _ivf_kmeans_index_for(
     path = _IVF_INDEX_PATHS.get(key)
     if path is None or not os.path.isdir(path):
         emb = load_table(spark, sf_dir, "embeddings")
+        # unit_norm=True (r19): the ANN-tier embeddings corpus is
+        # unit-normalized (the cosine-ANN contract — pq_train's
+        # subspace |x| <= 1 bound has assumed exactly this since the
+        # PQ tier landed; fixture verified, max |norm - 1| < 2e-7), so
+        # the exact-int64 training/assignment path applies: identical
+        # integer centroids and cells (both paths are exact), ~4x less
+        # build wall than the decimal HOF fallback.
         cents = sim.kmeans_train_centroids(
-            emb, k=_KMEANS_K, iters=_KMEANS_ITERS
+            emb, k=_KMEANS_K, iters=_KMEANS_ITERS, unit_norm=True
         )
         _IVF_KMEANS_CENTS[key] = [
             (r.cid, list(r.c_svec)) for r in cents.collect()
         ]
         path = _ivf_index_dir(key)
-        sim.ivf_write_kmeans(emb, cents, path)
+        sim.ivf_write_kmeans(emb, cents, path, unit_norm=True)
         _IVF_INDEX_PATHS[key] = path
     cents_df = spark.createDataFrame(
         _IVF_KMEANS_CENTS[key], "cid long, c_svec array<long>"
@@ -4024,8 +4068,11 @@ def _sq8_for(
     and emb_sq8_topk (each previously re-ran train + encode): the
     dim-row codebook is memoized as COLLECTED rows (64 rows — the
     _ivf_kmeans_index_for boundary) and the code table materialized
-    to parquet once per process. Ints round-trip parquet exactly."""
-    key = f"{sf_dir}:sq8:{_EMB_DIM}"
+    to parquet once per process. Ints round-trip parquet exactly.
+    The key carries the embeddings-table fingerprint (ADVICE r18: an
+    embeddings file regenerated in-process must not serve stale
+    stats/codes), like every sibling cache in this family."""
+    key = f"{sf_dir}:sq8:{_EMB_DIM}:{_emb_fingerprint(sf_dir)}"
     path = _SQ8_CODE_PATHS.get(key)
     if path is None or not os.path.isdir(path):
         emb = _emb_parallel(spark, sf_dir)
@@ -4269,7 +4316,10 @@ def _ivf_pq_index_for(
     if path is None or not os.path.isdir(path):
         emb = _emb_parallel(spark, sf_dir)
         path = _ivf_index_dir(key)
-        qz.ivf_pq_write(emb, cents, books_df, path, m=_PQ_M, dim=_EMB_DIM)
+        qz.ivf_pq_write(
+            emb, cents, books_df, path, m=_PQ_M, dim=_EMB_DIM,
+            unit_norm=True,
+        )
         _IVF_INDEX_PATHS[key] = path
     return path, cents, books_df
 
@@ -4361,7 +4411,9 @@ def _ivf_sq8_index_for(spark: SparkSession, sf_dir: str) -> tuple[str, DataFrame
     path = _IVF_INDEX_PATHS.get(key)
     if path is None or not os.path.isdir(path):
         path = _ivf_index_dir(key)
-        qz.ivf_sq8_write(emb, cents, stats, path, dim=_EMB_DIM)
+        qz.ivf_sq8_write(
+            emb, cents, stats, path, dim=_EMB_DIM, unit_norm=True
+        )
         _IVF_INDEX_PATHS[key] = path
     return path, cents, stats
 

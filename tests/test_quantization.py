@@ -409,3 +409,28 @@ def test_ivf_sq8_probes_all_equals_flat_and_prunes(spark, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_pq_train_fused_matches_per_sub(spark, monkeypatch):
+    """The r19 fused (sub, cid)-keyed Lloyd chain must be BIT-exact to
+    the per-subspace loop it replaced: same seeds, same argmin
+    tiebreak, same floor-div re-quantization — the subspaces only ride
+    shared aggregates as independent key groups. Checked at iters 0
+    (pure seeds), 1, and 2."""
+    corpus = _corpus(spark, n=40)
+
+    def rows(df):
+        return sorted(
+            (r.sub, r.cid, tuple(r.c_svec)) for r in df.collect()
+        )
+
+    for iters in (0, 1, 2):
+        fused = rows(
+            qz.pq_train(corpus, m=M, ks=KS, iters=iters, dim=DIM)
+        )
+        monkeypatch.setenv("SPARK_GRAFT_PQ_FUSED", "0")
+        looped = rows(
+            qz.pq_train(corpus, m=M, ks=KS, iters=iters, dim=DIM)
+        )
+        monkeypatch.delenv("SPARK_GRAFT_PQ_FUSED")
+        assert fused == looped, f"iters={iters}"

@@ -1046,3 +1046,66 @@ def test_bm25_topk_two_phase_equals_naive_window(spark):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, naive.collect())
     )
+
+
+def test_repetition_signals_arrow_kernel_parity(spark, monkeypatch):
+    """The r19 Arrow batch kernel must be BIT-exact to the column-shape
+    path (explode + 4 exchanges) it replaces: same normalization (done
+    in the JVM for both), same integer counts, same single-division
+    doubles. Exercises NULL text, blank text, messy whitespace, heavy
+    repetition, and unicode content."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.text import (
+        repetition_signals,
+    )
+
+    rows = [
+        (1, "a a a a"),
+        (2, "w x y z"),
+        (3, "one two"),
+        (4, ""),
+        (5, None),
+        (6, "  Tabs\tand\nNEWLINES  collapse   here \r ok "),
+        (7, "üBER Straße ÜBER straße über STRASSE"),
+        (8, "x " * 500 + "y z y z y z"),
+        (9, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_REP", "0")
+    col_path = {r.doc_id: r for r in repetition_signals(df).collect()}
+    monkeypatch.delenv("SPARK_GRAFT_ARROW_REP")
+    kernel = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert set(col_path) == set(kernel)
+    for doc_id in col_path:
+        a, b = col_path[doc_id], kernel[doc_id]
+        # bit-exact: the oracle hash has no tolerance, so neither do we
+        assert a.dup_word_frac == b.dup_word_frac, doc_id
+        assert a.top_bigram_frac == b.top_bigram_frac, doc_id
+        assert a.dup_trigram_frac == b.dup_trigram_frac, doc_id
+
+
+def test_gopher_rules_arrow_kernel_parity(spark, monkeypatch):
+    """The r19 gopher word-stats Arrow kernel must be BIT-exact to the
+    explode+groupBy+join column shape across NULL/blank/short/stopword
+    edges — including the NULL-stat rows that drive the coalesced
+    booleans and the doubles that reach the output frame."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.text import (
+        gopher_rules,
+    )
+
+    rows = [
+        (1, "the cat and the dog have fun with that ball of yarn be"),
+        (2, ""),
+        (3, None),
+        (4, "- bullet one\n- bullet two\nplain..."),
+        (5, "123 456 789"),
+        (6, "x " * 80),
+        (7, "Üppig grüß käse ohne ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_GOPHER", "0")
+    col_path = {r.doc_id: r.asDict() for r in gopher_rules(df, min_words=3).collect()}
+    monkeypatch.delenv("SPARK_GRAFT_ARROW_GOPHER")
+    kern = {r.doc_id: r.asDict() for r in gopher_rules(df, min_words=3).collect()}
+    assert set(col_path) == set(kern)
+    for doc_id in col_path:
+        assert col_path[doc_id] == kern[doc_id], doc_id
