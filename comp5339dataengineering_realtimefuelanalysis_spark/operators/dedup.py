@@ -24,6 +24,8 @@ pairs — never the cross product.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -466,6 +468,77 @@ def cap_buckets(
 # ---------------------------------------------------------------------------
 
 
+def _minhash_arrow_fn(n: int, num_hashes: int):
+    """mapInArrow kernel factory for minhash_signatures: a document's
+    shingle set is row-local, so the K permutation-mins are one numpy
+    matrix pass per doc with ZERO exchanges (the column shape pays the
+    shingle explode + a K-agg shuffle). Text arrives JVM-normalized
+    (norm_text), shingling is pure slicing (Python str slices count
+    code points exactly like Spark's substring), h32 is the exact
+    hash32 recipe in hashlib (memoized per distinct shingle per task),
+    and (h*a + b) % P runs in int64 with NO overflow: max product
+    (2^32-1)(2^31-1) + 2^31 ~ 9.22337e18 < 2^63-1, all terms positive
+    so truncated and floored remainders agree. NULL-text rows emit
+    all-NULL signatures, mirroring the column shape (greatest(NULL, 1)
+    = 1 there, so a NULL text yields one NULL shingle whose NULL hash
+    survives the MIN). Parity-tested bit-exact."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    consts = permutation_constants(num_hashes)
+    A = np.array([a for a, _ in consts], dtype=np.int64)
+    B = np.array([b for _, b in consts], dtype=np.int64)
+    P = np.int64(MINHASH_PRIME)
+    lo = max(n - 1, 0)
+
+    def fn(it):
+        cache: dict = {}
+
+        def h32_py(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = int(
+                    hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16
+                )
+                cache[s] = v
+            return v
+
+        for batch in it:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            sig_cols: list = [[] for _ in range(num_hashes)]
+            for t in texts:
+                if t is None:
+                    # the column shape keeps the row: greatest(NULL, 1)
+                    # = 1 -> one NULL shingle -> NULL hash -> NULL mins
+                    for c in sig_cols:
+                        c.append(None)
+                    continue
+                # substring(t, i, n) for i in 1..max(len-n+1, 1):
+                # short text yields its whole remainder, empty text
+                # one '' shingle — identical to the column shape
+                sh = {t[j:j + n] for j in range(max(len(t) - lo, 1))}
+                H = np.fromiter(
+                    (h32_py(s) for s in sh),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                sig = (
+                    (H[:, None] * A[None, :] + B[None, :]) % P
+                ).min(axis=0)
+                for k, c in enumerate(sig_cols):
+                    c.append(int(sig[k]))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0)]
+                + [pa.array(c, pa.int64()) for c in sig_cols],
+                ["__mh_id"] + [f"mh_{k}" for k in range(num_hashes)],
+            )
+
+    return fn
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -476,12 +549,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """K-wide MinHash signature per doc: columns mh_0..mh_{K-1}.
 
-    All K permutation-mins computed in ONE groupBy pass over the shingle
-    explosion — a single shuffle keyed on the doc id, map-side combined.
-    MIN is idempotent over duplicate shingles, so the explosion skips the
-    distinct shuffle entirely (shingle rows stay partition-local until the
-    per-doc combine reduces them to one signature row each).
+    Default path (r19): an Arrow batch kernel (guide §4.2 — the
+    signature is row-local in the doc's shingle set; see
+    _minhash_arrow_fn for the bit-exactness argument). The kernel
+    derives shingles from ``df``'s text directly, so a passed
+    ``shingles_df`` is unused on this path (it must equal
+    ``shingles(df, n)`` by contract anyway — it exists so the COLUMN
+    path can share one explosion with a downstream set consumer).
+    SPARK_GRAFT_ARROW_MINHASH=0 falls back to the column shape:
+    all K permutation-mins in ONE groupBy pass over the shingle
+    explosion — a single shuffle keyed on the doc id, map-side
+    combined; MIN is idempotent over duplicate shingles, so the
+    explosion skips the distinct shuffle entirely.
     """
+    if os.environ.get("SPARK_GRAFT_ARROW_MINHASH", "1") != "0":
+        src = df.select(
+            F.col(id_col).cast("long").alias("__mh_id"),
+            norm_text(text_col).alias("__mh_norm"),
+        )
+        out_schema = "__mh_id long, " + ", ".join(
+            f"mh_{k} long" for k in range(num_hashes)
+        )
+        return src.mapInArrow(
+            _minhash_arrow_fn(n, num_hashes), out_schema
+        ).withColumnRenamed("__mh_id", id_col)
     if shingles_df is None:
         shingles_df = shingles(df, text_col, id_col, n, distinct=False)
     sh = shingles_df.withColumn("h32", hash32("shingle"))

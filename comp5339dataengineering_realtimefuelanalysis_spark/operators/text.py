@@ -682,6 +682,93 @@ def repetition_signals(
     )
 
 
+def _embed_text_arrow_fn(dim: int, seed: str, ngrams: tuple[int, ...]):
+    """mapInArrow kernel factory for embed_text: a document's feature
+    multiset is row-local, so bucket counting + L2 normalization run
+    with ZERO exchanges (the column shape pays an explode shuffle and
+    a collect_list regroup). Input text is JVM-normalized (norm_text
+    over the coalesced column) — the kernel only splits on single
+    spaces. Hashes are the exact hash32 recipe
+    (int(md5(utf8)[:8 hex], 16), then pmod) in hashlib, memoized per
+    distinct feature within the task (the bounded-vocab corpus repeats
+    features heavily). float steps mirror the column path: int
+    counts -> exact-int sum of squares -> one double sqrt -> one
+    double division -> float32 cast, all correctly-rounded IEEE ops on
+    identical operands (parity-tested bit-exact)."""
+    import hashlib
+    import math
+
+    import pyarrow as pa
+
+    bseed = "#" + seed
+    sseed = "#s" + seed
+
+    def fn(it):
+        cache: dict = {}
+
+        def bucket_sign(feat: str) -> tuple:
+            bs = cache.get(feat)
+            if bs is None:
+                h = int(
+                    hashlib.md5(
+                        (feat + bseed).encode("utf-8")
+                    ).hexdigest()[:8],
+                    16,
+                ) % dim
+                s = (
+                    int(
+                        hashlib.md5(
+                            (feat + sseed).encode("utf-8")
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    % 2
+                ) * 2 - 1
+                bs = (h, s)
+                cache[feat] = bs
+            return bs
+
+        for batch in it:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            out: list = []
+            for t in texts:
+                counts = [0] * dim
+                words = t.split(" ")
+                feats: list = []
+                if 1 in ngrams:
+                    feats.extend(words)
+                if 2 in ngrams and len(words) >= 2:
+                    feats.extend(
+                        a + " " + b for a, b in zip(words, words[1:])
+                    )
+                for n in ngrams:
+                    if n in (1, 2):
+                        continue
+                    if len(words) >= n:
+                        feats.extend(
+                            " ".join(words[i:i + n])
+                            for i in range(len(words) - n + 1)
+                        )
+                for feat in feats:
+                    b, s = bucket_sign(feat)
+                    counts[b] += s
+                nrm = math.sqrt(float(sum(v * v for v in counts)))
+                if nrm > 0:
+                    out.append([float(v) / nrm for v in counts])
+                else:
+                    out.append([0.0] * dim)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(out, pa.list_(pa.float32())),
+                ],
+                ["__e_id", "embedding"],
+            )
+
+    return fn
+
+
 def embed_text(
     df: DataFrame,
     text_col: str = "text",
@@ -712,8 +799,29 @@ def embed_text(
     empty (cannot happen after the coalesce — empty text normalizes to
     one empty-string feature — but the norm>0 guard keeps the math
     total).
+
+    r19: the default path is an Arrow batch kernel (guide §4.2 — the
+    feature multiset is row-local, so the explode shuffle + regroup
+    disappear; see _embed_text_arrow_fn for the bit-exactness
+    argument). SPARK_GRAFT_ARROW_EMB=0 falls back to the column shape.
     """
+    import os
+
     from .dedup import hash32
+
+    if os.environ.get("SPARK_GRAFT_ARROW_EMB", "1") != "0":
+        out = df.select(
+            F.col(id_col).cast("long").alias("__e_id"),
+            norm_text(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                "__e_norm"
+            ),
+        ).mapInArrow(
+            _embed_text_arrow_fn(dim, seed, ngrams),
+            "__e_id long, embedding array<float>",
+        )
+        return out.select(
+            F.col("__e_id").alias(id_col), "embedding"
+        )
 
     grams = _word_ngram_arrays(
         F.coalesce(F.col(text_col), F.lit("")), ngrams

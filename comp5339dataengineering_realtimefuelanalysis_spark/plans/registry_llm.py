@@ -2040,16 +2040,26 @@ def q_corpus_curation_pipeline(
             .select("doc_id")
         )
         # a HARD plan barrier (NOT persist): this stage's logical tree
-        # is the pipeline's largest (the two semi joins duplicate
-        # scrub's subtree and graft on the gopher agg + the whole LM
-        # chain), and EVERY downstream stage embeds it — persist
-        # caches the data but Catalyst re-analyzes the exponential
-        # tree per action (the connected_components pathology,
-        # measured here as 46.6 -> 228 s pipeline total before the
-        # barrier). Two forms (see the ``barrier`` docstring): eager
-        # localCheckpoint for a single-node session, write-read
-        # through the at-rest store for the cluster posture.
-        surv = scrub.join(g, "doc_id", "semi").join(p, "doc_id", "semi")
+        # is the pipeline's largest (the semi joins duplicate scrub's
+        # subtree and graft on the gopher agg + the whole LM chain),
+        # and EVERY downstream stage embeds it — persist caches the
+        # data but Catalyst re-analyzes the exponential tree per
+        # action (the connected_components pathology, measured here as
+        # 46.6 -> 228 s pipeline total before the barrier). Two forms
+        # (see the ``barrier`` docstring): eager localCheckpoint for a
+        # single-node session, write-read through the at-rest store
+        # for the cluster posture.
+        # r19 (guide §2.4): intersect the two ID-ONLY keep sets first,
+        # then ONE semi join against the text-carrying scrub frame —
+        # semi-joining scrub twice shuffled the text column twice for
+        # the same survivor set (A ⋉ g ⋉ p == A ⋉ (g ⋉ p): both keep
+        # exactly the rows whose doc_id is in g AND p). At sf0.1 the
+        # intersected id set auto-broadcasts and scrub is never
+        # shuffled at all; at scale AQE keeps it a shuffled join of
+        # ids (narrow) + one text shuffle instead of two.
+        surv = scrub.join(
+            g.join(p, "doc_id", "semi"), "doc_id", "semi"
+        )
         if barrier == "local":
             return surv.localCheckpoint(eager=True)
         global _BARRIER_SEQ

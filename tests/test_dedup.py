@@ -407,3 +407,36 @@ def test_ngram_jaccard_joins_never_broadcast(spark):
     assert "ShuffledHashJoin" in plan, plan
     uplan = unpinned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in uplan, uplan
+
+
+def test_minhash_arrow_kernel_parity(spark, monkeypatch):
+    """The r19 minhash Arrow kernel (row-local shingles + numpy
+    permutation-mins) must be BIT-exact to the exploded groupBy shape:
+    same normalization (JVM both), same md5-derived h32, same
+    (h*a + b) % P in int64, same NULL-text drop."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 4),
+        (2, ""),
+        (3, None),
+        (4, "ab"),
+        (5, "  White\tspace\nruns  collapse \r here "),
+        (6, "ünïcödé shingles straße " * 3),
+        (7, "abcdeabcdeabcde"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (16, 48):
+        monkeypatch.setenv("SPARK_GRAFT_ARROW_MINHASH", "0")
+        col_path = {
+            r.doc_id: tuple(r[f"mh_{i}"] for i in range(k))
+            for r in minhash_signatures(df, num_hashes=k).collect()
+        }
+        monkeypatch.delenv("SPARK_GRAFT_ARROW_MINHASH")
+        kern = {
+            r.doc_id: tuple(r[f"mh_{i}"] for i in range(k))
+            for r in minhash_signatures(df, num_hashes=k).collect()
+        }
+        assert col_path == kern, k

@@ -1109,3 +1109,31 @@ def test_gopher_rules_arrow_kernel_parity(spark, monkeypatch):
     assert set(col_path) == set(kern)
     for doc_id in col_path:
         assert col_path[doc_id] == kern[doc_id], doc_id
+
+
+def test_embed_text_arrow_kernel_parity(spark, monkeypatch):
+    """The r19 embed_text Arrow kernel must be BIT-exact to the column
+    shape (same md5 bucket/sign hashes, same int counts, same
+    sqrt/divide/float32 steps) — checked as exact float equality over
+    every element, including NULL/blank/single-word/unicode edges."""
+    from comp5339dataengineering_realtimefuelanalysis_spark.operators.text import (
+        embed_text,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),
+        (3, None),
+        (4, "solo"),
+        (5, "  Tabs\tand\nNEWLINES  collapse   here \r ok "),
+        (6, "üBER Straße wieder üBER Straße"),
+        (7, "a b " * 200),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_EMB", "0")
+    col_path = {r.doc_id: r.embedding for r in embed_text(df, dim=16).collect()}
+    monkeypatch.delenv("SPARK_GRAFT_ARROW_EMB")
+    kern = {r.doc_id: r.embedding for r in embed_text(df, dim=16).collect()}
+    assert set(col_path) == set(kern)
+    for doc_id in col_path:
+        assert col_path[doc_id] == kern[doc_id], doc_id
