@@ -563,11 +563,14 @@ def minhash_signatures(
     explosion skips the distinct shuffle entirely.
     """
     if os.environ.get("SPARK_GRAFT_ARROW_MINHASH", "1") != "0":
+        # keep the caller's id type (string ids are a supported
+        # contract — the incremental-dedup silver store uses them)
+        id_type = df.schema[id_col].dataType.simpleString()
         src = df.select(
-            F.col(id_col).cast("long").alias("__mh_id"),
+            F.col(id_col).alias("__mh_id"),
             norm_text(text_col).alias("__mh_norm"),
         )
-        out_schema = "__mh_id long, " + ", ".join(
+        out_schema = f"__mh_id {id_type}, " + ", ".join(
             f"mh_{k} long" for k in range(num_hashes)
         )
         return src.mapInArrow(

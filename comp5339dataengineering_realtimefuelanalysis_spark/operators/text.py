@@ -517,16 +517,7 @@ def _rep_signals_arrow_fn(it):
     column path's cast-double divisions (parity-tested)."""
     import pyarrow as pa
 
-    out_schema = pa.schema(
-        [
-            ("__rep_id", pa.int64()),
-            ("dup_word_frac", pa.float64()),
-            ("top_bigram_frac", pa.float64()),
-            ("dup_trigram_frac", pa.float64()),
-        ]
-    )
     for batch in it:
-        ids = batch.column(0).to_pylist()
         texts = batch.column(1).to_pylist()
         dup_w: list[float] = []
         top_b: list[float] = []
@@ -560,12 +551,17 @@ def _rep_signals_arrow_fn(it):
                 dup_t.append(0.0)
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(ids, pa.int64()),
+                batch.column(0),  # id passthrough, any type
                 pa.array(dup_w, pa.float64()),
                 pa.array(top_b, pa.float64()),
                 pa.array(dup_t, pa.float64()),
             ],
-            schema=out_schema,
+            [
+                "__rep_id",
+                "dup_word_frac",
+                "top_bigram_frac",
+                "dup_trigram_frac",
+            ],
         )
 
 
@@ -607,12 +603,14 @@ def repetition_signals(
     import os
 
     if os.environ.get("SPARK_GRAFT_ARROW_REP", "1") != "0":
+        # keep the caller's id type (string ids are supported)
+        id_type = df.schema[id_col].dataType.simpleString()
         out = df.select(
-            F.col(id_col).cast("long").alias("__rep_id"),
+            F.col(id_col).alias("__rep_id"),
             norm_text(text_col).alias("__rep_raw"),
         ).mapInArrow(
             _rep_signals_arrow_fn,
-            "__rep_id long, dup_word_frac double,"
+            f"__rep_id {id_type}, dup_word_frac double,"
             " top_bigram_frac double, dup_trigram_frac double",
         )
         return out.select(
@@ -810,14 +808,16 @@ def embed_text(
     from .dedup import hash32
 
     if os.environ.get("SPARK_GRAFT_ARROW_EMB", "1") != "0":
+        # keep the caller's id type (string ids are supported)
+        id_type = df.schema[id_col].dataType.simpleString()
         out = df.select(
-            F.col(id_col).cast("long").alias("__e_id"),
+            F.col(id_col).alias("__e_id"),
             norm_text(F.coalesce(F.col(text_col), F.lit(""))).alias(
                 "__e_norm"
             ),
         ).mapInArrow(
             _embed_text_arrow_fn(dim, seed, ngrams),
-            "__e_id long, embedding array<float>",
+            f"__e_id {id_type}, embedding array<float>",
         )
         return out.select(
             F.col("__e_id").alias(id_col), "embedding"

@@ -1956,6 +1956,7 @@ def q_corpus_curation_pipeline(
     if barrier == "auto":
         master = spark.sparkContext.master or ""
         barrier = "local" if master.startswith("local") else "durable"
+    stage_cb_is_default = stage_cb is None
     if stage_cb is None:
         stage_cb = lambda _name, thunk: thunk()  # noqa: E731
     docs = _docs_parallel(spark, sf_dir)
@@ -2177,6 +2178,18 @@ def q_corpus_curation_pipeline(
             )
         ),
     )
+    # r19: publish the stage-9 survivor table this run just computed to
+    # the shared at-rest cache the 2l branch-attestation query reads
+    # (_curation_stage9_for) — IN-PASS sharing, charged here inside the
+    # pipeline's own timed region (the frames are already persisted;
+    # the publish is one narrow semi-join write). Without it, each
+    # bench pass re-ran stages 1-9 a second time inside
+    # corpus_curation_pipeline_2l. Production path only (stage_cb is
+    # None): measurement hooks must see the unmodified stage list, and
+    # the stage-9 builder itself (which aborts at stage 9 through its
+    # own cb) never reaches this line.
+    if stage_cb_is_default:
+        _stage9_publish(spark, sf_dir, kept1, kept2)
 
     # SEMANTIC dedup stage (round 8, scale-adaptive round 9): the
     # shingle stages catch copy-edits; this catches REPHRASINGS —
@@ -2400,6 +2413,43 @@ class _Stage9Captured(Exception):
 _STAGE9_PATHS: dict[str, str] = {}
 
 
+def _stage9_key(sf_dir: str) -> str:
+    """Cache key of the stage-9 survivor table: corpus fingerprint +
+    every constant stages 1-9 depend on (see _curation_stage9_for)."""
+    return (
+        f"{sf_dir}:stage9:{_QUALITY_KEEP}:{_REP_MAX_DUP_WORD}"
+        f":{_REP_MAX_TOP_BIGRAM}:{_REP_MAX_DUP_TRIGRAM}:{_SHINGLE_N}"
+        f":{_KNEE_NUM_HASHES}:{_KNEE_BANDS}"
+        f":{_LSH_MAX_BUCKET}:{_JACCARD_THRESHOLD}"
+        f":{_GOPHER_MIN_WORDS}:{_GOPHER_MIN_STOP}"
+        f":{_PPL_BUCKETS}:{_PPL_SEED}:fix20"
+        f":{os.environ.get('SPARK_GRAFT_PIPE_BANDING', 'auto')}"
+        f":{_corpus_fingerprint(sf_dir)}"
+    )
+
+
+def _stage9_publish(
+    spark: SparkSession, sf_dir: str, kept1: DataFrame, kept2: DataFrame
+) -> None:
+    """Write the stage-9 survivor table from a pipeline run that
+    already computed it (kept1 = exact-dedup survivors with text,
+    kept2 = post-near-dup narrow survivors) into the shared at-rest
+    cache, unless present. Identical frame to _curation_stage9_for's
+    builder output by construction (same join of the same stages)."""
+    key = _stage9_key(sf_dir)
+    path = _STAGE9_PATHS.get(key)
+    if path is not None and os.path.isdir(path):
+        return
+    path = _ivf_index_dir(key)
+    (
+        kept1.select("doc_id", "text", "lang")
+        .join(kept2.select("doc_id"), "doc_id", "semi")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    _STAGE9_PATHS[key] = path
+
+
 def _curation_stage9_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curation pipeline's STAGE-9 survivor frame (doc_id, text,
     lang — the shingle-dedup survivors the semantic stage consumes),
@@ -2413,23 +2463,10 @@ def _curation_stage9_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     for re-verification rather than coverage). Key carries the corpus
     fingerprint and the stage-defining constants, so a constant change
     or a regenerated corpus invalidates the cache."""
-    key = (
-        f"{sf_dir}:stage9:{_QUALITY_KEEP}:{_REP_MAX_DUP_WORD}"
-        f":{_REP_MAX_TOP_BIGRAM}:{_REP_MAX_DUP_TRIGRAM}:{_SHINGLE_N}"
-        # stage 5 runs the KNEE constants (r17 keyed the legacy 16/4
-        # here while stage 5 ran the knee — a retune would have served
-        # stale survivors from a persistent cache root)
-        f":{_KNEE_NUM_HASHES}:{_KNEE_BANDS}"
-        f":{_LSH_MAX_BUCKET}:{_JACCARD_THRESHOLD}"
-        # stage 2b (quality screen) constants: the survivor set depends
-        # on them, so a retune must invalidate the cache
-        f":{_GOPHER_MIN_WORDS}:{_GOPHER_MIN_STOP}"
-        f":{_PPL_BUCKETS}:{_PPL_SEED}:fix20"
-        # a forced-banding measurement run must not serve its survivors
-        # to (or read them from) production-keyed entries
-        f":{os.environ.get('SPARK_GRAFT_PIPE_BANDING', 'auto')}"
-        f":{_corpus_fingerprint(sf_dir)}"
-    )
+    # key: every constant stages 1-9 depend on (the r17 verdict's
+    # stale-survivor bug class) + the forced-banding env hook + the
+    # corpus fingerprint — see _stage9_key
+    key = _stage9_key(sf_dir)
     path = _STAGE9_PATHS.get(key)
     if path is None or not os.path.isdir(path):
         path = _ivf_index_dir(key)
